@@ -1,0 +1,82 @@
+"""Tokenizer: downcase + split on separator-character runs, with positions.
+
+Semantics pinned against the reference (lib/elasticlunr/tokenizer.ex:4-66):
+
+* the whole string is downcased first; positions refer to the downcased
+  string (same indices as the original for ASCII);
+* the separator is a regex tested against ONE character at a time
+  (``match_string?/2``), so any regex behaves like a character class —
+  a char c is a separator iff ``separator.search(c)`` matches;
+* tokens are the maximal runs of non-separator characters; empty slices
+  are suppressed (tokenizer.ex:32 ``slice_length > 0``), i.e. leading/
+  trailing/repeated separators emit nothing;
+* each token carries ``(start, length)`` — pinned by
+  test/tokenizer_test.exs:10-17 ("man" -> start 4, "end" 3);
+* numbers are stringified then tokenized (tokenizer.ex:10-14).
+
+The default separator is ``[\\s\\-]+`` (tokenizer.ex:4).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, List, Union
+
+from .token import Token
+
+DEFAULT_SEPARATOR = r"[\s\-]+"
+
+_FAST = {}  # separator pattern -> compiled "non-separator run" regex
+
+
+def _run_regex(separator: str) -> re.Pattern:
+    """Compile a regex matching maximal runs of non-separator chars.
+
+    Because the reference tests the separator per-character, the set of
+    separator chars is exactly {c : separator matches somewhere in "c"}.
+    For the common character-class patterns we can derive the complement
+    class directly; for arbitrary patterns we fall back to a per-char scan.
+    """
+    pat = _FAST.get(separator)
+    if pat is None:
+        m = re.fullmatch(r"\[([^\]]*)\]\+?", separator)
+        if m:
+            pat = re.compile(r"[^" + m.group(1) + r"]+")
+        else:
+            pat = None
+        _FAST[separator] = pat if pat is not None else False
+        return _run_regex(separator) if pat is not None else None
+    return pat or None
+
+
+def tokenize(
+    content: Union[str, int, float], separator: str = DEFAULT_SEPARATOR
+) -> List[Token]:
+    if not isinstance(content, str):
+        if isinstance(content, float) and content.is_integer():
+            content = repr(content)
+        else:
+            content = str(content)
+    s = content.lower()
+    run = _run_regex(separator)
+    if run is not None:
+        return [Token(m.group(0), m.start(), m.end() - m.start()) for m in run.finditer(s)]
+    # generic fallback: per-character separator test (reference semantics)
+    sep = re.compile(separator)
+    tokens: List[Token] = []
+    start = None
+    for i, ch in enumerate(s):
+        if sep.search(ch):
+            if start is not None:
+                tokens.append(Token(s[start:i], start, i - start))
+                start = None
+        elif start is None:
+            start = i
+    if start is not None:
+        tokens.append(Token(s[start:], start, len(s) - start))
+    return tokens
+
+
+def tokenize_terms(content: Union[str, int, float], separator: str = DEFAULT_SEPARATOR) -> List[str]:
+    """Terms only (no positions) — cheaper hot path for stats-only callers."""
+    return [t.token for t in tokenize(content, separator)]

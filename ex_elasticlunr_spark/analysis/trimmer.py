@@ -1,0 +1,28 @@
+"""Trimmer: strip leading ``^\\W+`` and trailing ``\\W+$`` from a token.
+
+Reference: lib/elasticlunr/pipeline/trimmer.ex:7-12. Note the result may
+be the empty string (e.g. a token made only of punctuation) — the
+reference does NOT drop empty tokens at this stage (Pipeline filters only
+nil), so neither do we.
+
+Goldens (test/pipeline/trimmer_test.exs:22-31): ``hello.``->``hello``,
+``it's``->``it's``, ``james'``->``james``, ``stop!'``->``stop``,
+``[[[tag]]]``->``tag``, ``~!@@@hello***()()()]]``->``hello``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .token import Token
+
+_LEAD = re.compile(r"^\W+")
+_TRAIL = re.compile(r"\W+$")
+
+
+def trim_str(s: str) -> str:
+    return _TRAIL.sub("", _LEAD.sub("", s))
+
+
+def trim(token: Token) -> Token:
+    return token.with_token(trim_str(token.token))
