@@ -1,0 +1,519 @@
+"""Pure-Python single-process oracle for the elasticlunr query semantics.
+
+This is TEST infrastructure (the rank-identity referee), not engine code.
+It reimplements the reference's exact formulas and query algebra:
+
+* tf(term, doc)    = sqrt(occurrences)            field.ex:235
+* idf(term)        = 1 + log10(N / (df + 1))      field.ex:340-341
+* flnorm(field)    = 1 / sqrt(unique_terms)       field.ex:328-335 (0 if empty)
+* per-(doc,term)   = tf * idf^2 * flnorm          terms_query.ex:89
+* terms per-doc    = MAX over matched terms, * boost   terms_query.ex:80-97
+* bool should      = SUM of clause scores, matched count  bool_query.ex:154-170
+* keep iff matched >= minimum_should_match and score > 0  bool_query.ex:176-177
+* not              = all docids minus matches, score 1    not_query.ex:23-32
+* match_all        = all docids, score 1.0*boost          match_all_query.ex:19-23
+* match rewrite    = analyze query -> terms/match_all     match_query.ex:34-83
+
+Deviations from the reference (documented, intentional):
+* fuzzy matching uses the postings of the *matched vocabulary term*
+  (the reference's match_with_fuzz at field.ex:376-389 looks up the
+  original query term's postings — an apparent bug its own tests never
+  exercise beyond the exact-term case, which both semantics satisfy);
+* result ordering adds a deterministic tie-break (score desc, docid asc)
+  — the reference's plain sort (index.ex:262-265) leaves ties unordered.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+from ex_elasticlunr_spark.analysis import Pipeline, Token
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Edit distance (reference utlis.ex:2-33)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class OracleField:
+    def __init__(self, name: str, pipeline: Pipeline,
+                 query_pipeline: Optional[Pipeline] = None):
+        self.name = name
+        self.pipeline = pipeline
+        self.query_pipeline = query_pipeline
+        # term -> docid -> {"total": int, "positions": [(start, len)]}
+        self.term_docs: Dict[str, Dict[str, dict]] = {}
+        self.ids: Dict[str, None] = {}  # insertion-ordered set
+        self.idf: Dict[str, float] = {}
+        self.flnorm: float = 0.0
+
+    # -- build ----------------------------------------------------------
+    def add(self, docs: Sequence[Tuple[str, Union[str, int, float]]]) -> None:
+        for docid, content in docs:
+            if docid in self.ids:  # duplicate guard (field.ex:85)
+                continue
+            self.ids[docid] = None
+            for tok in self.pipeline.run(content):
+                attrs = self.term_docs.setdefault(tok.token, {}).setdefault(
+                    docid, {"total": 0, "positions": []}
+                )
+                attrs["total"] += 1
+                attrs["positions"].append((tok.start, tok.length))
+        self._recalculate()
+
+    def remove(self, docids: Sequence[str]) -> None:
+        for docid in docids:
+            self.ids.pop(docid, None)
+            for term in list(self.term_docs):
+                self.term_docs[term].pop(docid, None)
+                if not self.term_docs[term]:
+                    del self.term_docs[term]
+        self._recalculate()
+
+    def _recalculate(self) -> None:
+        n = len(self.ids)
+        uniq = len(self.term_docs)
+        self.flnorm = 1.0 / math.sqrt(uniq) if uniq > 0 else 0.0
+        self.idf = {
+            term: 1.0 + math.log10(n / (len(docs) + 1))
+            for term, docs in self.term_docs.items()
+        }
+
+    # -- analysis -------------------------------------------------------
+    def analyze(self, content, is_query: bool = False) -> List[Token]:
+        p = self.query_pipeline if (is_query and self.query_pipeline) else self.pipeline
+        return p.run(content)
+
+    def tf(self, term: str, docid: str) -> float:
+        return math.sqrt(self.term_docs[term][docid]["total"])
+
+    # -- terms lookup (field.ex:160-205) --------------------------------
+    def terms(self, terms: Sequence[Union[str, re.Pattern]],
+              fuzziness: int = 0, minimum_should_match: int = 1,
+              docs: Optional[Sequence[str]] = None) -> Dict[str, List[dict]]:
+        allowed = set(docs) if docs is not None else None
+        matching: Dict[str, List[dict]] = {}
+
+        def add_matches(vocab_term: str) -> None:
+            for docid in self.term_docs.get(vocab_term, {}):
+                if allowed is not None and docid not in allowed:
+                    continue
+                attrs = self.term_docs[vocab_term][docid]
+                matching.setdefault(docid, []).append(
+                    {
+                        "term": vocab_term,
+                        "tf": self.tf(vocab_term, docid),
+                        "idf": self.idf[vocab_term],
+                        "norm": self.flnorm,
+                        "positions": list(attrs["positions"]),
+                    }
+                )
+
+        for t in terms:
+            if isinstance(t, re.Pattern):
+                for vocab_term in self.term_docs:
+                    if t.match(vocab_term):
+                        add_matches(vocab_term)
+            elif fuzziness > 0:
+                for vocab_term in self.term_docs:
+                    if levenshtein(vocab_term, t) <= fuzziness:
+                        add_matches(vocab_term)
+            else:
+                if t in self.term_docs:
+                    add_matches(t)
+
+        if minimum_should_match > 1:
+            matching = {
+                d: entries
+                for d, entries in matching.items()
+                if len(entries) >= minimum_should_match
+            }
+        return matching
+
+
+class OracleIndex:
+    def __init__(self, ref: str = "id", pipeline: Optional[Pipeline] = None):
+        self.ref = ref
+        self.pipeline = pipeline if pipeline is not None else Pipeline.default()
+        self.fields: Dict[str, OracleField] = {}
+
+    def add_field(self, name: str, pipeline: Optional[Pipeline] = None,
+                  query_pipeline: Optional[Pipeline] = None) -> "OracleIndex":
+        self.fields[name] = OracleField(
+            name, pipeline if pipeline is not None else self.pipeline, query_pipeline
+        )
+        return self
+
+    def add_documents(self, documents: Sequence[dict]) -> "OracleIndex":
+        for doc in documents:
+            docid = str(doc[self.ref])
+            for fname, f in self.fields.items():
+                if fname in doc and doc[fname] is not None:
+                    f.add([(docid, doc[fname])])
+        return self
+
+    def remove_documents(self, docids: Sequence[str]) -> "OracleIndex":
+        for f in self.fields.values():
+            f.remove([str(d) for d in docids])
+        return self
+
+    def all(self) -> List[str]:
+        seen: Dict[str, None] = {}
+        for f in self.fields.values():
+            for docid in f.ids:
+                seen.setdefault(docid, None)
+        return list(seen)
+
+
+# ---------------------------------------------------------------------------
+# Query AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TermsQ:
+    field: str
+    terms: List[str]
+    boost: float = 1.0
+    expand: bool = False
+    fuzziness: int = 0
+    minimum_should_match: int = 1
+
+    def score(self, index: OracleIndex, filtered: Optional[List[str]] = None):
+        f = index.fields[self.field]
+        terms: List[Union[str, re.Pattern]] = (
+            [re.compile("^" + re.escape(t) + ".*") for t in self.terms]
+            if self.expand
+            else list(self.terms)
+        )
+        docs = f.terms(
+            terms,
+            fuzziness=self.fuzziness,
+            minimum_should_match=self.minimum_should_match,
+            docs=filtered,
+        )
+        out = []
+        for docid, entries in docs.items():
+            best_score, best = 0.0, None
+            for e in entries:  # strict > keeps the first max (terms_query.ex:82-84)
+                s = e["tf"] * e["idf"] ** 2 * e["norm"]
+                if s > best_score:
+                    best_score, best = s, e
+            out.append(
+                {
+                    "ref": docid,
+                    "score": best_score * self.boost,
+                    "positions": {self.field: best["positions"] if best else []},
+                }
+            )
+        return out
+
+
+@dataclass
+class MatchAllQ:
+    boost: float = 1.0
+
+    def score(self, index: OracleIndex, filtered=None):
+        return [{"ref": d, "score": 1.0 * self.boost, "positions": {}} for d in index.all()]
+
+
+@dataclass
+class MatchQ:
+    field: str
+    query: Union[str, int, float]
+    boost: float = 1.0
+    expand: bool = False
+    fuzziness: int = 0
+    operator: str = "or"
+    minimum_should_match: int = 1
+
+    def rewrite(self, index: OracleIndex):
+        tokens = index.fields[self.field].analyze(self.query, is_query=True)
+        n = len(tokens)
+        if n == 0:
+            return MatchAllQ()
+        if n == 1:
+            return TermsQ(
+                field=self.field, terms=[tokens[0].token], boost=self.boost,
+                expand=self.expand, fuzziness=self.fuzziness,
+            )
+        msm = self.minimum_should_match
+        if self.operator == "and" and msm == 0:
+            msm = n
+        return TermsQ(
+            field=self.field, terms=[t.token for t in tokens], boost=self.boost,
+            expand=self.expand, fuzziness=self.fuzziness, minimum_should_match=msm,
+        )
+
+    def score(self, index: OracleIndex, filtered=None):
+        return self.rewrite(index).score(index, filtered)
+
+
+@dataclass
+class NotQ:
+    inner: object
+
+    def score(self, index: OracleIndex, filtered=None):
+        matched = {r["ref"] for r in self.inner.score(index)}
+        return [
+            {"ref": d, "score": 1.0, "positions": {}}
+            for d in index.all()
+            if d not in matched
+        ]
+
+
+@dataclass
+class BoolQ:
+    should: List[object] = dc_field(default_factory=list)
+    must: Optional[object] = None
+    must_not: Optional[object] = None
+    filter: List[object] = dc_field(default_factory=list)
+    minimum_should_match: Optional[int] = None
+
+    def _default_msm(self) -> int:
+        # bool_query.ex:313-322: 1 if should nonempty and (must empty OR
+        # filter empty), else 0. Computed on the RAW filter list (before
+        # must_not folding — the default is fixed at initial construction).
+        if self.minimum_should_match is not None:
+            return self.minimum_should_match
+        if self.should and (self.must is None or not self.filter):
+            return 1
+        return 0
+
+    def filter_clauses(self) -> List[object]:
+        clauses = list(self.filter)
+        if self.must_not is not None:
+            clauses = [NotQ(self.must_not)] + clauses
+        return clauses
+
+    def score(self, index: OracleIndex, filtered=None):
+        msm = self._default_msm()
+
+        # filter chain: each clause scored restricted to prior survivors,
+        # keep score > 0 (dsl/query.ex:39-46, bool_query.ex:180-197)
+        base = None  # None == "no base restriction" (False in the reference)
+        for clause in self.filter_clauses():
+            restrict = None if base is None else [r["ref"] for r in base]
+            res = _score(clause, index, restrict)
+            base = [r for r in res if r["score"] > 0]
+
+        # must: scored, restricted to filter survivors (bool_query.ex:199-213)
+        if self.must is not None:
+            restrict = None if base is None else [r["ref"] for r in base]
+            base = _score(self.must, index, restrict)
+
+        docs: Dict[str, dict] = {}
+        restricted: Optional[List[str]] = None
+        if base is not None:
+            restricted = []
+            for r in base:
+                restricted.append(r["ref"])
+                docs[r["ref"]] = {
+                    "ref": r["ref"],
+                    "score": r.get("score") or 0.0,
+                    "matched": 0,
+                    "positions": {},
+                }
+
+        for clause in self.should:
+            for r in _score(clause, index, restricted):
+                ob = docs.setdefault(
+                    r["ref"],
+                    {"ref": r["ref"], "score": 0.0, "matched": 0, "positions": {}},
+                )
+                ob["score"] += r.get("score", 0.0)
+                ob["matched"] += 1
+                for fld, pos in r.get("positions", {}).items():
+                    ob["positions"].setdefault(fld, []).extend(pos)
+
+        return [
+            d for d in docs.values() if d["matched"] >= msm and d["score"] > 0
+        ]
+
+
+def _score(node, index: OracleIndex, filtered=None):
+    # only TermsQ (and MatchQ via rewrite) honors the docs restriction,
+    # same as the reference (options[:filtered] read in terms_query.ex:70-76)
+    if isinstance(node, (TermsQ, MatchQ)):
+        return node.score(index, filtered)
+    return node.score(index)
+
+
+# ---------------------------------------------------------------------------
+# DSL parsing (dsl/query_repository.ex, per-node parse/3)
+# ---------------------------------------------------------------------------
+
+_OPTION_KEYS = {"boost", "expand", "fuzziness", "minimum_should_match", "operator"}
+
+
+def parse(query: dict):
+    (kind, value), = query.items()
+    return _parse(kind, value)
+
+
+def _parse(kind: str, options):
+    if kind == "match_all":
+        return MatchAllQ(boost=options.get("boost", 1) if isinstance(options, dict) else 1)
+    if kind == "terms":
+        return _parse_terms(options)
+    if kind == "match":
+        return _parse_match(options)
+    if kind == "bool":
+        return _parse_bool(options)
+    if kind == "not":
+        return NotQ(parse(options))
+    raise ValueError(f"Unknown query type {kind}")
+
+
+def _parse_terms(options: dict):
+    if not options:
+        return MatchAllQ()
+    fields = {k: v for k, v in options.items() if k not in _OPTION_KEYS}
+    if len(fields) > 1:
+        return BoolQ(should=[_parse_terms({f: v}) for f, v in fields.items()])
+    (fname, params), = fields.items()
+    if isinstance(params, dict):
+        terms = params.get("value")
+        opts = params
+    else:
+        terms = params
+        opts = {}
+    terms = terms if isinstance(terms, list) else [terms]
+    return TermsQ(
+        field=fname,
+        terms=[str(t) for t in terms],
+        boost=opts.get("boost", 1),
+        expand=opts.get("expand", False),
+        fuzziness=opts.get("fuzziness", 0),
+        minimum_should_match=opts.get("minimum_should_match", 1),
+    )
+
+
+def _parse_match(options: dict):
+    if not options:
+        return MatchAllQ()
+    fields = {k: v for k, v in options.items() if k not in _OPTION_KEYS}
+    if len(fields) > 1:
+        return BoolQ(
+            should=[_parse_match({f: v}) for f, v in fields.items()],
+            minimum_should_match=len(fields),
+        )
+    (fname, params), = fields.items()
+    if not isinstance(params, dict):
+        params = {"query": params}
+    operator = params.get("operator", "or")
+    default_msm = 0 if operator == "and" else 1
+    return MatchQ(
+        field=fname,
+        query=params.get("query"),
+        boost=params.get("boost", 1),
+        expand=params.get("expand", False),
+        fuzziness=params.get("fuzziness", 0),
+        operator=operator,
+        minimum_should_match=params.get("minimum_should_match", default_msm),
+    )
+
+
+def _parse_bool(options: dict):
+    should = options.get("should")
+    if should is None:
+        should = []
+    elif not isinstance(should, list):
+        should = [should]
+    should = [parse(s) for s in should]
+
+    filt = options.get("filter")
+    if filt is None:
+        filt = []
+    elif not isinstance(filt, list):
+        filt = [filt]
+    filt = [parse(f) for f in filt]
+
+    must = options.get("must")
+    must = parse(must) if must is not None else None
+    must_not = options.get("must_not")
+    must_not = parse(must_not) if must_not is not None else None
+
+    msm = options.get("minimum_should_match")
+    if msm is not None and not msm <= len(should):
+        msm = None  # bool_query.ex:296-311 keeps it only if <= #should
+
+    return BoolQ(
+        should=should, must=must, must_not=must_not, filter=filt,
+        minimum_should_match=msm,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Search entry points (index.ex:177-266)
+# ---------------------------------------------------------------------------
+
+
+def search(index: OracleIndex, query, options: Optional[dict] = None,
+           top_k: Optional[int] = None) -> List[dict]:
+    if query is None:
+        return []
+    if isinstance(query, str) and options is None:
+        dsl = {
+            "query": {
+                "bool": {
+                    "should": [
+                        {"match": {f: query}}
+                        for f in index.fields
+                        if f != index.ref
+                    ]
+                }
+            }
+        }
+    elif isinstance(query, str) and "fields" in (options or {}):
+        fields = options["fields"]
+        matches = [
+            {"match": {f: query}, "boost": fields[f]["boost"]}
+            for f in fields
+            if f != index.ref and fields[f].get("boost", 0) > 0
+        ]
+        # boost applies to the match clause (index.ex:200-224)
+        should = [
+            {"match": {next(iter(m["match"])): {"query": query, "boost": m["boost"]}}}
+            for m in matches
+        ]
+        dsl = {"query": {"bool": {"should": should}}}
+    elif isinstance(query, dict) and "query" in query:
+        dsl = query
+    elif isinstance(query, dict):
+        opts = options or {"operator": "OR"}
+        should = [
+            {
+                "expand": opts.get("expand", False),
+                "match": {f: {"query": content, "operator": opts.get("bool", "or").lower()}},
+            }
+            for f, content in query.items()
+        ]
+        # "expand" rides on the match options (index.ex:229-256)
+        should = [
+            {"match": {k: dict(v, expand=s["expand"]) for k, v in s["match"].items()}}
+            for s in should
+        ]
+        dsl = {"query": {"bool": {"should": should}}}
+    else:
+        raise ValueError("Root object must have a query element")
+
+    node = parse(dsl["query"])
+    results = node.score(index)
+    results.sort(key=lambda r: (-r["score"], r["ref"]))
+    return results[:top_k] if top_k else results
