@@ -24,3 +24,7 @@ streaming/  incremental ingest (structured streaming -> delta segments)
 """
 
 __version__ = "0.1.0"
+
+from .build.indexer import InvertedIndex, build_index  # noqa: E402
+from .functions.udfs import AnalyzerConfig  # noqa: E402
+from .index import Index  # noqa: E402

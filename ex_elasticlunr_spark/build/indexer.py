@@ -1,0 +1,305 @@
+"""Distributed index build: documents DataFrame -> inverted-index tables.
+
+This is the Spark-first re-expression of the reference's write path
+(core/index.ex:115-120,283-301 + core/field.ex:83-94,217-241,321-349):
+the reference's per-document Task.async_stream fan-out becomes partition
+parallelism; ETS row inserts become a groupBy aggregation; the
+full-vocabulary idf refresh (field.ex:321-349) becomes one
+term-level aggregation joined with per-field scalars.
+
+Dataflow (one analyzer-UDF pass over the data):
+
+    docs(docid, f1..fn)
+      -> stack to (field, docid, content)           [no shuffle]
+      -> analyze pandas UDF -> posexplode           [no shuffle]
+      -> groupBy(field, term, docid)                [1 shuffle, partial
+         agg map-side; key includes docid so hot terms do NOT skew here]
+      = postings(field, term, docid, tf_raw, tf, positions)
+
+    doc_stats   = ids LEFT JOIN sum(tf_raw) per (field, docid)
+    term_stats  = postings groupBy (field, term) -> df (+ idf via
+                  broadcast join with field_stats)
+    field_stats = per-field scalars (n_docs, unique terms, flnorm, avgdl)
+
+Scale notes (10^12 turns):
+  * the only wide shuffle keys on (field, term, docid) — naturally
+    skew-free; AQE handles residual imbalance;
+  * term-level skew appears only in segment building (posting-list
+    compaction) and is handled there with salting (see segments.py);
+  * df/idf stats are pure aggregations with map-side combine;
+  * field_stats/term_stats are tiny relative to postings and are
+    broadcast at query time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.udfs import AnalyzerConfig, analyze_udf
+
+
+
+class InvertedIndex:
+    """A built index: five DataFrames + per-field analyzer configs.
+
+    Tables (schemas in SURVEY.md §1.2):
+      postings(field, term, docid, tf_raw, tf, positions)
+      doc_stats(field, docid, doc_len)
+      field_stats(field, n_docs, n_unique_terms, flnorm, avg_doc_len)
+      term_stats(field, term, df, idf)       -- elasticlunr idf
+      docs(docid)                            -- the docid universe (= ref
+                                                field ids, index.ex:154-159)
+    """
+
+    def __init__(
+        self,
+        postings: DataFrame,
+        doc_stats: DataFrame,
+        field_stats: DataFrame,
+        term_stats: DataFrame,
+        docs: DataFrame,
+        analyzers: Dict[str, AnalyzerConfig],
+        store_positions: bool = True,
+    ):
+        self.postings = postings
+        self.doc_stats = doc_stats
+        self.field_stats = field_stats
+        self.term_stats = term_stats
+        self.docs = docs
+        self.analyzers = analyzers
+        self.store_positions = store_positions
+        self._segments = None  # built lazily by segments.build_segments
+
+    # -- lifecycle -------------------------------------------------------
+    def cache(self) -> "InvertedIndex":
+        for df in (self.postings, self.doc_stats, self.field_stats,
+                   self.term_stats, self.docs):
+            df.cache()
+        return self
+
+    def materialize(self) -> "InvertedIndex":
+        self.cache()
+        self.postings.count()
+        self.term_stats.count()
+        self.field_stats.count()
+        self.doc_stats.count()
+        self.docs.count()
+        return self
+
+    def unpersist(self) -> None:
+        for df in (self.postings, self.doc_stats, self.field_stats,
+                   self.term_stats, self.docs):
+            df.unpersist()
+
+    def save(self, path: str) -> None:
+        """Persist as a partitioned parquet warehouse (Iceberg-shaped
+        layout; reference analogue: storage/disk.ex:22-31)."""
+        self.postings.repartition("field").write.mode("overwrite") \
+            .partitionBy("field").parquet(os.path.join(path, "postings"))
+        self.doc_stats.write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
+        self.field_stats.write.mode("overwrite").parquet(os.path.join(path, "field_stats"))
+        self.term_stats.repartition("field").write.mode("overwrite") \
+            .partitionBy("field").parquet(os.path.join(path, "term_stats"))
+        self.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+        manifest = {
+            "version": 1,
+            "store_positions": self.store_positions,
+            "fields": {
+                f: {"stages": list(c.stages), "separator": c.separator}
+                for f, c in self.analyzers.items()
+            },
+        }
+        with open(os.path.join(path, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=2)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
+        with open(os.path.join(path, "manifest.json")) as fh:
+            manifest = json.load(fh)
+        analyzers = {
+            f: AnalyzerConfig(tuple(cfg["stages"]), cfg["separator"])
+            for f, cfg in manifest["fields"].items()
+        }
+        return cls(
+            postings=spark.read.parquet(os.path.join(path, "postings")),
+            doc_stats=spark.read.parquet(os.path.join(path, "doc_stats")),
+            field_stats=spark.read.parquet(os.path.join(path, "field_stats")),
+            term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
+            docs=spark.read.parquet(os.path.join(path, "docs")),
+            analyzers=analyzers,
+            store_positions=manifest["store_positions"],
+        )
+
+    # -- incremental maintenance -----------------------------------------
+    def add_documents(self, source: DataFrame, docid_col: str = "docid") -> "InvertedIndex":
+        """Append documents (duplicate docids silently skipped, mirroring
+        field.ex:85) and refresh stats — the reference's add+
+        recalculate_idf as one batch job (B1+B5 in SURVEY.md §2.2)."""
+        fresh = source.join(self.docs, source[docid_col] == self.docs.docid, "left_anti")
+        new = build_index(
+            fresh, fields=list(self.analyzers), docid_col=docid_col,
+            analyzers=self.analyzers, store_positions=self.store_positions,
+        )
+        return _merge(self, new)
+
+    def remove_documents(self, docids: DataFrame) -> "InvertedIndex":
+        """Anti-join tombstones + stats refresh (field.ex:136-146, B4)."""
+        t = docids.select(F.col(docids.columns[0]).alias("docid"))
+        postings = self.postings.join(t, "docid", "left_anti")
+        ids = self.doc_stats.join(t, "docid", "left_anti").select("field", "docid")
+        docs = self.docs.join(t, "docid", "left_anti")
+        return _finalize(postings, ids, docs, self.analyzers, self.store_positions)
+
+
+def build_index(
+    source: DataFrame,
+    fields,
+    docid_col: str = "docid",
+    analyzers: Optional[Dict[str, AnalyzerConfig]] = None,
+    analyzer: Optional[AnalyzerConfig] = None,
+    store_positions: bool = True,
+) -> InvertedIndex:
+    """Build an InvertedIndex from ``source``.
+
+    ``fields``: list of column names to index. ``analyzers`` maps field ->
+    AnalyzerConfig (default: the reference's default pipeline for every
+    field). The docid column is indexed implicitly as the docid universe
+    (the reference's ref-field/IdPipeline, core/index.ex:39-47).
+    """
+    fields = list(fields)
+    default = analyzer or AnalyzerConfig()
+    analyzers = dict(analyzers or {})
+    for f in fields:
+        analyzers.setdefault(f, default)
+
+    docs = (
+        source.select(F.col(docid_col).cast("string").alias("docid"),
+                      *[F.col(f).cast("string").alias(f) for f in fields])
+        .dropDuplicates(["docid"])
+    )
+
+    # one row per (field, docid) with non-null content — these are the
+    # per-field id rows (N counts token-less docs too, index_test.exs:151-172)
+    stack_expr = "stack({}, {}) as (field, content)".format(
+        len(fields), ", ".join(f"'{f}', `{f}`" for f in fields)
+    )
+    stacked = docs.selectExpr("docid", stack_expr).where(F.col("content").isNotNull())
+
+    # group fields by analyzer config so each group is one UDF pass
+    by_cfg: Dict[int, list] = {}
+    for f in fields:
+        by_cfg.setdefault(id(analyzers[f]), []).append(f)
+
+    flat_parts = []
+    for group in by_cfg.values():
+        cfg = analyzers[group[0]]
+        part = stacked.where(F.col("field").isin(group))
+        toks = part.withColumn("toks", analyze_udf(cfg, positions=store_positions)("content"))
+        if store_positions:
+            flat = toks.select(
+                "field", "docid",
+                F.explode("toks").alias("tok"),
+            ).select(
+                "field", "docid",
+                F.col("tok.term").alias("term"),
+                F.col("tok.start").alias("start"),
+                F.col("tok.length").alias("length"),
+            )
+        else:
+            flat = toks.select(
+                "field", "docid", F.explode("toks").alias("term")
+            ).withColumn("start", F.lit(None).cast("int")) \
+             .withColumn("length", F.lit(None).cast("int"))
+        flat_parts.append(flat)
+
+    flat = flat_parts[0]
+    for p in flat_parts[1:]:
+        flat = flat.unionByName(p)
+
+    # THE wide shuffle: key includes docid => no hot-term skew here
+    postings = (
+        flat.groupBy("field", "term", "docid")
+        .agg(
+            F.count(F.lit(1)).alias("tf_raw"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("start"), F.col("length")))
+            ).alias("positions"),
+        )
+        .withColumn("tf", F.sqrt(F.col("tf_raw")))
+    )
+
+    ids = stacked.select("field", "docid")
+    return _finalize(postings, ids, docs.select("docid"), analyzers, store_positions)
+
+
+def _finalize(postings, ids, docs, analyzers, store_positions) -> InvertedIndex:
+    """Derive doc/term/field stats from a postings table (B5/B6)."""
+    postings = postings.drop("doc_len")
+    doc_lens = postings.groupBy("field", "docid").agg(
+        F.sum("tf_raw").alias("doc_len")
+    )
+    # denormalize doc_len into postings: one extra long per row at build
+    # time buys BM25 a query-time join against doc_stats (huge at scale)
+    postings = postings.join(doc_lens, ["field", "docid"])
+    doc_stats = (
+        ids.join(doc_lens, ["field", "docid"], "left")
+        .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)).cast("long"))
+    )
+
+    field_stats = (
+        doc_stats.groupBy("field")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("doc_len").alias("avg_doc_len"),
+        )
+        .join(
+            postings.groupBy("field").agg(
+                F.countDistinct("term").alias("n_unique_terms")
+            ),
+            "field",
+            "left",
+        )
+        .withColumn(
+            "n_unique_terms", F.coalesce(F.col("n_unique_terms"), F.lit(0))
+        )
+        .withColumn(
+            "flnorm",
+            F.when(F.col("n_unique_terms") > 0,
+                   F.lit(1.0) / F.sqrt(F.col("n_unique_terms"))).otherwise(F.lit(0.0)),
+        )
+    )
+
+    # df per (field, term); (field, term, docid) is unique in postings
+    term_stats = (
+        postings.groupBy("field", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(field_stats.select("field", "n_docs")), "field")
+        .withColumn(
+            "idf",
+            F.lit(1.0) + F.log10(F.col("n_docs") / (F.col("df") + F.lit(1.0))),
+        )
+        .drop("n_docs")
+    )
+
+    return InvertedIndex(
+        postings=postings,
+        doc_stats=doc_stats,
+        field_stats=field_stats,
+        term_stats=term_stats,
+        docs=docs,
+        analyzers=analyzers,
+        store_positions=store_positions,
+    )
+
+
+def _merge(old: InvertedIndex, new: InvertedIndex) -> InvertedIndex:
+    postings = old.postings.unionByName(new.postings)
+    ids = old.doc_stats.select("field", "docid").unionByName(
+        new.doc_stats.select("field", "docid")
+    )
+    docs = old.docs.unionByName(new.docs).distinct()
+    return _finalize(postings, ids, docs, old.analyzers, old.store_positions)

@@ -1,0 +1,151 @@
+"""Compile a query AST to a DataFrame plan over the index tables.
+
+Relational mapping (SURVEY.md §2.3):
+  terms      -> broadcast vocab-resolve + postings equi-join + per-doc agg
+  bool       -> filter/must: chained (broadcast) semi restrictions;
+                must_not: left-anti; should: unionByName + groupBy(docid)
+                agg(sum(score), count -> matched)
+  not        -> docs LEFT ANTI inner, score 1
+  match_all  -> docs, score boost
+  match      -> driver-side rewrite to terms (nodes.rewrite_match)
+
+Every intermediate is a DataFrame(docid, score) — Catalyst sees the
+whole tree and optimizes across clause boundaries (pushdown, join
+reordering, AQE). The reference interprets the same tree eagerly over
+ETS (bool_query.ex:87-178); semantics are kept bit-for-bit, including
+the quirk that bool-filter clause scores seed the doc's base score
+(bool_query.ex:110-124).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..search import scorer
+from .nodes import (
+    BoolNode,
+    MatchAllNode,
+    MatchNode,
+    NotNode,
+    TermsNode,
+    parse,
+    rewrite_match,
+)
+
+
+class QueryExecutor:
+    def __init__(self, index, mode: str = "elasticlunr",
+                 k1: float = 1.2, b: float = 0.75):
+        self.index = index
+        self.mode = mode
+        self.k1 = k1
+        self.b = b
+
+    # -- public ----------------------------------------------------------
+    def execute(self, query: dict, top_k: Optional[int] = None) -> DataFrame:
+        """query: {"query": {...}} or the inner node map. Returns
+        DataFrame(docid, score) sorted (score desc, docid asc), limited
+        to top_k when given (the reference has no limit, index.ex:262-265;
+        top-k is required by the north rule)."""
+        node = parse(query.get("query", query) if isinstance(query, dict) else query)
+        df = self.compile(node)
+        out = df.orderBy(F.desc("score"), F.asc("docid"))
+        return out.limit(top_k) if top_k else out
+
+    def search_text(self, text: str, top_k: Optional[int] = None,
+                    field_boosts: Optional[dict] = None) -> DataFrame:
+        """String-search sugar: bool/should of match over every indexed
+        field (index.ex:181-224), optional per-field boosts (boost <= 0
+        drops the field)."""
+        if field_boosts:
+            should = [
+                {"match": {f: {"query": text, "boost": b}}}
+                for f, b in field_boosts.items()
+                if b > 0
+            ]
+        else:
+            should = [{"match": {f: text}} for f in self.index.analyzers]
+        return self.execute({"query": {"bool": {"should": should}}}, top_k=top_k)
+
+    # -- compilation -----------------------------------------------------
+    def compile(self, node, restrict: Optional[DataFrame] = None) -> DataFrame:
+        if isinstance(node, MatchNode):
+            pipeline = self.index.analyzers[node.field].to_pipeline()
+            node = rewrite_match(node, pipeline)
+        if isinstance(node, TermsNode):
+            return scorer.terms_scores(
+                self.index, node.field, node.terms, boost=node.boost,
+                expand=node.expand, fuzziness=node.fuzziness,
+                minimum_should_match=node.minimum_should_match,
+                restrict=restrict, mode=self.mode, k1=self.k1, b=self.b,
+            )
+        if isinstance(node, MatchAllNode):
+            return scorer.match_all_scores(self.index, node.boost)
+        if isinstance(node, NotNode):
+            return scorer.not_scores(self.index, self.compile(node.inner))
+        if isinstance(node, BoolNode):
+            return self._compile_bool(node)
+        raise TypeError(f"cannot compile {type(node).__name__}")
+
+    def _compile_bool(self, node: BoolNode) -> DataFrame:
+        msm = node.effective_msm()
+
+        # filter chain: each clause restricted to the previous clause's
+        # survivors; keep score > 0 (bool_query.ex:180-197, query.ex:39-46)
+        filters = list(node.filter)
+        if node.must_not is not None:
+            filters = [NotNode(node.must_not)] + filters
+        base: Optional[DataFrame] = None
+        for clause in filters:
+            res = self.compile(clause, restrict=base)
+            base = res.where(F.col("score") > 0)
+
+        # must: scored, restricted to filter survivors (bool_query.ex:199-213)
+        if node.must is not None:
+            base = self.compile(node.must, restrict=base)
+
+        should_aggs = []
+        if node.should:
+            clause_results = [
+                self.compile(c, restrict=base) for c in node.should
+            ]
+            unioned = scorer.union_all(clause_results)
+            should_aggs = (
+                unioned.groupBy("docid")
+                .agg(F.sum("score").alias("should_score"),
+                     F.count(F.lit(1)).alias("matched"))
+            )
+
+        if base is None:
+            if node.should:
+                docs = should_aggs.select(
+                    "docid", F.col("should_score").alias("score"), "matched"
+                )
+            else:
+                spark = self.index.postings.sparkSession
+                return spark.createDataFrame([], "docid string, score double")
+        else:
+            base_docs = base.select(
+                "docid", F.coalesce(F.col("score"), F.lit(0.0)).alias("base_score")
+            )
+            if node.should:
+                docs = (
+                    base_docs.join(should_aggs, "docid", "left")
+                    .select(
+                        "docid",
+                        (F.col("base_score")
+                         + F.coalesce(F.col("should_score"), F.lit(0.0))).alias("score"),
+                        F.coalesce(F.col("matched"), F.lit(0)).alias("matched"),
+                    )
+                )
+            else:
+                docs = base_docs.select(
+                    "docid", F.col("base_score").alias("score"),
+                    F.lit(0).alias("matched"),
+                )
+
+        return docs.where(
+            (F.col("matched") >= F.lit(msm)) & (F.col("score") > 0)
+        ).select("docid", "score")

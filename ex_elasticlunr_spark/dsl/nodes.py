@@ -1,0 +1,174 @@
+"""Query-DSL AST + parser (the reference's query-struct tree,
+dsl/query_repository.ex:5-16 + per-node parse/3).
+
+The AST is the engine's first IR; rewrites (match -> terms/match_all,
+multi-field sugar, must_not -> not-filter) happen here driver-side, then
+dsl/executor.py compiles the rewritten tree to a DataFrame plan (the
+second IR, handed to Catalyst).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import List, Optional, Union
+
+OPTION_KEYS = {"boost", "expand", "fuzziness", "minimum_should_match", "operator"}
+
+
+@dataclass
+class TermsNode:
+    field: str
+    terms: List[str]
+    boost: float = 1.0
+    expand: bool = False
+    fuzziness: int = 0
+    minimum_should_match: int = 1
+
+
+@dataclass
+class MatchNode:
+    field: str
+    query: Union[str, int, float]
+    boost: float = 1.0
+    expand: bool = False
+    fuzziness: int = 0
+    operator: str = "or"
+    minimum_should_match: int = 1
+
+
+@dataclass
+class MatchAllNode:
+    boost: float = 1.0
+
+
+@dataclass
+class NotNode:
+    inner: object
+
+
+@dataclass
+class BoolNode:
+    should: List[object] = dc_field(default_factory=list)
+    must: Optional[object] = None
+    must_not: Optional[object] = None
+    filter: List[object] = dc_field(default_factory=list)
+    minimum_should_match: Optional[int] = None
+
+    def effective_msm(self) -> int:
+        # bool_query.ex:313-322 — default computed on the RAW filter list
+        if self.minimum_should_match is not None:
+            return self.minimum_should_match
+        if self.should and (self.must is None or not self.filter):
+            return 1
+        return 0
+
+
+def parse(query: dict):
+    """Parse a query map (the single-key root, dsl/query.ex:17-26)."""
+    (kind, value), = query.items()
+    return _parse(kind, value)
+
+
+def _parse(kind: str, options):
+    if kind == "match_all":
+        boost = options.get("boost", 1) if isinstance(options, dict) else 1
+        return MatchAllNode(boost=boost)
+    if kind == "terms":
+        return _parse_terms(options)
+    if kind == "match":
+        return _parse_match(options)
+    if kind == "bool":
+        return _parse_bool(options)
+    if kind == "not":
+        return NotNode(parse(options))
+    raise ValueError(f"Unknown query type {kind}")
+
+
+def _parse_terms(options):
+    if not options:
+        return MatchAllNode()
+    fields = {k: v for k, v in options.items() if k not in OPTION_KEYS}
+    if len(fields) > 1:
+        # multi-field sugar (terms_query.ex:110-118)
+        return BoolNode(should=[_parse_terms({f: v}) for f, v in fields.items()])
+    (fname, params), = fields.items()
+    opts = params if isinstance(params, dict) else {}
+    terms = params.get("value") if isinstance(params, dict) else params
+    terms = terms if isinstance(terms, list) else [terms]
+    return TermsNode(
+        field=fname,
+        terms=[str(t) for t in terms],
+        boost=opts.get("boost", 1),
+        expand=opts.get("expand", False),
+        fuzziness=opts.get("fuzziness", 0),
+        minimum_should_match=opts.get("minimum_should_match", 1),
+    )
+
+
+def _parse_match(options):
+    if not options:
+        return MatchAllNode()
+    fields = {k: v for k, v in options.items() if k not in OPTION_KEYS}
+    if len(fields) > 1:
+        # multi-field sugar sets msm = field count (match_query.ex:98-109)
+        return BoolNode(
+            should=[_parse_match({f: v}) for f, v in fields.items()],
+            minimum_should_match=len(fields),
+        )
+    (fname, params), = fields.items()
+    if not isinstance(params, dict):
+        params = {"query": params}
+    operator = params.get("operator", "or")
+    default_msm = 0 if operator == "and" else 1
+    return MatchNode(
+        field=fname,
+        query=params.get("query"),
+        boost=params.get("boost", 1),
+        expand=params.get("expand", False),
+        fuzziness=params.get("fuzziness", 0),
+        operator=operator,
+        minimum_should_match=params.get("minimum_should_match", default_msm),
+    )
+
+
+def _parse_bool(options):
+    should = options.get("should")
+    should = [] if should is None else (should if isinstance(should, list) else [should])
+    should = [parse(s) for s in should]
+
+    filt = options.get("filter")
+    filt = [] if filt is None else (filt if isinstance(filt, list) else [filt])
+    filt = [parse(f) for f in filt]
+
+    must = options.get("must")
+    must = parse(must) if must is not None else None
+    must_not = options.get("must_not")
+    must_not = parse(must_not) if must_not is not None else None
+
+    msm = options.get("minimum_should_match")
+    if msm is not None and not msm <= len(should):
+        msm = None  # bool_query.ex:296-311: kept only when <= #should
+    return BoolNode(should=should, must=must, must_not=must_not,
+                    filter=filt, minimum_should_match=msm)
+
+
+def rewrite_match(node: MatchNode, analyzer_pipeline):
+    """match -> terms/match_all after analyzing the query string with the
+    field's (query-)pipeline (match_query.ex:34-83). Driver-side: the
+    query string is tiny."""
+    tokens = analyzer_pipeline.run(node.query)
+    n = len(tokens)
+    if n == 0:
+        return MatchAllNode()
+    if n == 1:
+        return TermsNode(
+            field=node.field, terms=[tokens[0].token], boost=node.boost,
+            expand=node.expand, fuzziness=node.fuzziness,
+        )
+    msm = node.minimum_should_match
+    if node.operator == "and" and msm == 0:
+        msm = n
+    return TermsNode(
+        field=node.field, terms=[t.token for t in tokens], boost=node.boost,
+        expand=node.expand, fuzziness=node.fuzziness, minimum_should_match=msm,
+    )

@@ -1,0 +1,115 @@
+"""User-facing Index API — the Spark equivalent of the reference's
+``Elasticlunr.Index`` (core/index.ex): declare fields + analyzers, add
+documents, search with the query DSL or string sugar.
+
+    from ex_elasticlunr_spark import Index
+
+    idx = (Index(name="transcripts")
+           .add_field("text")
+           .add_field("tool"))
+    idx.add_documents(df, docid_col="docid")          # builds the index
+    idx.search({"query": {"match": {"text": "quick fox"}}}, top_k=10)
+    idx.search("quick fox", top_k=10)                  # string sugar
+    idx.search_bm25("quick fox", top_k=10)             # BM25 mode
+
+Documents are DataFrames, not maps; the docid column plays the role of
+the reference's ``ref`` field (default "id", index.ex:39-40).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .build.indexer import InvertedIndex, build_index
+from .dsl.executor import QueryExecutor
+from .functions.udfs import AnalyzerConfig
+
+
+class Index:
+    def __init__(self, name: str = "index", ref: str = "id",
+                 store_positions: bool = True,
+                 pipeline: Optional[AnalyzerConfig] = None):
+        self.name = name
+        self.ref = ref
+        self.store_positions = store_positions
+        self.default_analyzer = pipeline or AnalyzerConfig()
+        self.analyzers: Dict[str, AnalyzerConfig] = {}
+        self.inverted: Optional[InvertedIndex] = None
+
+    # -- schema ----------------------------------------------------------
+    def add_field(self, name: str,
+                  analyzer: Optional[AnalyzerConfig] = None) -> "Index":
+        self.analyzers[name] = analyzer or self.default_analyzer
+        return self
+
+    # -- build / maintain --------------------------------------------------
+    def add_documents(self, source: DataFrame,
+                      docid_col: Optional[str] = None) -> "Index":
+        docid_col = docid_col or self.ref
+        if self.inverted is None:
+            self.inverted = build_index(
+                source, fields=list(self.analyzers), docid_col=docid_col,
+                analyzers=self.analyzers, store_positions=self.store_positions,
+            )
+        else:
+            self.inverted = self.inverted.add_documents(source, docid_col)
+        return self
+
+    def remove_documents(self, docids: DataFrame) -> "Index":
+        self.inverted = self.inverted.remove_documents(docids)
+        return self
+
+    def materialize(self) -> "Index":
+        self.inverted.materialize()
+        return self
+
+    def save(self, path: str) -> "Index":
+        self.inverted.save(path)
+        return self
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, name: str = "index") -> "Index":
+        idx = cls(name=name)
+        idx.inverted = InvertedIndex.load(spark, path)
+        idx.analyzers = idx.inverted.analyzers
+        return idx
+
+    # -- search ------------------------------------------------------------
+    def executor(self, mode: str = "elasticlunr", **kw) -> QueryExecutor:
+        return QueryExecutor(self.inverted, mode=mode, **kw)
+
+    def search(self, query, top_k: Optional[int] = None,
+               options: Optional[dict] = None, mode: str = "elasticlunr",
+               **kw) -> DataFrame:
+        """DSL map / string / field-map search -> DataFrame(docid, score)
+        ordered (score desc, docid asc), mirroring index.ex:177-266 (plus
+        the top-k the reference lacks)."""
+        ex = self.executor(mode=mode, **kw)
+        if query is None:
+            spark = self.inverted.postings.sparkSession
+            return spark.createDataFrame([], "docid string, score double")
+        if isinstance(query, str):
+            if options and "fields" in options:
+                boosts = {f: v.get("boost", 0) for f, v in options["fields"].items()}
+                return ex.search_text(query, top_k=top_k, field_boosts=boosts)
+            return ex.search_text(query, top_k=top_k)
+        if isinstance(query, dict) and "query" in query:
+            return ex.execute(query, top_k=top_k)
+        if isinstance(query, dict):
+            # map-query sugar (index.ex:229-256)
+            opts = options or {}
+            operator = str(opts.get("bool", "or")).lower()
+            expand = opts.get("expand", False)
+            should = [
+                {"match": {f: {"query": content, "operator": operator,
+                               "expand": expand}}}
+                for f, content in query.items()
+            ]
+            return ex.execute({"query": {"bool": {"should": should}}}, top_k=top_k)
+        raise ValueError("Root object must have a query element")
+
+    def search_bm25(self, query, top_k: Optional[int] = None,
+                    k1: float = 1.2, b: float = 0.75) -> DataFrame:
+        return self.search(query, top_k=top_k, mode="bm25", k1=k1, b=b)

@@ -1,0 +1,147 @@
+"""Exhaustive DataFrame scorer — the Catalyst-optimized query plan that
+is the engine's correctness anchor (the WAND fast path in wand.py must
+produce identical top-k).
+
+Scoring modes:
+
+* ``elasticlunr`` (rank-identity vs the reference):
+    per (doc, term):  tf * idf^2 * flnorm      (terms_query.ex:89)
+    per doc:          MAX over matched entries (terms_query.ex:80-97)
+    idf = 1 + log10(N / (df + 1))              (field.ex:340-341)
+    tf  = sqrt(raw count)                      (field.ex:235)
+    flnorm = 1/sqrt(unique terms in field)     (field.ex:328-335)
+
+* ``bm25`` (the headline scorer for the transcripts engine):
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+    per (doc, term): idf * tf_raw*(k1+1) / (tf_raw + k1*(1-b+b*dl/avgdl))
+    per doc: SUM over matched entries
+    (k1=1.2, b=0.75 defaults)
+
+Physical shape (scale rationale):
+  query terms are resolved against the *vocabulary* (term_stats — one
+  row per term, orders of magnitude smaller than postings) first; the
+  resulting matched-term set is tiny and is broadcast into an equi-join
+  with postings, so expand/fuzzy never nested-loop over postings and
+  exact lookups are a broadcast hash semi-join. The only wide operation
+  is the per-doc aggregation, keyed by docid (skew-free).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+
+def _query_terms_df(index, field: str, terms: List[str],
+                    expand: bool, fuzziness: int) -> DataFrame:
+    """Resolve query terms against the vocabulary -> (qt, term, df, idf).
+
+    One output row per (query term, matched vocab term): the unit the
+    reference appends per doc (field.ex:160-205), which is what
+    minimum_should_match counts.
+    """
+    spark = index.postings.sparkSession
+    qterms = spark.createDataFrame([(t,) for t in terms], "qt string")
+    vocab = index.term_stats.where(F.col("field") == field)
+
+    if expand:
+        cond = vocab.term.startswith(qterms.qt) | (vocab.term == qterms.qt)
+        # ^term.* regex == startswith; exact term trivially included
+        matched = vocab.join(F.broadcast(qterms), cond)
+    elif fuzziness > 0:
+        cond = (
+            F.abs(F.length(vocab.term) - F.length(qterms.qt)) <= fuzziness
+        ) & (F.levenshtein(vocab.term, qterms.qt) <= fuzziness)
+        matched = vocab.join(F.broadcast(qterms), cond)
+    else:
+        matched = vocab.join(F.broadcast(qterms), vocab.term == qterms.qt)
+    return matched.select("qt", "term", "df", "idf")
+
+
+def terms_scores(
+    index,
+    field: str,
+    terms: List[str],
+    boost: float = 1.0,
+    expand: bool = False,
+    fuzziness: int = 0,
+    minimum_should_match: int = 1,
+    restrict: Optional[DataFrame] = None,
+    mode: str = "elasticlunr",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score one terms query -> DataFrame(docid, score).
+
+    ``restrict``: optional DataFrame(docid) — the filtered-docs pushdown
+    (terms_query.ex:70-76 / field.ex:351-362), a broadcast semi-join here.
+    """
+    if not terms:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame([], "docid string, score double")
+
+    matched_terms = _query_terms_df(index, field, terms, expand, fuzziness)
+
+    post = index.postings.where(F.col("field") == field)
+    if restrict is not None:
+        post = post.join(F.broadcast(restrict.select("docid")), "docid", "left_semi")
+
+    entries = post.join(
+        F.broadcast(matched_terms.withColumnRenamed("df", "term_df")
+                    .withColumnRenamed("idf", "term_idf")),
+        "term",
+    )
+
+    fstats = F.broadcast(
+        index.field_stats.where(F.col("field") == field)
+        .select("field", "flnorm", "n_docs", "avg_doc_len")
+    )
+    entries = entries.join(fstats, "field")
+
+    if mode == "elasticlunr":
+        entry_score = F.col("tf") * F.col("term_idf") ** 2 * F.col("flnorm")
+        agg_score = F.max(entry_score)
+    elif mode == "bm25":
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("term_df") + F.lit(0.5))
+            / (F.col("term_df") + F.lit(0.5))
+        )
+        tf_part = (F.col("tf_raw") * (k1 + 1.0)) / (
+            F.col("tf_raw")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avg_doc_len"))
+        )
+        entry_score = idf * tf_part
+        agg_score = F.sum(entry_score)
+    else:
+        raise ValueError(f"unknown scoring mode {mode!r}")
+
+    per_doc = entries.groupBy("docid").agg(
+        agg_score.alias("raw_score"),
+        F.count(F.lit(1)).alias("n_entries"),
+    )
+    if minimum_should_match > 1:
+        per_doc = per_doc.where(F.col("n_entries") >= minimum_should_match)
+    return per_doc.select(
+        "docid", (F.col("raw_score") * F.lit(float(boost))).alias("score")
+    )
+
+
+def match_all_scores(index, boost: float = 1.0) -> DataFrame:
+    return index.docs.select(
+        "docid", (F.lit(1.0) * F.lit(float(boost))).alias("score")
+    )
+
+
+def not_scores(index, inner: DataFrame) -> DataFrame:
+    return index.docs.join(
+        inner.select("docid"), "docid", "left_anti"
+    ).select("docid", F.lit(1.0).alias("score"))
+
+
+def union_all(dfs: List[DataFrame]) -> DataFrame:
+    return reduce(lambda a, b: a.unionByName(b), dfs)

@@ -1,0 +1,188 @@
+"""Rank-identity: the Spark engine must match the pure-Python oracle —
+same docids, same scores (1e-9) — on the reference query set over the
+golden corpus AND on a synthetic transcripts table with the default
+analyzer.
+"""
+
+import pytest
+
+from ex_elasticlunr_spark import AnalyzerConfig, Index
+from ex_elasticlunr_spark.analysis import Pipeline
+from ex_elasticlunr_spark.sources.transcripts import transcripts_df, with_docid
+from tests.oracle import OracleIndex
+from tests.oracle.core import search as oracle_search
+from tests.test_oracle import DOCS
+
+TOKENIZER_ONLY = AnalyzerConfig(stages=())
+
+# the reference query set (FIXTURES.md §3, adapted from dsl_test.exs)
+QUERY_SET = [
+    {"query": {"match_all": {}}},
+    {"query": {"terms": {"content": "fox"}}},
+    {"query": {"terms": {"content": {"value": "fox", "boost": 2}}}},
+    {"query": {"bool": {"must": {"terms": {"content": "lorem"}},
+                         "should": [{"terms": {"content": "dog"}}]}}},
+    {"query": {"bool": {"must": {"terms": {"content": "lorem"}},
+                         "must_not": {"terms": {"content": "ipsum"}},
+                         "should": [{"terms": {"content": "dog"}}]}}},
+    {"query": {"match": {"content": "brown fox"}}},
+    {"query": {"match": {"content": {"query": "brown fox quick",
+                                      "minimum_should_match": 2}}}},
+    {"query": {"match": {"content": {"query": "fox quick",
+                                      "operator": "and"}}}},
+    {"query": {"not": {"bool": {"should": [
+        {"match": {"content": "quick"}},
+        {"match": {"content": "lorem"}}]}}}},
+    {"query": {"terms": {"content": {"value": "liveboo", "expand": True}}}},
+    {"query": {"terms": {"content": {"value": "fax", "fuzziness": 1}}}},
+    {"query": {"bool": {"filter": [{"terms": {"content": "dog"}}],
+                         "should": [{"terms": {"content": "quick"}}]}}},
+    {"query": {"match": {"content": "elixir livebook"}}},
+    {"query": {"terms": {"content": ["quick", "fox", "lorem"],
+                          "minimum_should_match": 2}}},
+]
+
+
+def spark_results(df):
+    return [(r["docid"], r["score"]) for r in df.collect()]
+
+
+def oracle_results(index, query, top_k=None):
+    res = oracle_search(index, query, top_k=top_k)
+    return [(r["ref"], r["score"]) for r in res]
+
+
+def assert_rank_identical(got, want):
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9), (gd, gs, ws)
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    sdf = spark.createDataFrame(
+        [(str(d["id"]), d["content"]) for d in DOCS], "id string, content string"
+    )
+    idx = Index(name="golden", pipeline=TOKENIZER_ONLY).add_field("content")
+    idx.add_documents(sdf, docid_col="id")
+    idx.materialize()
+
+    oidx = OracleIndex(pipeline=Pipeline([]))
+    oidx.add_field("content")
+    oidx.add_documents(DOCS)
+    return idx, oidx
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    src = with_docid(transcripts_df(spark, n_convs=40, turns_per_conv=5))
+    idx = Index(name="tx").add_field("text").add_field("tool")
+    idx.add_documents(src, docid_col="docid")
+    idx.materialize()
+
+    oidx = OracleIndex()  # default pipeline
+    oidx.add_field("text").add_field("tool")
+    rows = src.select("docid", "text", "tool").collect()
+    oidx.add_documents(
+        [{"id": r["docid"], "text": r["text"], "tool": r["tool"]} for r in rows]
+    )
+    return idx, oidx
+
+
+@pytest.mark.parametrize("qi", range(len(QUERY_SET)))
+def test_golden_query_set(golden, qi):
+    idx, oidx = golden
+    q = QUERY_SET[qi]
+    got = spark_results(idx.search(q))
+    want = oracle_results(oidx, q)
+    assert_rank_identical(got, want)
+
+
+def test_golden_string_search(golden):
+    idx, oidx = golden
+    got = spark_results(idx.search("dog"))
+    want = oracle_results(oidx, "dog")
+    assert_rank_identical(got, want)
+    assert spark_results(idx.search("me")) == []
+
+
+TX_QUERIES = [
+    {"query": {"match": {"text": "quick fox"}}},
+    {"query": {"match": {"text": "elixir livebook tool"}}},
+    {"query": {"match": {"text": {"query": "elixir tool", "operator": "and"}}}},
+    {"query": {"bool": {"must": {"match": {"text": "elixir"}},
+                         "should": [{"match": {"text": "dog"}},
+                                     {"match": {"tool": "search"}}]}}},
+    {"query": {"bool": {"must_not": {"match": {"text": "elixir"}},
+                         "should": [{"match": {"text": "transcript"}}]}}},
+    {"query": {"terms": {"text": {"value": "proj", "expand": True}}}},
+    {"query": {"terms": {"text": {"value": "sprak", "fuzziness": 2}}}},
+    {"query": {"match": {"text": "full-text top-k"}}},
+]
+
+
+@pytest.mark.parametrize("qi", range(len(TX_QUERIES)))
+def test_transcripts_query_set(transcripts, qi):
+    idx, oidx = transcripts
+    q = TX_QUERIES[qi]
+    got = spark_results(idx.search(q, top_k=10))
+    want = oracle_results(oidx, q, top_k=10)
+    assert_rank_identical(got, want)
+
+
+def test_transcripts_multifield_boosts(transcripts):
+    idx, oidx = transcripts
+    opts = {"fields": {"text": {"boost": 2}, "tool": {"boost": 1}}}
+    got = spark_results(idx.search("search elixir", options=opts, top_k=10))
+    want = [
+        (r["ref"], r["score"])
+        for r in oracle_search(oidx, "search elixir", options=opts, top_k=10)
+    ]
+    assert_rank_identical(got, want)
+
+
+def test_incremental_add_and_remove(spark, golden):
+    idx, _ = golden
+    extra = spark.createDataFrame(
+        [("6", "a brand new fox document"), ("1", "duplicate must be skipped")],
+        "id string, content string",
+    )
+    idx2 = Index(name="golden2", pipeline=TOKENIZER_ONLY).add_field("content")
+    sdf = spark.createDataFrame(
+        [(str(d["id"]), d["content"]) for d in DOCS], "id string, content string"
+    )
+    idx2.add_documents(sdf, docid_col="id")
+    idx2.add_documents(extra, docid_col="id")
+
+    oidx = OracleIndex(pipeline=Pipeline([]))
+    oidx.add_field("content")
+    oidx.add_documents(DOCS)
+    oidx.add_documents([{"id": 6, "content": "a brand new fox document"},
+                        {"id": 1, "content": "duplicate must be skipped"}])
+
+    q = {"query": {"terms": {"content": "fox"}}}
+    assert_rank_identical(
+        spark_results(idx2.search(q)), oracle_results(oidx, q)
+    )
+    # duplicate docid "1" silently skipped: "duplicate" must not match
+    q2 = {"query": {"terms": {"content": "duplicate"}}}
+    assert spark_results(idx2.search(q2)) == []
+
+    # remove doc 1 -> fox only matches doc 6
+    tomb = spark.createDataFrame([("1",)], "docid string")
+    idx2.remove_documents(tomb)
+    oidx.remove_documents(["1"])
+    assert_rank_identical(
+        spark_results(idx2.search(q)), oracle_results(oidx, q)
+    )
+
+
+def test_save_load_roundtrip(tmp_path, spark, golden):
+    idx, oidx = golden
+    path = str(tmp_path / "golden_index")
+    idx.save(path)
+    loaded = Index.load(spark, path)
+    q = {"query": {"match": {"content": "fox quick"}}}
+    assert_rank_identical(
+        spark_results(loaded.search(q)), oracle_results(oidx, q)
+    )
