@@ -1,38 +1,490 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: BM25 top-10 over a transcripts-shaped
+                     derivation of sf0.001 documents.
+``queries()``      — one entry per implemented operator (SURVEY.md §2 +
+                     the training-data pipeline ops); each callable is
+                     (spark, sf_dir) -> DataFrame.
+``oracle_sql()``   — DuckDB-runnable ANSI SQL equivalents (generated in
+                     ex_elasticlunr_spark/plans/oracle_sql.py). Entries
+                     without SQL (multimodal stubs, streaming) get the
+                     driver's weaker rows-only check.
+
+Float columns are rounded to 6 decimals on BOTH sides so the driver's
+value-hash compares stably across engines. Top-k queries order by
+(rounded score desc, docid asc) on both sides for deterministic sets.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ex_elasticlunr_spark import Index
+from ex_elasticlunr_spark.analysis import Pipeline
+from ex_elasticlunr_spark.operators import ann, dedup, multimodal, quality
+from ex_elasticlunr_spark.plans.oracle_sql import (
+    index_prefix,
+    stopword_list_sql,
+    terms_scores_sql,
+)
+
+# ---------------------------------------------------------------------------
+# index cache (one build per sf_dir per session)
+# ---------------------------------------------------------------------------
+
+_CACHE: dict = {}
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("docid", F.col("doc_id").cast("string"))
+    )
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str) -> Index:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _CACHE.get(key)
+    if idx is None:
+        idx = Index(name=f"docs-{sf_dir}").add_field("text")
+        idx.add_documents(_documents(spark, sf_dir), docid_col="docid")
+        idx.materialize()
+        _CACHE[key] = idx
+    return idx
+
+
+def _analyze(text: str) -> list:
+    return Pipeline.default().run_terms(text)
+
+
+def _rounded(df: DataFrame) -> DataFrame:
+    return df.select("docid", F.round("score", 6).alias("score"))
+
+
+def _search(spark, sf_dir, query, mode="elasticlunr") -> DataFrame:
+    return _rounded(_index(spark, sf_dir).search(query, mode=mode))
+
+
+def _topk(df: DataFrame, k: int) -> DataFrame:
+    return (
+        df.select("docid", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+
+def transcripts_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcripts-shaped derivation of `documents`
+    (input_hint schema): conv_id groups of 10 turns, stable ordering."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.format_string("conv-%04d", (F.col("doc_id") % 50).cast("int")).alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("role"),
+        F.col("text"),
+        F.col("source").alias("tool"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id") * 60)).alias("ts"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index transcripts (docid = conv_id:turn_idx), BM25
+    top-10 for a multi-term query."""
+    tx = transcripts_view(spark, "/root/testdata/sf0.001").withColumn(
+        "docid", F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))
+    )
+    idx = Index(name="flagship").add_field("text").add_field("tool")
+    idx.add_documents(tx, docid_col="docid")
+    return _topk(idx.search_bm25("spark merge window fast"), 10)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- query DSL (SURVEY.md §2.3) -----------------------------------
+    q["match_all"] = lambda s, d: _search(s, d, {"query": {"match_all": {"boost": 2.5}}})
+    q["terms_exact"] = lambda s, d: _search(s, d, {"query": {"terms": {"text": "spark"}}})
+    q["terms_boost"] = lambda s, d: _search(
+        s, d, {"query": {"terms": {"text": {"value": "spark", "boost": 2.5}}}})
+    q["terms_msm"] = lambda s, d: _search(
+        s, d, {"query": {"terms": {"text": {"value": ["spark", "merg", "window"],
+                                              "minimum_should_match": 2}}}})
+    q["terms_expand"] = lambda s, d: _search(
+        s, d, {"query": {"terms": {"text": {"value": "s", "expand": True}}}})
+    q["terms_fuzzy"] = lambda s, d: _search(
+        s, d, {"query": {"terms": {"text": {"value": "spak", "fuzziness": 1}}}})
+    q["match_or"] = lambda s, d: _search(
+        s, d, {"query": {"match": {"text": "spark merge window"}}})
+    q["match_and"] = lambda s, d: _search(
+        s, d, {"query": {"match": {"text": {"query": "fast join",
+                                             "operator": "and"}}}})
+    q["bool_must_should"] = lambda s, d: _search(
+        s, d, {"query": {"bool": {"must": {"terms": {"text": "spark"}},
+                                    "should": [{"terms": {"text": "merg"}},
+                                                {"terms": {"text": "window"}}]}}})
+    q["bool_must_not"] = lambda s, d: _search(
+        s, d, {"query": {"bool": {"must": {"terms": {"text": "spark"}},
+                                    "must_not": {"terms": {"text": "window"}},
+                                    "should": [{"terms": {"text": "merg"}}]}}})
+    q["bool_filter_should"] = lambda s, d: _search(
+        s, d, {"query": {"bool": {"filter": [{"terms": {"text": "fast"}}],
+                                    "should": [{"terms": {"text": "join"}}]}}})
+    q["not_query"] = lambda s, d: _search(
+        s, d, {"query": {"not": {"match": {"text": "spark"}}}})
+    q["bm25_topk"] = lambda s, d: _topk(
+        _index(s, d).search_bm25("spark merge window"), 10)
+    q["bm25_full"] = lambda s, d: _search(
+        s, d, {"query": {"match": {"text": "spark merge window"}}}, mode="bm25")
+
+    # ---- index bookkeeping (SURVEY.md §2.2) ---------------------------
+    def doc_stats(s, d):
+        return _index(s, d).inverted.doc_stats.select("docid", "doc_len")
+
+    def term_stats(s, d):
+        return _index(s, d).inverted.term_stats.select(
+            "term", "df", F.round("idf", 6).alias("idf"))
+
+    def field_stats(s, d):
+        return _index(s, d).inverted.field_stats.select(
+            "n_docs", "n_unique_terms", F.round("flnorm", 6).alias("flnorm"),
+            F.round("avg_doc_len", 6).alias("avg_doc_len"))
+
+    def postings_tf(s, d):
+        inv = _index(s, d).inverted
+        return inv.postings.where(F.col("term") == "spark").select(
+            "docid", "tf_raw", F.round("tf", 6).alias("tf"))
+
+    q["doc_stats"] = doc_stats
+    q["term_stats"] = term_stats
+    q["field_stats"] = field_stats
+    q["postings_tf"] = postings_tf
+
+    # ---- dedup operators ----------------------------------------------
+    q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_documents(s, d))
+    q["dedup_fingerprint"] = lambda s, d: quality.fingerprint(_documents(s, d))
+    q["dedup_simhash"] = lambda s, d: dedup.simhash(_documents(s, d))
+    q["dedup_minhash_lsh"] = lambda s, d: dedup.lsh_candidate_pairs(
+        _documents(s, d), num_hashes=8, bands=4)
+
+    def jaccard(s, d):
+        docs = _documents(s, d)
+        cands = dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4) \
+            .select("docid_a", "docid_b")
+        return dedup.ngram_jaccard_pairs(docs, cands, threshold=0.5)
+
+    q["dedup_ngram_jaccard"] = jaccard
+
+    # ---- text analysis --------------------------------------------------
+    q["text_token_counts"] = lambda s, d: quality.token_counts(_documents(s, d))
+    q["text_quality"] = lambda s, d: quality.quality_scores(_documents(s, d))
+    q["text_lang_id"] = lambda s, d: quality.lang_id(_documents(s, d))
+
+    # ---- similarity search ----------------------------------------------
+    def _qvec(s, d):
+        row = _embeddings(s, d).where(F.col("vec_id") == 0).first()
+        return [float(x) for x in row["embedding"]]
+
+    q["ann_brute_topk"] = lambda s, d: ann.brute_force_topk(
+        _embeddings(s, d), _qvec(s, d), k=10)
+    q["ann_lsh_topk"] = lambda s, d: ann.lsh_topk(
+        _embeddings(s, d), _qvec(s, d), k=10, n_planes=4)
+    q["ann_ivf_topk"] = lambda s, d: ann.ivf_topk(
+        _embeddings(s, d), _qvec(s, d), k=10, n_cells=8, n_probe=3)
+    q["emb_near_dups"] = lambda s, d: ann.pairwise_near_duplicates(
+        _embeddings(s, d), threshold=0.99, n_planes=4)
+
+    # ---- multimodal plumbing (stubbed decode; rows-only check) ---------
+    q["mm_features"] = lambda s, d: multimodal.extract_features(
+        multimodal.synthetic_media_df(s, 32))
+    q["mm_resize"] = lambda s, d: multimodal.resize_images(
+        multimodal.synthetic_media_df(s, 32))
+    q["mm_frame_sample"] = lambda s, d: multimodal.sample_frames(
+        multimodal.synthetic_media_df(s, 16, kind="video"), every_n=10)
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _wrap(prefix: str, body: str) -> str:
+    return f"WITH {prefix}\n{body}"
+
+
+def _score_query(body: str) -> str:
+    return _wrap(
+        index_prefix(),
+        f"SELECT docid, ROUND(score, 6) AS score FROM ({body}) r",
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pre = index_prefix()
+    o: dict[str, str] = {}
+
+    o["match_all"] = (
+        "SELECT CAST(doc_id AS VARCHAR) AS docid, 2.5::DOUBLE AS score "
+        "FROM documents WHERE text IS NOT NULL"
+    )
+    o["terms_exact"] = _score_query(terms_scores_sql(["spark"]))
+    o["terms_boost"] = _score_query(terms_scores_sql(["spark"], boost=2.5))
+    o["terms_msm"] = _score_query(
+        terms_scores_sql(["spark", "merg", "window"], minimum_should_match=2))
+    o["terms_expand"] = _score_query(terms_scores_sql(["s"], expand=True))
+    o["terms_fuzzy"] = _score_query(terms_scores_sql(["spak"], fuzziness=1))
+    o["match_or"] = _score_query(terms_scores_sql(_analyze("spark merge window")))
+    # operator=and => msm = token count
+    and_terms = _analyze("fast join")
+    o["match_and"] = _score_query(
+        terms_scores_sql(and_terms, minimum_should_match=len(and_terms)))
+
+    must = terms_scores_sql(["spark"])
+    o["bool_must_should"] = _wrap(pre, f"""
+, base AS ({must})
+, sh AS (
+  SELECT docid, SUM(score) AS should_score, COUNT(*) AS matched FROM (
+    {terms_scores_sql(["merg"], restrict="base")}
+    UNION ALL
+    {terms_scores_sql(["window"], restrict="base")}
+  ) u GROUP BY docid
+)
+SELECT b.docid, ROUND(b.score + coalesce(sh.should_score, 0), 6) AS score
+FROM base b LEFT JOIN sh USING (docid)
+WHERE coalesce(sh.matched, 0) >= 1
+  AND b.score + coalesce(sh.should_score, 0) > 0
+""")
+    # must_not window: filter = NOT(window) -> survivors score 1, then must
+    o["bool_must_not"] = _wrap(pre, f"""
+, notf AS (
+  SELECT docid, 1.0 AS score FROM ids
+  WHERE docid NOT IN (SELECT docid FROM ({terms_scores_sql(["window"])}) w)
+)
+, base AS (
+  SELECT docid, score FROM ({terms_scores_sql(["spark"], restrict="notf")}) m
+)
+, sh AS (
+  SELECT docid, SUM(score) AS should_score, COUNT(*) AS matched FROM (
+    {terms_scores_sql(["merg"], restrict="base")}
+  ) u GROUP BY docid
+)
+SELECT b.docid, ROUND(b.score + coalesce(sh.should_score, 0), 6) AS score
+FROM base b LEFT JOIN sh USING (docid)
+WHERE coalesce(sh.matched, 0) >= 1
+  AND b.score + coalesce(sh.should_score, 0) > 0
+""")
+    # filter fast (scores seed the base! bool_query.ex:110-124), should join
+    o["bool_filter_should"] = _wrap(pre, f"""
+, base AS (SELECT docid, score FROM ({terms_scores_sql(["fast"])}) f WHERE score > 0)
+, sh AS (
+  SELECT docid, SUM(score) AS should_score, COUNT(*) AS matched FROM (
+    {terms_scores_sql(["join"], restrict="base")}
+  ) u GROUP BY docid
+)
+SELECT b.docid, ROUND(b.score + coalesce(sh.should_score, 0), 6) AS score
+FROM base b LEFT JOIN sh USING (docid)
+WHERE coalesce(sh.matched, 0) >= 1
+  AND b.score + coalesce(sh.should_score, 0) > 0
+""")
+    o["not_query"] = _wrap(pre, f"""
+SELECT docid, 1.0 AS score FROM ids
+WHERE docid NOT IN (SELECT docid FROM ({terms_scores_sql(["spark"])}) m WHERE score > 0)
+""")
+    bm_terms = _analyze("spark merge window")
+    o["bm25_topk"] = _wrap(pre, f"""
+SELECT docid, ROUND(score, 6) AS score
+FROM ({terms_scores_sql(bm_terms, mode="bm25")}) r
+ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10
+""")
+    o["bm25_full"] = _score_query(terms_scores_sql(bm_terms, mode="bm25"))
+
+    o["doc_stats"] = _wrap(pre, "SELECT docid, doc_len FROM dstats")
+    o["term_stats"] = _wrap(
+        pre, "SELECT term, df, ROUND(idf, 6) AS idf FROM tstats")
+    o["field_stats"] = _wrap(pre, """
+SELECT n_docs, n_unique_terms, ROUND(flnorm, 6) AS flnorm,
+       ROUND(avg_doc_len, 6) AS avg_doc_len
+FROM fstats
+""")
+    o["postings_tf"] = _wrap(pre, """
+SELECT docid, tf_raw, ROUND(sqrt(tf_raw), 6) AS tf
+FROM postings WHERE term = 'spark'
+""")
+
+    # ---- dedup / text ops ------------------------------------------------
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    o["dedup_exact"] = f"""
+SELECT md5({norm}) AS text_hash, COUNT(*) AS dup_count,
+       MIN(CAST(doc_id AS VARCHAR)) AS keep_docid
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+    o["dedup_fingerprint"] = f"""
+SELECT CAST(doc_id AS VARCHAR) AS docid,
+       md5({norm}) AS content_hash,
+       md5(list_aggregate(list_sort(list_distinct(string_split({norm}, ' '))),
+                          'string_agg', ' ')) AS fingerprint
+FROM documents
+"""
+    o["dedup_simhash"] = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid,
+         unnest(string_split({norm}, ' ')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT docid, tok,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th
+  FROM toks WHERE tok <> ''
+),
+bits AS (
+  SELECT docid, b.b,
+         SUM(CASE WHEN (th >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(range(16)) AS b) b
+  GROUP BY docid, b.b
+)
+SELECT docid, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+FROM bits GROUP BY docid
+"""
+    shingles = (
+        f"list_distinct(list_transform(range(1, greatest(length({norm}) - 2, 1) + 1), "
+        f"i -> substr({norm}, i, 3)))"
+    )
+    minhash8 = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{h}:' || s)))" for h in range(8)
+    )
+    o["dedup_minhash_lsh"] = f"""
+WITH sh AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid, {shingles} AS sh FROM documents
+),
+sig AS (SELECT docid, [{minhash8}] AS mh FROM sh),
+banded AS (
+  SELECT docid, b AS band_idx,
+         mh[2*b + 1] || '|' || mh[2*b + 2] AS band_key
+  FROM sig, (SELECT unnest(range(4)) AS b) bands
+)
+SELECT a.docid AS docid_a, c.docid AS docid_b, COUNT(*) AS shared_bands
+FROM banded a JOIN banded c
+  ON a.band_idx = c.band_idx AND a.band_key = c.band_key AND a.docid < c.docid
+GROUP BY 1, 2
+"""
+    o["dedup_ngram_jaccard"] = f"""
+WITH sh AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid, {shingles} AS sh FROM documents
+),
+sig AS (SELECT docid, [{minhash8}] AS mh FROM sh),
+banded AS (
+  SELECT docid, b AS band_idx,
+         mh[2*b + 1] || '|' || mh[2*b + 2] AS band_key
+  FROM sig, (SELECT unnest(range(4)) AS b) bands
+),
+cands AS (
+  SELECT DISTINCT a.docid AS docid_a, c.docid AS docid_b
+  FROM banded a JOIN banded c
+    ON a.band_idx = c.band_idx AND a.band_key = c.band_key AND a.docid < c.docid
+)
+SELECT cands.docid_a, cands.docid_b,
+       ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cands
+JOIN sh sa ON sa.docid = cands.docid_a
+JOIN sh sb ON sb.docid = cands.docid_b
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+"""
+    o["text_token_counts"] = f"""
+SELECT CAST(doc_id AS VARCHAR) AS docid,
+       CASE WHEN {norm} = '' THEN 0
+            ELSE len(string_split({norm}, ' ')) END::BIGINT AS ws_tokens,
+       len(regexp_extract_all({norm}, '[a-z0-9]+'))::BIGINT AS word_tokens,
+       CAST(ceil(length({norm}) / 4.0) AS BIGINT) AS bpe_est
+FROM documents
+"""
+    stop_sql = stopword_list_sql()
+    o["text_quality"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid, {norm} AS n,
+         string_split({norm}, ' ') AS words
+  FROM documents
+),
+m AS (
+  SELECT docid,
+         length(n) AS chars,
+         greatest(len(words), 1) AS nwords,
+         len(list_filter(words, w -> w IN ({stop_sql}))) AS stop_occ,
+         length(regexp_replace(n, '[a-z0-9 ]', '', 'g')) AS punct,
+         length(replace(n, ' ', '')) AS word_chars
+  FROM t
+)
+SELECT docid,
+       ROUND(least(chars / 500.0, 1.0), 6) AS len_score,
+       ROUND(punct / greatest(chars, 1)::DOUBLE, 6) AS punct_ratio,
+       ROUND(stop_occ / nwords::DOUBLE, 6) AS stop_ratio,
+       ROUND(word_chars / nwords::DOUBLE, 6) AS mean_word_len,
+       ROUND(0.4 * least(chars / 500.0, 1.0)
+             + 0.3 * (1.0 - punct / greatest(chars, 1)::DOUBLE)
+             + 0.3 * least(2.0 * stop_occ / nwords::DOUBLE, 1.0), 6) AS quality
+FROM m
+"""
+    from ex_elasticlunr_spark.operators.quality import LANG_MARKERS
+
+    lang_scores = ",\n       ".join(
+        "ROUND(len(list_filter(words, w -> w IN ({m}))) / nwords::DOUBLE, 6)"
+        " AS score_{lang}".format(
+            m=", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in sorted(LANG_MARKERS)
+    )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest({})".format(", ".join(f"score_{l}" for l in langs))
+    pred_cases = " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    )
+    o["text_lang_id"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid,
+         string_split({norm}, ' ') AS words,
+         greatest(len(string_split({norm}, ' ')), 1) AS nwords
+  FROM documents
+),
+s AS (
+  SELECT docid, {lang_scores}
+  FROM t
+)
+SELECT docid, score_de, score_en, score_es, score_fr,
+       CASE WHEN {best} = 0 THEN 'und' {pred_cases} END AS pred_lang
+FROM s
+"""
+    # ---- ANN --------------------------------------------------------------
+    cos = (
+        "list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))"
+    )
+    o["ann_brute_topk"] = f"""
+SELECT CAST(e.vec_id AS VARCHAR) AS vec_id, ROUND({cos}, 6) AS cos_sim
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY ROUND({cos}, 6) DESC, CAST(e.vec_id AS VARCHAR) ASC
+LIMIT 10
+"""
+    return o

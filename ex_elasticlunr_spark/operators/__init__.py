@@ -1,0 +1,3 @@
+from . import ann, dedup, multimodal, quality
+
+__all__ = ["ann", "dedup", "multimodal", "quality"]

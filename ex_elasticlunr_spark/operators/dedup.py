@@ -1,0 +1,210 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are built-in Column expressions (JVM/whole-stage-codegen;
+zero Python in the row path). Hashes use md5 (standardized across
+engines) so results are verifiable against any ANSI-SQL oracle.
+
+Scale notes:
+  * exact: one groupBy on a 128-bit hash — skew-free.
+  * MinHash+LSH: signatures are per-row map work (no shuffle); the only
+    shuffle is the band-bucket self-join, whose keys are hash-uniform.
+    Candidate verification (exact Jaccard) runs only on bucket pairs.
+  * SimHash: per-row map work + optional band join, same shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def normalized(col):
+    """Canonical text form for hashing: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "docid") -> DataFrame:
+    """Exact dedup via hash-groupBy -> (text_hash, dup_count, keep_docid).
+
+    keep_docid is the minimum id in the group (the canonical survivor);
+    only groups with >1 member are returned.
+    """
+    return (
+        df.select(
+            F.col(id_col).cast("string").alias("docid"),
+            F.md5(normalized(F.col(text_col))).alias("text_hash"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("docid").alias("keep_docid"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def char_shingles(col, k: int = 3):
+    """Distinct character k-grams of the normalized text (pure SQL:
+    transform over an index sequence — no UDF)."""
+    norm = normalized(col)
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({_sql(norm)}) - {k - 1}, 1)), "
+            f"i -> substr({_sql(norm)}, i, {k}))"
+        )
+    )
+
+
+def _sql(col) -> str:
+    # Column -> SQL text for use inside expr(); relies on Column.__repr__
+    # being the canonical expression string in pyspark 4
+    return col._jc.toString() if hasattr(col, "_jc") else str(col)
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    norm = normalized(F.col(text_col))
+    return df.withColumn("_norm", norm).withColumn(
+        "shingles",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)), "
+                f"i -> substr(_norm, i, {k}))"
+            )
+        ),
+    ).drop("_norm")
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      num_hashes: int = 16, k: int = 3) -> DataFrame:
+    """Append ``minhash: array<string>`` — element h is
+    min over shingles of md5(h || ':' || shingle).
+
+    min-of-md5-hex is a valid minhash family (lexicographic order on a
+    uniform hash) and is engine-portable (md5 is standardized), unlike
+    murmur/xxhash whose seeds differ across engines.
+    """
+    out = with_shingles(df, text_col, k)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.expr(f"transform(shingles, s -> md5(concat('{h}:', s)))")
+            )
+            for h in range(num_hashes)
+        ]
+    )
+    return out.withColumn("minhash", sig).drop("shingles")
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "docid",
+                        text_col: str = "text", num_hashes: int = 16,
+                        bands: int = 4, k: int = 3) -> DataFrame:
+    """MinHash LSH: band the signature, bucket-join, emit candidate
+    pairs (docid_a < docid_b) with their band count.
+
+    shingle -> minhash -> band -> bucket-join: the only shuffle keys on
+    (band_idx, band_key) — hash-uniform, skew-safe. Output is the
+    candidate set; verify with ngram_jaccard_pairs / exact compare.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, text_col, num_hashes, k).select(
+        F.col(id_col).cast("string").alias("docid"), "minhash"
+    )
+    banded = sigs.select(
+        "docid",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col("minhash")[i]
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.docid") < F.col("b.docid")),
+        )
+        .groupBy(
+            F.col("a.docid").alias("docid_a"),
+            F.col("b.docid").alias("docid_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, candidates: DataFrame,
+                        id_col: str = "docid", text_col: str = "text",
+                        n: int = 3, threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification step).
+
+    ``candidates``: DataFrame(docid_a, docid_b). Joins each side to its
+    shingle set and computes |A∩B| / |A∪B| with built-in array ops.
+    """
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col).cast("string").alias("docid"), "shingles"
+    )
+    out = (
+        candidates
+        .join(sh.select(F.col("docid").alias("docid_a"),
+                        F.col("shingles").alias("sh_a")), "docid_a")
+        .join(sh.select(F.col("docid").alias("docid_b"),
+                        F.col("shingles").alias("sh_b")), "docid_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("docid_a", "docid_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    if threshold > 0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "docid",
+            bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over whitespace tokens.
+
+    Each token hashes to ``bits`` bits (from md5 hex); the fingerprint
+    bit b is 1 iff the (count-weighted) sum of (2*bit-1) over tokens is
+    positive. Pure SQL: explode -> per-(doc,bit) aggregate -> bit pack.
+    """
+    toks = df.select(
+        F.col(id_col).cast("string").alias("docid"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    # token hash: first 16 hex chars -> use low `bits` bits
+    hashed = toks.withColumn(
+        "th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    )
+    bit = hashed.select(
+        "docid",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(bits)])
+        ).alias("b"),
+        "th",
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("shiftright(th, b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    return (
+        bit.groupBy("docid", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bitval",
+                    F.when(F.col("s") > 0,
+                           F.expr("cast(shiftleft(1, b) as long)"))
+                    .otherwise(F.lit(0)))
+        .groupBy("docid")
+        .agg(F.sum("bitval").alias("simhash"))
+    )

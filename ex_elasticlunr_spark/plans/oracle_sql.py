@@ -1,0 +1,152 @@
+"""ANSI-SQL (DuckDB-dialect) oracle generators for the engine's queries.
+
+The driver runs each Spark query side-by-side with these SQL strings on
+the same parquet tables (CORRECTNESS_r{N}.json). The SQL re-derives the
+whole index pipeline relationally:
+
+  tokenize (regex split) -> trim -> stopword filter -> stem -> postings
+  -> tf/df/idf/flnorm/doc_len -> per-query scoring
+
+Stemming: DuckDB's fts/stem() extension is unavailable offline, so the
+Porter2 step is expressed as an inline dictionary over the deterministic
+test vocabulary, generated from the SAME Porter2 implementation the
+engine uses (ex_elasticlunr_spark.analysis.porter2). Stemmer correctness
+itself is pinned independently by the reference's 80-pair golden fixture
+(tests/test_analysis.py); what these oracles verify is the distributed
+dataflow: tokenization, stats, joins, scoring algebra.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from ..analysis import porter2
+from ..analysis.stop_words import STOP_WORDS
+
+# deterministic union vocabulary of the testdata `documents` tables
+# (sf0.001/0.01/0.1 all draw from the same generator word list)
+DOCS_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+
+
+def stem_map_values() -> str:
+    pairs = []
+    for w in DOCS_VOCAB:
+        if w in STOP_WORDS:
+            continue
+        pairs.append(f"('{w}', '{porter2.stem(w)}')")
+    return ", ".join(pairs)
+
+
+def stopword_list_sql() -> str:
+    return ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+
+
+def index_prefix() -> str:
+    """WITH-clause CTEs deriving the index tables from ``documents``."""
+    return f"""
+stem_map AS (SELECT * FROM (VALUES {stem_map_values()}) AS t(word, stem)),
+tok0 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid,
+         unnest(list_filter(string_split_regex(lower(text), '[\\s\\-]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+  WHERE text IS NOT NULL
+),
+trimmed AS (
+  SELECT docid,
+         regexp_replace(regexp_replace(tok, '^\\W+', ''), '\\W+$', '') AS tok
+  FROM tok0
+),
+analyzed AS (
+  SELECT s.docid, coalesce(m.stem, s.tok) AS term
+  FROM (SELECT docid, tok FROM trimmed
+        WHERE tok NOT IN ({stopword_list_sql()})) s
+  LEFT JOIN stem_map m ON m.word = s.tok
+),
+postings AS (
+  SELECT docid, term, COUNT(*) AS tf_raw
+  FROM analyzed GROUP BY docid, term
+),
+ids AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents
+  WHERE text IS NOT NULL
+),
+dstats AS (
+  SELECT i.docid, coalesce(p.doc_len, 0) AS doc_len
+  FROM ids i LEFT JOIN (
+    SELECT docid, SUM(tf_raw) AS doc_len FROM postings GROUP BY docid
+  ) p USING (docid)
+),
+fstats AS (
+  SELECT (SELECT COUNT(*) FROM ids) AS n_docs,
+         (SELECT COUNT(DISTINCT term) FROM postings) AS n_unique_terms,
+         1.0 / sqrt((SELECT COUNT(DISTINCT term) FROM postings)) AS flnorm,
+         (SELECT AVG(doc_len) FROM dstats) AS avg_doc_len
+),
+tstats AS (
+  SELECT term, COUNT(*) AS df,
+         1.0 + log10((SELECT n_docs FROM fstats) / (COUNT(*) + 1.0)) AS idf
+  FROM postings GROUP BY term
+)""".strip()
+
+
+def terms_entries(
+    terms: List[str],
+    expand: bool = False,
+    fuzziness: int = 0,
+    restrict: Optional[str] = None,
+) -> str:
+    """Sub-select producing one row per (query term, matched vocab term,
+    doc): docid, entry_score (elasticlunr), bm25_score, qt."""
+    qts = ", ".join(f"('{t}')" for t in terms)
+    if expand:
+        cond = "starts_with(p.term, q.qt)"
+    elif fuzziness > 0:
+        cond = f"levenshtein(p.term, q.qt) <= {fuzziness}"
+    else:
+        cond = "p.term = q.qt"
+    restrict_sql = (
+        f" AND p.docid IN (SELECT docid FROM {restrict})" if restrict else ""
+    )
+    return f"""
+  SELECT p.docid, q.qt, p.term,
+         sqrt(p.tf_raw) * t.idf * t.idf * f.flnorm AS entry_score,
+         ln(1.0 + (f.n_docs - t.df + 0.5) / (t.df + 0.5))
+           * (p.tf_raw * 2.2)
+           / (p.tf_raw + 1.2 * (0.25 + 0.75 * d.doc_len / f.avg_doc_len))
+           AS bm25_score
+  FROM postings p
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (docid)
+  CROSS JOIN fstats f
+  JOIN (VALUES {qts}) AS q(qt) ON {cond}{restrict_sql}
+""".strip()
+
+
+def terms_scores_sql(
+    terms: List[str],
+    boost: float = 1.0,
+    expand: bool = False,
+    fuzziness: int = 0,
+    minimum_should_match: int = 1,
+    restrict: Optional[str] = None,
+    mode: str = "elasticlunr",
+) -> str:
+    """Full per-doc scoring select: (docid, score) before rounding."""
+    entries = terms_entries(terms, expand, fuzziness, restrict)
+    agg = "MAX(entry_score)" if mode == "elasticlunr" else "SUM(bm25_score)"
+    having = (
+        f"HAVING COUNT(*) >= {minimum_should_match}"
+        if minimum_should_match > 1
+        else ""
+    )
+    return f"""
+  SELECT docid, {agg} * {boost} AS score
+  FROM ({entries}) e
+  GROUP BY docid {having}
+""".strip()
