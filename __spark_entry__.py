@@ -371,7 +371,9 @@ FROM bits GROUP BY docid
         f"i -> substr({norm}, i, 3)))"
     )
     minhash8 = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{h}:' || s)))" for h in range(8)
+        "list_min(list_transform(sh, s -> substr(md5('{seed}:' || s), {off}, 8)))".format(
+            seed=h // 4, off=1 + 8 * (h % 4))
+        for h in range(8)
     )
     o["dedup_minhash_lsh"] = f"""
 WITH sh AS (

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark: index-build throughput (turns/sec) + query latencies.
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_TURNS          synthetic transcript turns for the build benchmark
+                       (default 100_000)
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <build seconds>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": ...,
+   "build": {"turns": N, "turns_per_sec": ..., "postings_rows": ...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_turns = int(os.environ.get("BENCH_TURNS", "100000"))
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"ex_elasticlunr_spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from ex_elasticlunr_spark import Index
+    from ex_elasticlunr_spark.sources.transcripts import (
+        distributed_transcripts_df,
+        with_docid,
+    )
+    import __spark_entry__ as entry_mod
+
+    # ---- index-build throughput over synthetic transcripts --------------
+    n_convs = max(n_turns // 8, 1)
+    tx = with_docid(
+        distributed_transcripts_df(spark, n_convs, turns_per_conv=8,
+                                   partitions=max(cpus, 8))
+    )
+    tx = tx.persist()
+    actual_turns = tx.count()  # materialize input outside the timed region
+
+    t0 = time.perf_counter()
+    idx = Index(name="bench").add_field("text").add_field("tool")
+    idx.add_documents(tx, docid_col="docid")
+    idx.materialize()  # caches + materializes all five index tables
+    build_sec = time.perf_counter() - t0
+    postings_rows = idx.inverted.postings.count()
+
+    # ---- query latencies -------------------------------------------------
+    queries = {}
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        fn()
+        queries[name] = round(time.perf_counter() - t, 4)
+
+    timed("q1_bm25_topk", lambda: idx.search_bm25(
+        "elixir tool run quick", top_k=10).collect())
+    timed("q2_match_and", lambda: idx.search(
+        {"query": {"match": {"text": {"query": "elixir tool",
+                                       "operator": "and"}}}},
+        top_k=10).collect())
+    timed("q3_bool", lambda: idx.search(
+        {"query": {"bool": {"must": {"match": {"text": "elixir"}},
+                              "must_not": {"match": {"text": "dog"}},
+                              "should": [{"match": {"tool": "search"}}]}}},
+        top_k=10).collect())
+    timed("q4_expand", lambda: idx.search(
+        {"query": {"terms": {"text": {"value": "pro", "expand": True}}}},
+        top_k=10).collect())
+    timed("q5_fuzzy", lambda: idx.search(
+        {"query": {"terms": {"text": {"value": "elixor", "fuzziness": 1}}}},
+        top_k=10).collect())
+
+    # sf-dir operator benches (documents/embeddings tables)
+    q = entry_mod.queries()
+    for name in ("match_or", "bm25_topk", "dedup_minhash_lsh",
+                 "ann_brute_topk", "text_quality"):
+        timed(f"sf_{name}", lambda n=name: q[n](spark, sf_dir).collect())
+
+    out = {
+        "metric": "index-build turns/sec + query sec (local[%d])" % cpus,
+        "value": round(build_sec, 4),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "build": {
+            "turns": actual_turns,
+            "build_sec": round(build_sec, 4),
+            "turns_per_sec": round(actual_turns / build_sec, 2),
+            "postings_rows": postings_rows,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -76,23 +76,29 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
 
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       num_hashes: int = 16, k: int = 3) -> DataFrame:
-    """Append ``minhash: array<string>`` — element h is
-    min over shingles of md5(h || ':' || shingle).
+    """Append ``minhash: array<string>`` — component h is the min over
+    shingles of an 8-hex-char slice of md5(seed || ':' || shingle).
 
-    min-of-md5-hex is a valid minhash family (lexicographic order on a
-    uniform hash) and is engine-portable (md5 is standardized), unlike
-    murmur/xxhash whose seeds differ across engines.
+    min-of-md5-hex-slice is a valid minhash family (lexicographic order
+    on a uniform hash) and is engine-portable (md5 is standardized,
+    unlike murmur/xxhash whose seeds differ across engines). One md5
+    yields four independent 8-char slices, so ``num_hashes`` components
+    cost only ceil(num_hashes/4) digests per shingle — higher-order
+    lambdas are interpreted (no codegen), so digest count dominates.
     """
     out = with_shingles(df, text_col, k)
-    sig = F.array(
-        *[
+    sig = []
+    for h in range(num_hashes):
+        seed, slot = divmod(h, 4)
+        sig.append(
             F.array_min(
-                F.expr(f"transform(shingles, s -> md5(concat('{h}:', s)))")
+                F.expr(
+                    f"transform(shingles, s -> "
+                    f"substr(md5(concat('{seed}:', s)), {1 + 8 * slot}, 8))"
+                )
             )
-            for h in range(num_hashes)
-        ]
-    )
-    return out.withColumn("minhash", sig).drop("shingles")
+        )
+    return out.withColumn("minhash", F.array(*sig)).drop("shingles")
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "docid",
