@@ -72,7 +72,22 @@ class InvertedIndex:
         self.docs = docs
         self.analyzers = analyzers
         self.store_positions = store_positions
-        self._segments = None  # built lazily by segments.build_segments
+        self._segments = None  # (block_size, segments DF, ordinals DF)
+
+    def segments(self, block_size: int = 4096, force: bool = False):
+        """Compressed posting segments + doc ordinals (built lazily,
+        cached; see build/segments.py). An existing segment build is
+        reused even for a different requested block_size unless
+        ``force`` — rebuilds are expensive and any block size is valid."""
+        if self._segments is not None and not force:
+            return self._segments[1], self._segments[2]
+        if self._segments is None or self._segments[0] != block_size:
+            from .segments import build_segments
+
+            seg, ords = build_segments(self, block_size)
+            seg = seg.persist()
+            self._segments = (block_size, seg, ords)
+        return self._segments[1], self._segments[2]
 
     # -- lifecycle -------------------------------------------------------
     def cache(self) -> "InvertedIndex":

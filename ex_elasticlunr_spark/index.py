@@ -113,3 +113,16 @@ class Index:
     def search_bm25(self, query, top_k: Optional[int] = None,
                     k1: float = 1.2, b: float = 0.75) -> DataFrame:
         return self.search(query, top_k=top_k, mode="bm25", k1=k1, b=b)
+
+    def search_wand(self, text: str, field: str, top_k: int = 10,
+                    mode: str = "bm25", k1: float = 1.2, b: float = 0.75,
+                    block_size: int = 4096) -> DataFrame:
+        """Block-max WAND fast path (search/wand.py): analyze ``text``
+        with the field's pipeline, top-k via block-max pruning over the
+        compressed segments. Rank-identical to search()/search_bm25()
+        for single-field msm<=1 queries."""
+        from .search.wand import wand_topk
+
+        terms = self.analyzers[field].to_pipeline().run_terms(text)
+        return wand_topk(self.inverted, field, terms, k=top_k, mode=mode,
+                         k1=k1, b=b, block_size=block_size)
