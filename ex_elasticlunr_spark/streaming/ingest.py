@@ -1,0 +1,98 @@
+"""Streaming ingest: Structured Streaming -> delta posting segments +
+periodic stats refresh.
+
+The reference's write path is batch-incremental (add_documents + full
+idf recompute, core/index.ex:115-120 / core/field.ex:321-349); this is
+its streaming generalization: each micro-batch appends *delta segments*
+(partial postings + id rows tagged with batch_id), and the merged index
+is finalized on demand by a stats refresh over all segments — the same
+B5 aggregation, so a finalized streaming index is identical to a batch
+build over the same rows.
+
+Duplicate docids across batches follow the reference's first-write-wins
+guard (field.ex:85): finalize keeps each docid's rows from the earliest
+batch that contained it.
+
+Exactly-once: delivery relies on Structured Streaming's checkpoint
+(offsets + sink idempotence by batch_id); re-processed batches overwrite
+their own batch directory instead of double-appending.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..build.indexer import InvertedIndex, _finalize, build_index
+from ..functions.udfs import AnalyzerConfig
+
+
+def ingest_stream(
+    stream_df: DataFrame,
+    fields,
+    out_path: str,
+    docid_col: str = "docid",
+    checkpoint_dir: Optional[str] = None,
+    analyzers: Optional[Dict[str, AnalyzerConfig]] = None,
+    trigger_available_now: bool = True,
+):
+    """Attach a foreachBatch sink that writes delta segments under
+    ``out_path``. Returns the StreamingQuery (caller awaits it)."""
+    fields = list(fields)
+    checkpoint_dir = checkpoint_dir or os.path.join(out_path, "_checkpoint")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = build_index(
+            batch_df, fields=fields, docid_col=docid_col, analyzers=analyzers
+        )
+        bdir = os.path.join(out_path, "delta", f"batch={batch_id}")
+        # overwrite (not append) per batch dir => idempotent on replay
+        idx.postings.write.mode("overwrite").parquet(os.path.join(bdir, "postings"))
+        idx.doc_stats.select("field", "docid").write.mode("overwrite").parquet(
+            os.path.join(bdir, "ids"))
+        idx.docs.write.mode("overwrite").parquet(os.path.join(bdir, "docs"))
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def finalize_stream_index(
+    spark: SparkSession,
+    out_path: str,
+    fields,
+    analyzers: Optional[Dict[str, AnalyzerConfig]] = None,
+    store_positions: bool = True,
+) -> InvertedIndex:
+    """Merge all delta segments into a queryable index (stats refresh =
+    the B5 aggregation). First batch wins for duplicate docids."""
+    fields = list(fields)
+    delta = os.path.join(out_path, "delta")
+
+    def read(sub: str) -> DataFrame:
+        return spark.read.option("basePath", delta).parquet(
+            os.path.join(delta, "batch=*", sub))
+
+    postings = read("postings")
+    ids = read("ids")
+    docs = read("docs")
+
+    first = docs.groupBy("docid").agg(F.min("batch").alias("batch"))
+    postings = postings.join(first, ["docid", "batch"], "left_semi").drop("batch")
+    ids = ids.join(first, ["docid", "batch"], "left_semi").drop("batch")
+    docs = docs.join(first, ["docid", "batch"], "left_semi").drop("batch").distinct()
+
+    default = AnalyzerConfig()
+    amap = dict(analyzers or {})
+    for f in fields:
+        amap.setdefault(f, default)
+    return _finalize(postings, ids, docs, amap, store_positions)
