@@ -153,6 +153,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, {"query": {"not": {"match": {"text": "spark"}}}})
     q["bm25_topk"] = lambda s, d: _topk(
         _index(s, d).search_bm25("spark merge window"), 10)
+    # block-max WAND fast path — must be rank-identical to the
+    # exhaustive BM25 plan, so it shares bm25_topk's oracle SQL
+    q["wand_bm25_topk"] = lambda s, d: _topk(
+        _index(s, d).search_wand("spark merge window", "text",
+                                  top_k=10, mode="bm25"), 10)
     q["bm25_full"] = lambda s, d: _search(
         s, d, {"query": {"match": {"text": "spark merge window"}}}, mode="bm25")
 
@@ -487,6 +492,46 @@ FROM s
 SELECT CAST(e.vec_id AS VARCHAR) AS vec_id, ROUND({cos}, 6) AS cos_sim
 FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 ORDER BY ROUND({cos}, 6) DESC, CAST(e.vec_id AS VARCHAR) ASC
+LIMIT 10
+"""
+    o["wand_bm25_topk"] = o["bm25_topk"]
+
+    # hyperplane-LSH ANN: same md5-derived hyperplanes as operators/ann.py
+    from ex_elasticlunr_spark.operators.ann import _hyperplane
+
+    hp_rows = ", ".join(
+        f"({p}, {j + 1}, {w!r})"
+        for p in range(4)
+        for j, w in enumerate(_hyperplane(64, p))
+    )
+    cos2 = (
+        "list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))"
+    )
+    o["ann_lsh_topk"] = f"""
+WITH hp AS (SELECT * FROM (VALUES {hp_rows}) t(plane, j, w)),
+vecs AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS j
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, plane, SUM(x * w) AS d
+  FROM vecs JOIN hp USING (j) GROUP BY vec_id, plane
+),
+buckets AS (
+  SELECT vec_id,
+         SUM(CASE WHEN d >= 0 THEN (1 << plane) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0)
+SELECT CAST(e.vec_id AS VARCHAR) AS vec_id, ROUND({cos2}, 6) AS cos_sim
+FROM embeddings e
+JOIN buckets b ON b.vec_id = e.vec_id, qb,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE b.bucket = qb.bucket OR xor(b.bucket, qb.bucket) IN (1, 2, 4, 8)
+ORDER BY ROUND({cos2}, 6) DESC, CAST(e.vec_id AS VARCHAR) ASC
 LIMIT 10
 """
     return o

@@ -7,26 +7,28 @@ parallelism; ETS row inserts become a groupBy aggregation; the
 full-vocabulary idf refresh (field.ex:321-349) becomes one
 term-level aggregation joined with per-field scalars.
 
-Dataflow (one analyzer-UDF pass over the data):
+Dataflow (one analyzer pass over the data, MAP-ONLY postings):
 
     docs(docid, f1..fn)
-      -> stack to (field, docid, content)           [no shuffle]
-      -> analyze pandas UDF -> posexplode           [no shuffle]
-      -> groupBy(field, term, docid)                [1 shuffle, partial
-         agg map-side; key includes docid so hot terms do NOT skew here]
-      = postings(field, term, docid, tf_raw, tf, positions)
+      -> stack to (field, docid, content)                  [no shuffle]
+      -> analyze_postings mapInPandas: tokenize + trim + stop + stem +
+         document-local term aggregation (tf, positions, doc_len)
+      = postings(field, docid, term, tf_raw, doc_len, positions, tf)
+        -- NO wide shuffle: tf is a per-document statistic and each
+           docid sits in exactly one input row
 
-    doc_stats   = ids LEFT JOIN sum(tf_raw) per (field, docid)
+    doc_stats   = ids LEFT JOIN first(doc_len) per (field, docid)
     term_stats  = postings groupBy (field, term) -> df (+ idf via
-                  broadcast join with field_stats)
+                  broadcast join with field_stats)  [map-side combine,
+                  output = vocabulary size]
     field_stats = per-field scalars (n_docs, unique terms, flnorm, avgdl)
 
 Scale notes (10^12 turns):
-  * the only wide shuffle keys on (field, term, docid) — naturally
-    skew-free; AQE handles residual imbalance;
-  * term-level skew appears only in segment building (posting-list
-    compaction) and is handled there with salting (see segments.py);
-  * df/idf stats are pure aggregations with map-side combine;
+  * the postings table itself is built without any shuffle — the build
+    is embarrassingly parallel up to the stats aggregations, whose
+    outputs are vocabulary- or doc-sized with map-side combine;
+  * term-level skew appears only in segment compaction and is handled
+    there with ordinal-range salting (segments.py);
   * field_stats/term_stats are tiny relative to postings and are
     broadcast at query time.
 """
@@ -39,7 +41,7 @@ from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.udfs import AnalyzerConfig, analyze_udf
+from ..functions.udfs import AnalyzerConfig, analyze_postings
 
 
 
@@ -64,6 +66,7 @@ class InvertedIndex:
         docs: DataFrame,
         analyzers: Dict[str, AnalyzerConfig],
         store_positions: bool = True,
+        ids: DataFrame = None,
     ):
         self.postings = postings
         self.doc_stats = doc_stats
@@ -72,6 +75,9 @@ class InvertedIndex:
         self.docs = docs
         self.analyzers = analyzers
         self.store_positions = store_positions
+        # (field, docid) id rows with an analyzer-free lineage (source
+        # scan only) — used by save() so stats re-derive cheaply
+        self.ids = ids if ids is not None else doc_stats.select("field", "docid")
         self._segments = None  # (block_size, segments DF, ordinals DF)
 
     def segments(self, block_size: int = 4096, force: bool = False):
@@ -110,16 +116,73 @@ class InvertedIndex:
                    self.term_stats, self.docs):
             df.unpersist()
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, timings: Optional[dict] = None) -> None:
         """Persist as a partitioned parquet warehouse (Iceberg-shaped
-        layout; reference analogue: storage/disk.ex:22-31)."""
-        self.postings.repartition("field").write.mode("overwrite") \
-            .partitionBy("field").parquet(os.path.join(path, "postings"))
-        self.doc_stats.write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
-        self.field_stats.write.mode("overwrite").parquet(os.path.join(path, "field_stats"))
-        self.term_stats.repartition("field").write.mode("overwrite") \
-            .partitionBy("field").parquet(os.path.join(path, "term_stats"))
+        layout; reference analogue: storage/disk.ex:22-31).
+
+        Staged so the (expensive) analyze pipeline runs exactly ONCE:
+        postings are written first, then every stats table is re-derived
+        from the written parquet (vectorized, column-pruned scans) —
+        never from the in-memory lineage, which would re-run the
+        analyzer per table. Deliberately NO partitionBy/repartition on
+        field: repartition("field") collapses the write to #fields
+        tasks, and partitionBy makes every task sort its rows by the
+        partition key first (measured 6x slower on 11M rows with
+        position arrays); per-field predicate pushdown still works via
+        parquet row-group dictionary/min-max stats.
+        """
+        import time as _time
+
+        spark = self.postings.sparkSession
+        t0 = _time.perf_counter()
+        self.postings.write.mode("overwrite") \
+            .parquet(os.path.join(path, "postings"))
+        t1 = _time.perf_counter()
         self.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+
+        # cascade: every stats table derives from ALREADY-WRITTEN parquet
+        # (column-pruned vectorized scans), never from in-memory lineage
+        # — each table is computed exactly once.
+        postings = spark.read.parquet(os.path.join(path, "postings"))
+
+        doc_lens = postings.groupBy("field", "docid").agg(
+            F.first("doc_len").alias("doc_len"))
+        doc_stats = (
+            self.ids.join(doc_lens, ["field", "docid"], "left")
+            .withColumn("doc_len",
+                        F.coalesce(F.col("doc_len"), F.lit(0)).cast("long"))
+        )
+        doc_stats.write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
+        doc_stats = spark.read.parquet(os.path.join(path, "doc_stats"))
+
+        field_stats = (
+            doc_stats.groupBy("field")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.avg("doc_len").alias("avg_doc_len"))
+            .join(postings.groupBy("field").agg(
+                F.countDistinct("term").alias("n_unique_terms")), "field", "left")
+            .withColumn("n_unique_terms",
+                        F.coalesce(F.col("n_unique_terms"), F.lit(0)))
+            .withColumn("flnorm",
+                        F.when(F.col("n_unique_terms") > 0,
+                               F.lit(1.0) / F.sqrt(F.col("n_unique_terms")))
+                        .otherwise(F.lit(0.0)))
+        )
+        field_stats.write.mode("overwrite").parquet(os.path.join(path, "field_stats"))
+        field_stats = spark.read.parquet(os.path.join(path, "field_stats"))
+
+        term_stats = (
+            postings.groupBy("field", "term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .join(F.broadcast(field_stats.select("field", "n_docs")), "field")
+            .withColumn("idf", F.lit(1.0) + F.log10(
+                F.col("n_docs") / (F.col("df") + F.lit(1.0))))
+            .drop("n_docs")
+        )
+        term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
+        if timings is not None:
+            timings["postings_write_sec"] = round(t1 - t0, 4)
+            timings["stats_write_sec"] = round(_time.perf_counter() - t1, 4)
         manifest = {
             "version": 1,
             "store_positions": self.store_positions,
@@ -204,62 +267,38 @@ def build_index(
     )
     stacked = docs.selectExpr("docid", stack_expr).where(F.col("content").isNotNull())
 
-    # group fields by analyzer config so each group is one UDF pass
-    by_cfg: Dict[int, list] = {}
-    for f in fields:
-        by_cfg.setdefault(id(analyzers[f]), []).append(f)
-
-    flat_parts = []
-    for group in by_cfg.values():
-        cfg = analyzers[group[0]]
-        part = stacked.where(F.col("field").isin(group))
-        toks = part.withColumn("toks", analyze_udf(cfg, positions=store_positions)("content"))
-        if store_positions:
-            flat = toks.select(
-                "field", "docid",
-                F.explode("toks").alias("tok"),
-            ).select(
-                "field", "docid",
-                F.col("tok.term").alias("term"),
-                F.col("tok.start").alias("start"),
-                F.col("tok.length").alias("length"),
-            )
-        else:
-            flat = toks.select(
-                "field", "docid", F.explode("toks").alias("term")
-            ).withColumn("start", F.lit(None).cast("int")) \
-             .withColumn("length", F.lit(None).cast("int"))
-        flat_parts.append(flat)
-
-    flat = flat_parts[0]
-    for p in flat_parts[1:]:
-        flat = flat.unionByName(p)
-
-    # THE wide shuffle: key includes docid => no hot-term skew here
-    postings = (
-        flat.groupBy("field", "term", "docid")
-        .agg(
-            F.count(F.lit(1)).alias("tf_raw"),
-            F.sort_array(
-                F.collect_list(F.struct(F.col("start"), F.col("length")))
-            ).alias("positions"),
+    # ONE mapInPandas pass producing FINAL posting rows: tf/positions/
+    # doc_len aggregate document-locally inside the analyzer (each docid
+    # is one input row), so the postings table needs NO wide shuffle —
+    # the build is map-only up to the (small-output) stats aggregations.
+    postings = analyze_postings(
+        stacked, analyzers, positions=store_positions
+    ).withColumn("tf", F.sqrt(F.col("tf_raw")))
+    if not store_positions:
+        postings = postings.withColumn(
+            "positions", F.lit(None).cast("array<int>")
         )
-        .withColumn("tf", F.sqrt(F.col("tf_raw")))
-    )
 
     ids = stacked.select("field", "docid")
     return _finalize(postings, ids, docs.select("docid"), analyzers, store_positions)
 
 
 def _finalize(postings, ids, docs, analyzers, store_positions) -> InvertedIndex:
-    """Derive doc/term/field stats from a postings table (B5/B6)."""
-    postings = postings.drop("doc_len")
+    """Derive doc/term/field stats from a postings table (B5/B6).
+
+    ``doc_len`` is denormalized into postings (BM25 needs no query-time
+    doc_stats join). The build path computes it in the analyze pass; for
+    postings arriving without it (older checkpoints), fall back to a
+    sum(tf_raw) self-join.
+    """
+    if "doc_len" not in postings.columns:
+        doc_lens0 = postings.groupBy("field", "docid").agg(
+            F.sum("tf_raw").alias("doc_len")
+        )
+        postings = postings.join(doc_lens0, ["field", "docid"])
     doc_lens = postings.groupBy("field", "docid").agg(
-        F.sum("tf_raw").alias("doc_len")
+        F.first("doc_len").alias("doc_len")
     )
-    # denormalize doc_len into postings: one extra long per row at build
-    # time buys BM25 a query-time join against doc_stats (huge at scale)
-    postings = postings.join(doc_lens, ["field", "docid"])
     doc_stats = (
         ids.join(doc_lens, ["field", "docid"], "left")
         .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)).cast("long"))
@@ -308,6 +347,7 @@ def _finalize(postings, ids, docs, analyzers, store_positions) -> InvertedIndex:
         docs=docs,
         analyzers=analyzers,
         store_positions=store_positions,
+        ids=ids,
     )
 
 

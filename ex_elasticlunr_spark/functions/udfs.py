@@ -124,3 +124,194 @@ def analyze_udf(config: Optional[AnalyzerConfig] = None, positions: bool = True)
         return config.analyze_batch(texts, positions)
 
     return _analyze
+
+
+FLAT_SCHEMA = (
+    "field string, docid string, term string, start int, length int, "
+    "doc_len long"
+)
+FLAT_SCHEMA_NOPOS = "field string, docid string, term string, doc_len long"
+
+
+def analyze_flat(stacked, configs: dict, positions: bool = True):
+    """(field, docid, content) -> exploded (field, docid, term, start,
+    length, doc_len) via ONE mapInPandas pass.
+
+    This is the build hot path: flat output columns avoid the Arrow
+    nested-struct conversion AND the JVM-side explode of analyze_udf,
+    and doc_len (token count per field-doc) is computed in the same pass
+    — eliminating the postings<->doc_lens self-join shuffle the naive
+    plan needs.
+    """
+    import itertools
+
+    cfg_items = {f: (c.stages, c.separator, c.extra) for f, c in configs.items()}
+
+    def run(batches):
+        from ..analysis.stop_words import STOP_WORDS
+        from ..analysis import porter2
+        from ..analysis.tokenizer import tokenize
+        from ..analysis.trimmer import trim_str
+        from ..analysis.token import Token
+
+        stem_cache: dict = {}
+
+        def stem1(t):
+            s = stem_cache.get(t)
+            if s is None:
+                s = porter2.stem(t)
+                stem_cache[t] = s
+            return s
+
+        for pdf in batches:
+            out_field, out_docid, out_term = [], [], []
+            out_start, out_len, out_dl = [], [], []
+            for fld, docid, content in zip(
+                pdf["field"], pdf["docid"], pdf["content"]
+            ):
+                if content is None:
+                    continue
+                stages, sep, extra = cfg_items[fld]
+                toks = tokenize(content, sep)
+                if "trim" in stages:
+                    toks = [Token(trim_str(t.token), t.start, t.length)
+                            for t in toks]
+                if "stop" in stages:
+                    toks = [t for t in toks if t.token not in STOP_WORDS]
+                if "stem" in stages:
+                    toks = [Token(stem1(t.token), t.start, t.length)
+                            for t in toks]
+                for cb in extra:
+                    nxt = []
+                    for t in toks:
+                        r = cb(t)
+                        if r is None:
+                            continue
+                        nxt.extend(r if isinstance(r, list) else [r])
+                    toks = nxt
+                n = len(toks)
+                out_field.extend(itertools.repeat(fld, n))
+                out_docid.extend(itertools.repeat(docid, n))
+                out_term.extend(t.token for t in toks)
+                if positions:
+                    out_start.extend(t.start for t in toks)
+                    out_len.extend(t.length for t in toks)
+                out_dl.extend(itertools.repeat(n, n))
+            data = {"field": out_field, "docid": out_docid, "term": out_term}
+            if positions:
+                data["start"] = pd.array(out_start, dtype="int32")
+                data["length"] = pd.array(out_len, dtype="int32")
+            data["doc_len"] = pd.array(out_dl, dtype="int64")
+            yield pd.DataFrame(data)
+
+    schema = FLAT_SCHEMA if positions else FLAT_SCHEMA_NOPOS
+    return stacked.mapInPandas(run, schema)
+
+
+POSTINGS_SCHEMA = (
+    "field string, docid string, term string, tf_raw long, doc_len long, "
+    "positions array<int>"
+)
+POSTINGS_SCHEMA_NOPOS = (
+    "field string, docid string, term string, tf_raw long, doc_len long"
+)
+
+
+def analyze_postings(stacked, configs: dict, positions: bool = True):
+    """(field, docid, content) -> FINAL posting rows
+    (field, docid, term, tf_raw, doc_len, positions) in one mapInPandas
+    pass — tf is a per-document statistic and each docid sits in exactly
+    one input row, so the term-level aggregation happens document-
+    locally in Python and the build needs NO wide shuffle at all for the
+    postings table (the ETS-insert loop of the reference, field.ex:217-241,
+    becomes a pure map). Positions are packed int pairs
+    [start0, len0, start1, len1, ...] in occurrence order (the
+    reference's append order, field.ex:224-230).
+    """
+    import itertools
+
+    cfg_items = {f: (c.stages, c.separator, c.extra) for f, c in configs.items()}
+
+    def run(batches):
+        from ..analysis.stop_words import STOP_WORDS
+        from ..analysis import porter2
+        from ..analysis.tokenizer import tokenize
+        from ..analysis.trimmer import trim_str
+        from ..analysis.token import Token
+
+        stem_cache: dict = {}
+
+        def stem1(t):
+            s = stem_cache.get(t)
+            if s is None:
+                s = porter2.stem(t)
+                stem_cache[t] = s
+            return s
+
+        for pdf in batches:
+            o_field, o_docid, o_term = [], [], []
+            o_tf, o_dl, o_pos = [], [], []
+            for fld, docid, content in zip(
+                pdf["field"], pdf["docid"], pdf["content"]
+            ):
+                if content is None:
+                    continue
+                stages, sep, extra = cfg_items[fld]
+                toks = tokenize(content, sep)
+                if "trim" in stages:
+                    toks = [Token(trim_str(t.token), t.start, t.length)
+                            for t in toks]
+                if "stop" in stages:
+                    toks = [t for t in toks if t.token not in STOP_WORDS]
+                if "stem" in stages:
+                    toks = [Token(stem1(t.token), t.start, t.length)
+                            for t in toks]
+                for cb in extra:
+                    nxt = []
+                    for t in toks:
+                        r = cb(t)
+                        if r is None:
+                            continue
+                        nxt.extend(r if isinstance(r, list) else [r])
+                    toks = nxt
+                dl = len(toks)
+                # document-local aggregation (insertion-ordered dict ->
+                # deterministic term order within a doc)
+                agg: dict = {}
+                if positions:
+                    for t in toks:
+                        e = agg.get(t.token)
+                        if e is None:
+                            agg[t.token] = [1, [t.start, t.length]]
+                        else:
+                            e[0] += 1
+                            e[1].extend((t.start, t.length))
+                else:
+                    for t in toks:
+                        agg[t.token] = agg.get(t.token, 0) + 1
+                n = len(agg)
+                o_field.extend(itertools.repeat(fld, n))
+                o_docid.extend(itertools.repeat(docid, n))
+                o_dl.extend(itertools.repeat(dl, n))
+                if positions:
+                    for term, (tf, pos) in agg.items():
+                        o_term.append(term)
+                        o_tf.append(tf)
+                        o_pos.append(pos)
+                else:
+                    for term, tf in agg.items():
+                        o_term.append(term)
+                        o_tf.append(tf)
+            data = {
+                "field": o_field,
+                "docid": o_docid,
+                "term": o_term,
+                "tf_raw": pd.array(o_tf, dtype="int64"),
+                "doc_len": pd.array(o_dl, dtype="int64"),
+            }
+            if positions:
+                data["positions"] = o_pos
+            yield pd.DataFrame(data)
+
+    schema = POSTINGS_SCHEMA if positions else POSTINGS_SCHEMA_NOPOS
+    return stacked.mapInPandas(run, schema)

@@ -87,7 +87,9 @@ def terms_scores(
 
     post = index.postings.where(F.col("field") == field)
     if restrict is not None:
-        post = post.join(F.broadcast(restrict.select("docid")), "docid", "left_semi")
+        # no broadcast hint: the restriction can be nearly all docids
+        # (e.g. a not-filter base) — AQE picks broadcast when it IS small
+        post = post.join(restrict.select("docid"), "docid", "left_semi")
 
     entries = post.join(
         F.broadcast(matched_terms.withColumnRenamed("df", "term_df")

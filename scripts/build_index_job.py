@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the index build job.
+
+Usage (multi-executor cluster):
+
+    zip -r exel.zip ex_elasticlunr_spark
+    spark-submit --py-files exel.zip scripts/build_index_job.py \
+        --input  <transcripts parquet/iceberg path> \
+        --output <index warehouse path> \
+        --fields text,tool \
+        --docid-expr "concat(conv_id, ':', turn_idx)" \
+        --buckets 256 [--resume]
+
+The job is the checkpointed build (per-bucket lineage + metrics,
+resumable: re-submitting with the same --output skips completed
+buckets). On a cluster the same code paths run unchanged — everything
+is DataFrame/mapInPandas; there is no local-mode assumption.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--fields", required=True,
+                    help="comma-separated columns to index")
+    ap.add_argument("--docid-expr", default="docid",
+                    help="SQL expression for the document id")
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--block-size", type=int, default=4096,
+                    help="posting-block size for segment compaction")
+    ap.add_argument("--segments", action="store_true",
+                    help="also build compressed posting segments")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.appName("ex_elasticlunr_spark-build")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.hadoop.parquet.block.size", "16777216")
+        .getOrCreate()
+    )
+
+    from ex_elasticlunr_spark.build.checkpoints import checkpointed_build
+
+    source = spark.read.parquet(args.input).withColumn(
+        "__docid", F.expr(args.docid_expr)
+    )
+    fields = args.fields.split(",")
+    inv = checkpointed_build(
+        spark, source, fields, args.output,
+        docid_col="__docid", n_buckets=args.buckets,
+    )
+    if inv is None:
+        print("partial build: re-submit to resume")
+        return
+    if args.segments:
+        seg, ords = inv.segments(args.block_size)
+        seg.write.mode("overwrite").parquet(args.output + "/segments")
+        ords.write.mode("overwrite").parquet(args.output + "/ordinals")
+    print("build complete:", args.output)
+
+
+if __name__ == "__main__":
+    main()

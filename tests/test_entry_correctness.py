@@ -55,7 +55,7 @@ def test_oracle_coverage():
     unchecked = set(QUERIES) - set(ORACLES)
     # only non-SQL-expressible ops may skip the oracle
     assert unchecked <= {
-        "ann_lsh_topk", "ann_ivf_topk", "emb_near_dups",
+        "ann_ivf_topk", "emb_near_dups",
         "mm_features", "mm_resize", "mm_frame_sample",
     }
 
