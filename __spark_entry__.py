@@ -534,4 +534,79 @@ WHERE b.bucket = qb.bucket OR xor(b.bucket, qb.bucket) IN (1, 2, 4, 8)
 ORDER BY ROUND({cos2}, 6) DESC, CAST(e.vec_id AS VARCHAR) ASC
 LIMIT 10
 """
+    # embedding near-duplicate pairs: same hyperplane buckets, exact
+    # cosine within buckets, threshold 0.99
+    cos_ab = (
+        "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))"
+    )
+    o["emb_near_dups"] = f"""
+WITH hp AS (SELECT * FROM (VALUES {hp_rows}) t(plane, j, w)),
+vecs AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS j
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, plane, SUM(x * w) AS d
+  FROM vecs JOIN hp USING (j) GROUP BY vec_id, plane
+),
+buckets AS (
+  SELECT vec_id,
+         SUM(CASE WHEN d >= 0 THEN (1 << plane) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+)
+SELECT CAST(ea.vec_id AS VARCHAR) AS vec_id_a,
+       CAST(eb.vec_id AS VARCHAR) AS vec_id_b,
+       ROUND({cos_ab}, 6) AS cos_sim
+FROM buckets ba
+JOIN buckets bb ON ba.bucket = bb.bucket
+  AND CAST(ba.vec_id AS VARCHAR) < CAST(bb.vec_id AS VARCHAR)
+JOIN embeddings ea ON ea.vec_id = ba.vec_id
+JOIN embeddings eb ON eb.vec_id = bb.vec_id
+WHERE {cos_ab} >= 0.99
+"""
+    # IVF-style coarse search: deterministic centroids (first 8 vec ids),
+    # argmax assignment, probe the 3 cells nearest the query
+    cos_ec = (
+        "list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])))"
+    )
+    cos_qc = (
+        "list_dot_product(q.embedding::DOUBLE[], c.cv::DOUBLE[]) / "
+        "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])))"
+    )
+    o["ann_ivf_topk"] = f"""
+WITH cents AS (
+  SELECT CAST(vec_id AS VARCHAR) AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+sims AS (
+  SELECT e.vec_id, c.cell, {cos_ec} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT c.cell FROM cents c,
+       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  ORDER BY {cos_qc} DESC, c.cell ASC LIMIT 3
+)
+SELECT CAST(e.vec_id AS VARCHAR) AS vec_id, ROUND({cos2}, 6) AS cos_sim
+FROM embeddings e
+JOIN assigned a ON a.vec_id = e.vec_id
+   AND a.cell IN (SELECT cell FROM probe),
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY ROUND({cos2}, 6) DESC, CAST(e.vec_id AS VARCHAR) ASC
+LIMIT 10
+"""
     return o

@@ -86,6 +86,19 @@ def terms_scores(
     matched_terms = _query_terms_df(index, field, terms, expand, fuzziness)
 
     post = index.postings.where(F.col("field") == field)
+    # push a literal term predicate into the scan (the equi-join with the
+    # resolved vocab can't reach the parquet reader; this can — shows up
+    # as PushedFilters: In(term, ...) / StringStartsWith, pruning row
+    # groups before any join)
+    if fuzziness <= 0:
+        if expand:
+            cond = None
+            for t in terms:
+                c = F.col("term").startswith(t)
+                cond = c if cond is None else (cond | c)
+            post = post.where(cond)
+        else:
+            post = post.where(F.col("term").isin(terms))
     if restrict is not None:
         # no broadcast hint: the restriction can be nearly all docids
         # (e.g. a not-filter base) — AQE picks broadcast when it IS small

@@ -54,10 +54,7 @@ def test_oracle_coverage():
     assert set(ORACLES) <= set(QUERIES)
     unchecked = set(QUERIES) - set(ORACLES)
     # only non-SQL-expressible ops may skip the oracle
-    assert unchecked <= {
-        "ann_ivf_topk", "emb_near_dups",
-        "mm_features", "mm_resize", "mm_frame_sample",
-    }
+    assert unchecked <= {"mm_features", "mm_resize", "mm_frame_sample"}
 
 
 @pytest.mark.parametrize("name", CHECKED)
