@@ -188,14 +188,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_documents(s, d))
     q["dedup_fingerprint"] = lambda s, d: quality.fingerprint(_documents(s, d))
     q["dedup_simhash"] = lambda s, d: dedup.simhash(_documents(s, d))
+    # 8-char shingles + 4 rows/band: band-collision probability ~ sim^4
+    # (3-char shingles over the tiny synthetic vocabulary collide almost
+    # everywhere -> quadratic candidate blowup)
     q["dedup_minhash_lsh"] = lambda s, d: dedup.lsh_candidate_pairs(
-        _documents(s, d), num_hashes=8, bands=4)
+        _documents(s, d), num_hashes=16, bands=4, k=8)
 
     def jaccard(s, d):
         docs = _documents(s, d)
-        cands = dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4) \
+        cands = dedup.lsh_candidate_pairs(docs, num_hashes=16, bands=4, k=8) \
             .select("docid_a", "docid_b")
-        return dedup.ngram_jaccard_pairs(docs, cands, threshold=0.5)
+        return dedup.ngram_jaccard_pairs(docs, cands, n=8, threshold=0.5)
 
     q["dedup_ngram_jaccard"] = jaccard
 
@@ -372,22 +375,22 @@ SELECT docid, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
 FROM bits GROUP BY docid
 """
     shingles = (
-        f"list_distinct(list_transform(range(1, greatest(length({norm}) - 2, 1) + 1), "
-        f"i -> substr({norm}, i, 3)))"
+        f"list_distinct(list_transform(range(1, greatest(length({norm}) - 7, 1) + 1), "
+        f"i -> substr({norm}, i, 8)))"
     )
-    minhash8 = ", ".join(
+    minhash16 = ", ".join(
         "list_min(list_transform(sh, s -> substr(md5('{seed}:' || s), {off}, 8)))".format(
             seed=h // 4, off=1 + 8 * (h % 4))
-        for h in range(8)
+        for h in range(16)
     )
     o["dedup_minhash_lsh"] = f"""
 WITH sh AS (
   SELECT CAST(doc_id AS VARCHAR) AS docid, {shingles} AS sh FROM documents
 ),
-sig AS (SELECT docid, [{minhash8}] AS mh FROM sh),
+sig AS (SELECT docid, [{minhash16}] AS mh FROM sh),
 banded AS (
   SELECT docid, b AS band_idx,
-         mh[2*b + 1] || '|' || mh[2*b + 2] AS band_key
+         mh[4*b + 1] || '|' || mh[4*b + 2] || '|' || mh[4*b + 3] || '|' || mh[4*b + 4] AS band_key
   FROM sig, (SELECT unnest(range(4)) AS b) bands
 )
 SELECT a.docid AS docid_a, c.docid AS docid_b, COUNT(*) AS shared_bands
@@ -399,10 +402,10 @@ GROUP BY 1, 2
 WITH sh AS (
   SELECT CAST(doc_id AS VARCHAR) AS docid, {shingles} AS sh FROM documents
 ),
-sig AS (SELECT docid, [{minhash8}] AS mh FROM sh),
+sig AS (SELECT docid, [{minhash16}] AS mh FROM sh),
 banded AS (
   SELECT docid, b AS band_idx,
-         mh[2*b + 1] || '|' || mh[2*b + 2] AS band_key
+         mh[4*b + 1] || '|' || mh[4*b + 2] || '|' || mh[4*b + 3] || '|' || mh[4*b + 4] AS band_key
   FROM sig, (SELECT unnest(range(4)) AS b) bands
 ),
 cands AS (

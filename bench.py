@@ -103,6 +103,11 @@ def main() -> None:
     timed("q5_fuzzy", lambda: idx.search(
         {"query": {"terms": {"text": {"value": "elixor", "fuzziness": 1}}}},
         top_k=10).collect())
+    # block-max WAND fast path (includes one-time segment build+encode)
+    timed("q6_wand_build_and_query", lambda: idx.search_wand(
+        "elixir tool run quick", "text", top_k=10).collect())
+    timed("q7_wand_warm", lambda: idx.search_wand(
+        "index search stream", "text", top_k=10).collect())
 
     # sf-dir operator benches (documents/embeddings tables); skippable
     # for build-scaling runs (BENCH_SKIP_SF=1)

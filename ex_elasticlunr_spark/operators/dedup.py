@@ -100,6 +100,12 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     """
     import hashlib
 
+    # small single-file sources read as ONE partition — spread the
+    # (md5-heavy) signature work across cores before the UDF
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+
     n_seeds = (num_hashes + 3) // 4
 
     @F.pandas_udf(ArrayType(StringType()))
@@ -162,6 +168,9 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "docid",
             )
         ).alias("band_idx", "band_key"),
     )
+    # the bucket self-join references this subtree twice; persist so the
+    # (md5-heavy) signature pass computes once
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
