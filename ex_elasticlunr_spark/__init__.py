@@ -28,3 +28,4 @@ __version__ = "0.1.0"
 from .build.indexer import InvertedIndex, build_index  # noqa: E402
 from .functions.udfs import AnalyzerConfig  # noqa: E402
 from .index import Index  # noqa: E402
+from .manager import IndexManager  # noqa: E402

@@ -224,6 +224,12 @@ class InvertedIndex:
         )
         return _merge(self, new)
 
+    def update_documents(self, source: DataFrame,
+                         docid_col: str = "docid") -> "InvertedIndex":
+        """Remove then re-add (field.ex:127-134 / index.ex:122-127, B3)."""
+        tomb = source.select(F.col(docid_col).cast("string").alias("docid"))
+        return self.remove_documents(tomb).add_documents(source, docid_col)
+
     def remove_documents(self, docids: DataFrame) -> "InvertedIndex":
         """Anti-join tombstones + stats refresh (field.ex:136-146, B4)."""
         t = docids.select(F.col(docids.columns[0]).alias("docid"))

@@ -57,6 +57,12 @@ class Index:
             self.inverted = self.inverted.add_documents(source, docid_col)
         return self
 
+    def update_documents(self, source: DataFrame,
+                         docid_col: Optional[str] = None) -> "Index":
+        self.inverted = self.inverted.update_documents(
+            source, docid_col or self.ref)
+        return self
+
     def remove_documents(self, docids: DataFrame) -> "Index":
         self.inverted = self.inverted.remove_documents(docids)
         return self
