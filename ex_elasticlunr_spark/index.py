@@ -82,6 +82,59 @@ class Index:
         idx.analyzers = idx.inverted.analyzers
         return idx
 
+    # -- introspection (reference Q17: field.ex:44-75,207-215) -------------
+    def documents(self, field: str) -> DataFrame:
+        """All docids indexed under ``field`` (Field.documents/1)."""
+        from pyspark.sql import functions as F
+
+        return self.inverted.doc_stats.where(F.col("field") == field) \
+            .select("docid")
+
+    def has_token(self, field: str, term: str) -> bool:
+        """Field.has_token/2."""
+        from pyspark.sql import functions as F
+
+        return not self.inverted.term_stats.where(
+            (F.col("field") == field) & (F.col("term") == term)
+        ).isEmpty()
+
+    def term_frequency(self, field: str, term: str) -> DataFrame:
+        """(docid, tf) for a term — Field.term_frequency/2 (tf = sqrt of
+        the raw count, field.ex:235)."""
+        from pyspark.sql import functions as F
+
+        return self.inverted.postings.where(
+            (F.col("field") == field) & (F.col("term") == term)
+        ).select("docid", "tf")
+
+    def get_token(self, field: str, term: str):
+        """Field.get_token/2: {term, idf, norm, df, documents} or None."""
+        from pyspark.sql import functions as F
+
+        row = self.inverted.term_stats.where(
+            (F.col("field") == field) & (F.col("term") == term)
+        ).first()
+        if row is None:
+            return None
+        fs = self.inverted.field_stats.where(F.col("field") == field).first()
+        docs = self.inverted.postings.where(
+            (F.col("field") == field) & (F.col("term") == term)
+        ).select("docid", "tf_raw", "positions")
+        return {
+            "term": term,
+            "idf": row["idf"],
+            "df": row["df"],
+            "norm": fs["flnorm"] if fs else 0.0,
+            "documents": docs,
+        }
+
+    def tokens(self, field: str) -> DataFrame:
+        """All vocabulary tokens with stats — Field.tokens/1."""
+        from pyspark.sql import functions as F
+
+        return self.inverted.term_stats.where(F.col("field") == field) \
+            .select("term", "df", "idf")
+
     # -- search ------------------------------------------------------------
     def executor(self, mode: str = "elasticlunr", **kw) -> QueryExecutor:
         return QueryExecutor(self.inverted, mode=mode, **kw)

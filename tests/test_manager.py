@@ -1,6 +1,10 @@
 """IndexManager CRUD lifecycle (reference manager/index_manager_test.exs)
 and update_documents (B3: remove-then-re-add semantics)."""
 
+import math
+
+import pytest
+
 from ex_elasticlunr_spark import Index, IndexManager
 from ex_elasticlunr_spark.analysis import Pipeline
 from ex_elasticlunr_spark.functions.udfs import AnalyzerConfig
@@ -63,3 +67,27 @@ def test_update_documents_matches_oracle(spark):
         want = [(r["ref"], round(r["score"], 9))
                 for r in oracle_search(oidx, q)]
         assert got == want, q
+
+
+def test_introspection_q17(spark):
+    # field_test.exs:35-39 tf golden + has_token/get_token shapes
+    idx = _mk_index(spark, "intro", [("1", "hello world hello")])
+    assert idx.has_token("content", "hello")
+    assert not idx.has_token("content", "missing")
+
+    tf = {r["docid"]: r["tf"] for r in
+          idx.term_frequency("content", "hello").collect()}
+    assert tf == {"1": pytest.approx(2 ** 0.5)}
+
+    tok = idx.get_token("content", "hello")
+    assert tok["df"] == 1
+    assert tok["idf"] == pytest.approx(1 + math.log10(1 / 2))
+    docs = tok["documents"].collect()
+    assert docs[0]["tf_raw"] == 2
+    # packed positions [start0, len0, start1, len1] in occurrence order
+    assert list(docs[0]["positions"]) == [0, 5, 12, 5]
+
+    vocab = {r["term"] for r in idx.tokens("content").collect()}
+    assert vocab == {"hello", "world"}
+    assert [r["docid"] for r in idx.documents("content").collect()] == ["1"]
+
