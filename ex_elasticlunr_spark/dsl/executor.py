@@ -72,7 +72,7 @@ class QueryExecutor:
     # -- compilation -----------------------------------------------------
     def compile(self, node, restrict: Optional[DataFrame] = None) -> DataFrame:
         if isinstance(node, MatchNode):
-            pipeline = self.index.analyzers[node.field].to_pipeline()
+            pipeline = self.index.analyzers[node.field].to_query_pipeline()
             node = rewrite_match(node, pipeline)
         if isinstance(node, TermsNode):
             return scorer.terms_scores(

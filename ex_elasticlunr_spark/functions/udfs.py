@@ -58,18 +58,29 @@ class AnalyzerConfig:
         stages: tuple = ("trim", "stop", "stem"),
         separator: str = DEFAULT_SEPARATOR,
         extra: Optional[list] = None,
+        query_pipeline: Optional["Pipeline"] = None,
     ):
         self.stages = tuple(stages)
         self.separator = separator
         self.extra = list(extra or [])
+        # optional distinct analysis for QUERY strings (the reference's
+        # field.query_pipeline, used when is_query — field.ex:149-157);
+        # index-side analysis always uses the stages above
+        self.query_pipeline = query_pipeline
 
     def to_pipeline(self) -> Pipeline:
-        """Equivalent driver-side Pipeline (used to analyze query strings)."""
+        """Equivalent driver-side Pipeline for INDEX-side analysis."""
         from ..analysis.pipeline import stemmer, stop_word_filter, trimmer
 
         named = {"trim": trimmer, "stop": stop_word_filter, "stem": stemmer}
         cbs = [named[s] for s in self.stages] + self.extra
         return Pipeline(cbs, self.separator)
+
+    def to_query_pipeline(self) -> Pipeline:
+        """Pipeline for analyzing query strings: the field's
+        query_pipeline when set (is_query dispatch, field.ex:149-157),
+        else the index pipeline."""
+        return self.query_pipeline or self.to_pipeline()
 
     # -- batch-vectorized execution (executor side) ----------------------
     def analyze_batch(self, texts: pd.Series, positions: bool) -> pd.Series:

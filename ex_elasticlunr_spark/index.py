@@ -182,6 +182,6 @@ class Index:
         for single-field msm<=1 queries."""
         from .search.wand import wand_topk
 
-        terms = self.analyzers[field].to_pipeline().run_terms(text)
+        terms = self.analyzers[field].to_query_pipeline().run_terms(text)
         return wand_topk(self.inverted, field, terms, k=top_k, mode=mode,
                          k1=k1, b=b, block_size=block_size)

@@ -91,3 +91,30 @@ def test_introspection_q17(spark):
     assert vocab == {"hello", "world"}
     assert [r["docid"] for r in idx.documents("content").collect()] == ["1"]
 
+
+
+def test_query_pipeline_q16(spark):
+    # field.ex:149-157 / index_test.exs:265-315: a distinct query
+    # pipeline (here: one that expands a token into synonyms) is used
+    # only when analyzing the query string
+    from ex_elasticlunr_spark.analysis import Pipeline, Token
+
+    def synonym_expander(tok: Token):
+        if tok.token == "pup":
+            return [tok.with_token("pup"), tok.with_token("dog")]
+        return tok
+
+    cfg = AnalyzerConfig(stages=(),
+                         query_pipeline=Pipeline([synonym_expander]))
+    sdf = spark.createDataFrame(
+        [("1", "the dog barks"), ("2", "a cat sleeps")],
+        "id string, content string")
+    idx = Index(name="q16").add_field("content", analyzer=cfg)
+    idx.add_documents(sdf, docid_col="id")
+
+    # "pup" is not in the corpus, but the query pipeline expands it to
+    # include "dog" -> doc 1 matches
+    res = idx.search({"query": {"match": {"content": "pup"}}}).collect()
+    assert [r["docid"] for r in res] == ["1"]
+    # index-side analysis did NOT use the expander: "pup" not indexed
+    assert not idx.has_token("content", "pup")
