@@ -8,9 +8,9 @@ recorded to a metrics table, targeting 10^12 turns."
 Layout under ``out_path``:
     source/bucket=<b>/...      bucketized input (written once; partition-
                                pruned reads per bucket thereafter)
-    buckets/<b>/postings/      per-bucket partial postings (parquet,
-                               _SUCCESS = checkpoint marker)
-    buckets/<b>/ids/           per-bucket (field, docid) id rows
+    buckets/<b>/postings/      per-bucket partial postings + per-doc
+                               sentinel rows (parquet, _SUCCESS =
+                               checkpoint marker)
     buckets/<b>/docs/          per-bucket docid universe
     buckets/<b>/lineage.json   bucket lineage: inputs, counts, timing
     metrics/                   append-only metrics table (parquet):
@@ -123,9 +123,8 @@ def checkpointed_build(
             part, fields=fields, docid_col="docid", analyzers=analyzers,
             store_positions=store_positions,
         )
-        idx.postings.write.mode("overwrite").parquet(os.path.join(bdir, "postings"))
-        idx.doc_stats.select("field", "docid").write.mode("overwrite").parquet(
-            os.path.join(bdir, "ids"))
+        # one write: posting rows + per-doc sentinel rows (term NULL)
+        idx._flat.write.mode("overwrite").parquet(os.path.join(bdir, "postings"))
         idx.docs.write.mode("overwrite").parquet(os.path.join(bdir, "docs"))
 
         rows_in = part.count()
@@ -155,14 +154,16 @@ def checkpointed_build(
 
     # final merge: pure read of the checkpoints (idempotent)
     t0 = time.perf_counter()
-    postings = spark.read.parquet(os.path.join(out_path, "buckets", "*", "postings"))
-    ids = spark.read.parquet(os.path.join(out_path, "buckets", "*", "ids"))
+    raw = spark.read.parquet(os.path.join(out_path, "buckets", "*", "postings"))
+    postings = raw.where(F.col("term").isNotNull()) \
+        .withColumn("tf", F.sqrt(F.col("tf_raw")))
+    doc_stats = raw.where(F.col("term").isNull()).select("field", "docid", "doc_len")
     docs = spark.read.parquet(os.path.join(out_path, "buckets", "*", "docs"))
     default = AnalyzerConfig()
     amap = dict(analyzers or {})
     for f in fields:
         amap.setdefault(f, default)
-    inv = _finalize(postings, ids, docs, amap, store_positions)
+    inv = _finalize(postings, docs, amap, store_positions, doc_stats=doc_stats)
     inv.save(os.path.join(out_path, "index"))
     wall = time.perf_counter() - t0
     merged = InvertedIndex.load(spark, os.path.join(out_path, "index"))

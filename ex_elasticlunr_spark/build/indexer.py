@@ -66,7 +66,6 @@ class InvertedIndex:
         docs: DataFrame,
         analyzers: Dict[str, AnalyzerConfig],
         store_positions: bool = True,
-        ids: DataFrame = None,
     ):
         self.postings = postings
         self.doc_stats = doc_stats
@@ -75,9 +74,7 @@ class InvertedIndex:
         self.docs = docs
         self.analyzers = analyzers
         self.store_positions = store_positions
-        # (field, docid) id rows with an analyzer-free lineage (source
-        # scan only) — used by save() so stats re-derive cheaply
-        self.ids = ids if ids is not None else doc_stats.select("field", "docid")
+        self._flat = None  # build-time analyzer output incl. sentinel rows
         self._segments = None  # (block_size, segments DF, ordinals DF)
 
     def segments(self, block_size: int = 4096, force: bool = False):
@@ -120,38 +117,38 @@ class InvertedIndex:
         """Persist as a partitioned parquet warehouse (Iceberg-shaped
         layout; reference analogue: storage/disk.ex:22-31).
 
-        Staged so the (expensive) analyze pipeline runs exactly ONCE:
-        postings are written first, then every stats table is re-derived
-        from the written parquet (vectorized, column-pruned scans) —
-        never from the in-memory lineage, which would re-run the
-        analyzer per table. Deliberately NO partitionBy/repartition on
-        field: repartition("field") collapses the write to #fields
-        tasks, and partitionBy makes every task sort its rows by the
-        partition key first (measured 6x slower on 11M rows with
-        position arrays); per-field predicate pushdown still works via
-        parquet row-group dictionary/min-max stats.
+        Build-fresh indexes write the analyzer output ONCE (posting rows
+        + per-doc sentinel rows in one file); every stats table then
+        derives from already-written parquet with pruned vectorized
+        scans — no joins, no analyzer re-runs. Loaded/derived indexes
+        (no _flat) write their frames directly. Deliberately no
+        partitionBy/repartition on field: repartition("field") collapses
+        the write to #fields tasks and partitionBy makes every task sort
+        by the partition key first (measured 6x slower); per-field
+        predicate pushdown still works via parquet row-group stats.
         """
         import time as _time
 
         spark = self.postings.sparkSession
         t0 = _time.perf_counter()
-        self.postings.write.mode("overwrite") \
-            .parquet(os.path.join(path, "postings"))
+        has_sentinels = self._flat is not None
+        if has_sentinels:
+            self._flat.write.mode("overwrite").parquet(
+                os.path.join(path, "postings"))
+        else:
+            self.postings.write.mode("overwrite").parquet(
+                os.path.join(path, "postings"))
         t1 = _time.perf_counter()
         self.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
 
-        # cascade: every stats table derives from ALREADY-WRITTEN parquet
-        # (column-pruned vectorized scans), never from in-memory lineage
-        # — each table is computed exactly once.
-        postings = spark.read.parquet(os.path.join(path, "postings"))
-
-        doc_lens = postings.groupBy("field", "docid").agg(
-            F.first("doc_len").alias("doc_len"))
-        doc_stats = (
-            self.ids.join(doc_lens, ["field", "docid"], "left")
-            .withColumn("doc_len",
-                        F.coalesce(F.col("doc_len"), F.lit(0)).cast("long"))
-        )
+        raw = spark.read.parquet(os.path.join(path, "postings"))
+        if has_sentinels:
+            doc_stats = raw.where(F.col("term").isNull()) \
+                .select("field", "docid", "doc_len")
+            postings = raw.where(F.col("term").isNotNull())
+        else:
+            doc_stats = self.doc_stats
+            postings = raw
         doc_stats.write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
         doc_stats = spark.read.parquet(os.path.join(path, "doc_stats"))
 
@@ -180,12 +177,10 @@ class InvertedIndex:
             .drop("n_docs")
         )
         term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
-        if timings is not None:
-            timings["postings_write_sec"] = round(t1 - t0, 4)
-            timings["stats_write_sec"] = round(_time.perf_counter() - t1, 4)
         manifest = {
-            "version": 1,
+            "version": 2,
             "store_positions": self.store_positions,
+            "doc_rows_in_postings": has_sentinels,
             "fields": {
                 f: {"stages": list(c.stages), "separator": c.separator}
                 for f, c in self.analyzers.items()
@@ -193,6 +188,9 @@ class InvertedIndex:
         }
         with open(os.path.join(path, "manifest.json"), "w") as fh:
             json.dump(manifest, fh, indent=2)
+        if timings is not None:
+            timings["postings_write_sec"] = round(t1 - t0, 4)
+            timings["stats_write_sec"] = round(_time.perf_counter() - t1, 4)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
@@ -202,8 +200,13 @@ class InvertedIndex:
             f: AnalyzerConfig(tuple(cfg["stages"]), cfg["separator"])
             for f, cfg in manifest["fields"].items()
         }
+        postings = spark.read.parquet(os.path.join(path, "postings"))
+        if manifest.get("doc_rows_in_postings"):
+            postings = postings.where(F.col("term").isNotNull())
+        if "tf" not in postings.columns:
+            postings = postings.withColumn("tf", F.sqrt(F.col("tf_raw")))
         return cls(
-            postings=spark.read.parquet(os.path.join(path, "postings")),
+            postings=postings,
             doc_stats=spark.read.parquet(os.path.join(path, "doc_stats")),
             field_stats=spark.read.parquet(os.path.join(path, "field_stats")),
             term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
@@ -234,9 +237,10 @@ class InvertedIndex:
         """Anti-join tombstones + stats refresh (field.ex:136-146, B4)."""
         t = docids.select(F.col(docids.columns[0]).alias("docid"))
         postings = self.postings.join(t, "docid", "left_anti")
-        ids = self.doc_stats.join(t, "docid", "left_anti").select("field", "docid")
+        doc_stats = self.doc_stats.join(t, "docid", "left_anti")
         docs = self.docs.join(t, "docid", "left_anti")
-        return _finalize(postings, ids, docs, self.analyzers, self.store_positions)
+        return _finalize(postings, docs, self.analyzers, self.store_positions,
+                         doc_stats=doc_stats)
 
 
 def build_index(
@@ -273,42 +277,52 @@ def build_index(
     )
     stacked = docs.selectExpr("docid", stack_expr).where(F.col("content").isNotNull())
 
-    # ONE mapInPandas pass producing FINAL posting rows: tf/positions/
-    # doc_len aggregate document-locally inside the analyzer (each docid
-    # is one input row), so the postings table needs NO wide shuffle —
-    # the build is map-only up to the (small-output) stats aggregations.
-    postings = analyze_postings(
-        stacked, analyzers, positions=store_positions
-    ).withColumn("tf", F.sqrt(F.col("tf_raw")))
+    # ONE mapInPandas pass producing FINAL posting rows PLUS one
+    # sentinel row (term NULL) per (field, docid): tf/positions/doc_len
+    # aggregate document-locally inside the analyzer (each docid is one
+    # input row), so postings need NO wide shuffle and doc_stats is a
+    # map-side byproduct (no ids join, no second analyzer pass).
+    flat = analyze_postings(
+        stacked, analyzers, positions=store_positions, doc_rows=True
+    )
     if not store_positions:
-        postings = postings.withColumn(
-            "positions", F.lit(None).cast("array<int>")
-        )
+        flat = flat.withColumn("positions", F.lit(None).cast("array<int>"))
+    postings = flat.where(F.col("term").isNotNull()) \
+        .withColumn("tf", F.sqrt(F.col("tf_raw")))
+    doc_stats = flat.where(F.col("term").isNull()) \
+        .select("field", "docid", "doc_len")
+    inv = _finalize(postings, docs.select("docid"), analyzers,
+                    store_positions, doc_stats=doc_stats)
+    inv._flat = flat  # save() writes this once (sentinels included)
+    return inv
 
-    ids = stacked.select("field", "docid")
-    return _finalize(postings, ids, docs.select("docid"), analyzers, store_positions)
 
-
-def _finalize(postings, ids, docs, analyzers, store_positions) -> InvertedIndex:
+def _finalize(postings, docs, analyzers, store_positions,
+              doc_stats=None, ids=None) -> InvertedIndex:
     """Derive doc/term/field stats from a postings table (B5/B6).
 
     ``doc_len`` is denormalized into postings (BM25 needs no query-time
-    doc_stats join). The build path computes it in the analyze pass; for
-    postings arriving without it (older checkpoints), fall back to a
-    sum(tf_raw) self-join.
+    doc_stats join). Preferred: pass ``doc_stats`` directly (the build's
+    sentinel rows); fallback: derive from postings (+``ids`` left-join to
+    keep zero-token docs when available).
     """
     if "doc_len" not in postings.columns:
         doc_lens0 = postings.groupBy("field", "docid").agg(
             F.sum("tf_raw").alias("doc_len")
         )
         postings = postings.join(doc_lens0, ["field", "docid"])
-    doc_lens = postings.groupBy("field", "docid").agg(
-        F.first("doc_len").alias("doc_len")
-    )
-    doc_stats = (
-        ids.join(doc_lens, ["field", "docid"], "left")
-        .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)).cast("long"))
-    )
+    if doc_stats is None:
+        doc_lens = postings.groupBy("field", "docid").agg(
+            F.first("doc_len").alias("doc_len")
+        )
+        if ids is not None:
+            doc_stats = (
+                ids.join(doc_lens, ["field", "docid"], "left")
+                .withColumn("doc_len",
+                            F.coalesce(F.col("doc_len"), F.lit(0)).cast("long"))
+            )
+        else:
+            doc_stats = doc_lens
 
     field_stats = (
         doc_stats.groupBy("field")
@@ -353,14 +367,14 @@ def _finalize(postings, ids, docs, analyzers, store_positions) -> InvertedIndex:
         docs=docs,
         analyzers=analyzers,
         store_positions=store_positions,
-        ids=ids,
     )
 
 
 def _merge(old: InvertedIndex, new: InvertedIndex) -> InvertedIndex:
     postings = old.postings.unionByName(new.postings)
-    ids = old.doc_stats.select("field", "docid").unionByName(
-        new.doc_stats.select("field", "docid")
+    doc_stats = old.doc_stats.select("field", "docid", "doc_len").unionByName(
+        new.doc_stats.select("field", "docid", "doc_len")
     )
     docs = old.docs.unionByName(new.docs).distinct()
-    return _finalize(postings, ids, docs, old.analyzers, old.store_positions)
+    return _finalize(postings, docs, old.analyzers, old.store_positions,
+                     doc_stats=doc_stats)

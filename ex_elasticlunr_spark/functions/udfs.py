@@ -228,7 +228,8 @@ POSTINGS_SCHEMA_NOPOS = (
 )
 
 
-def analyze_postings(stacked, configs: dict, positions: bool = True):
+def analyze_postings(stacked, configs: dict, positions: bool = True,
+                     doc_rows: bool = False):
     """(field, docid, content) -> FINAL posting rows
     (field, docid, term, tf_raw, doc_len, positions) in one mapInPandas
     pass — tf is a per-document statistic and each docid sits in exactly
@@ -238,6 +239,11 @@ def analyze_postings(stacked, configs: dict, positions: bool = True):
     becomes a pure map). Positions are packed int pairs
     [start0, len0, start1, len1, ...] in occurrence order (the
     reference's append order, field.ex:224-230).
+
+    ``doc_rows``: additionally emit ONE sentinel row per (field, docid)
+    with term=NULL and tf_raw=0 — the doc_stats table as a map-side
+    byproduct (no ids join, no extra analyzer pass; zero-token docs
+    included). Consumers split on ``term IS NULL``.
     """
     import itertools
 
@@ -300,7 +306,7 @@ def analyze_postings(stacked, configs: dict, positions: bool = True):
                 else:
                     for t in toks:
                         agg[t.token] = agg.get(t.token, 0) + 1
-                n = len(agg)
+                n = len(agg) + (1 if doc_rows else 0)
                 o_field.extend(itertools.repeat(fld, n))
                 o_docid.extend(itertools.repeat(docid, n))
                 o_dl.extend(itertools.repeat(dl, n))
@@ -313,6 +319,11 @@ def analyze_postings(stacked, configs: dict, positions: bool = True):
                     for term, tf in agg.items():
                         o_term.append(term)
                         o_tf.append(tf)
+                if doc_rows:
+                    o_term.append(None)
+                    o_tf.append(0)
+                    if positions:
+                        o_pos.append(None)
             data = {
                 "field": o_field,
                 "docid": o_docid,

@@ -50,10 +50,9 @@ def ingest_stream(
             batch_df, fields=fields, docid_col=docid_col, analyzers=analyzers
         )
         bdir = os.path.join(out_path, "delta", f"batch={batch_id}")
-        # overwrite (not append) per batch dir => idempotent on replay
-        idx.postings.write.mode("overwrite").parquet(os.path.join(bdir, "postings"))
-        idx.doc_stats.select("field", "docid").write.mode("overwrite").parquet(
-            os.path.join(bdir, "ids"))
+        # overwrite (not append) per batch dir => idempotent on replay;
+        # one write carries posting rows + per-doc sentinel rows
+        idx._flat.write.mode("overwrite").parquet(os.path.join(bdir, "postings"))
         idx.docs.write.mode("overwrite").parquet(os.path.join(bdir, "docs"))
 
     writer = (
@@ -82,17 +81,18 @@ def finalize_stream_index(
         return spark.read.option("basePath", delta).parquet(
             os.path.join(delta, "batch=*", sub))
 
-    postings = read("postings")
-    ids = read("ids")
+    raw = read("postings")
     docs = read("docs")
 
     first = docs.groupBy("docid").agg(F.min("batch").alias("batch"))
-    postings = postings.join(first, ["docid", "batch"], "left_semi").drop("batch")
-    ids = ids.join(first, ["docid", "batch"], "left_semi").drop("batch")
+    raw = raw.join(first, ["docid", "batch"], "left_semi").drop("batch")
     docs = docs.join(first, ["docid", "batch"], "left_semi").drop("batch").distinct()
 
+    postings = raw.where(F.col("term").isNotNull()) \
+        .withColumn("tf", F.sqrt(F.col("tf_raw")))
+    doc_stats = raw.where(F.col("term").isNull()).select("field", "docid", "doc_len")
     default = AnalyzerConfig()
     amap = dict(analyzers or {})
     for f in fields:
         amap.setdefault(f, default)
-    return _finalize(postings, ids, docs, amap, store_positions)
+    return _finalize(postings, docs, amap, store_positions, doc_stats=doc_stats)
