@@ -85,8 +85,10 @@ class TestTrimmer:
 
 class TestStopWords:
     def test_membership(self):
+        from ex_elasticlunr_spark.analysis.stop_words import STOP_WORDS
         fixture = json.load(open(os.path.join(HERE, "fixtures", "stop_words.json")))
         assert len(fixture) == 119
+        assert set(fixture) == set(STOP_WORDS)
         for w in fixture:
             assert is_stop_word(w)
         assert not is_stop_word("elixir")
