@@ -221,13 +221,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_near_dups"] = lambda s, d: ann.pairwise_near_duplicates(
         _embeddings(s, d), threshold=0.99, n_planes=4)
 
-    # ---- multimodal plumbing (stubbed decode; rows-only check) ---------
-    q["mm_features"] = lambda s, d: multimodal.extract_features(
-        multimodal.synthetic_media_df(s, 32))
+    # ---- multimodal plumbing (stubbed decode; hash-comparable gate
+    # projections: per-dim feature bytes / hex of the stub outputs so the
+    # driver canonicalizer never sees raw array/binary columns) ----------
+    def _mm_features(s, d):
+        feats = multimodal.extract_features(multimodal.synthetic_media_df(s, 32))
+        dims = [
+            F.round(F.element_at("feature", i + 1) * F.lit(255.0)).cast("int")
+            .alias(f"f{i}")
+            for i in range(8)
+        ]
+        return feats.select("media_id", "kind", "n_bytes", *dims)
+
+    q["mm_features"] = _mm_features
     q["mm_resize"] = lambda s, d: multimodal.resize_images(
-        multimodal.synthetic_media_df(s, 32))
+        multimodal.synthetic_media_df(s, 32)).select(
+            "media_id", "thumb_w", "thumb_h",
+            F.lower(F.hex("thumb")).alias("thumb_hex"))
     q["mm_frame_sample"] = lambda s, d: multimodal.sample_frames(
-        multimodal.synthetic_media_df(s, 16, kind="video"), every_n=10)
+        multimodal.synthetic_media_df(s, 16, kind="video"), every_n=10).select(
+            "media_id", "frame_idx",
+            F.lower(F.hex("frame")).alias("frame_hex"))
 
     return q
 
@@ -371,7 +385,7 @@ bits AS (
   FROM hashed, (SELECT unnest(range(16)) AS b) b
   GROUP BY docid, b.b
 )
-SELECT docid, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+SELECT docid, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY docid
 """
     shingles = (
@@ -611,5 +625,38 @@ JOIN assigned a ON a.vec_id = e.vec_id
      (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 ORDER BY ROUND({cos2}, 6) DESC, CAST(e.vec_id AS VARCHAR) ASC
 LIMIT 10
+"""
+    # ---- multimodal stubs: the fake decode hashes the payload's HEX
+    # string (operators/multimodal.py), so it is exactly expressible in
+    # SQL: payload_hex = concat of md5('kind:i:j') for j in 0..7.
+    def _media_cte(kind: str, n: int) -> str:
+        return f"""
+media AS (
+  SELECT 'm' || lpad(i::VARCHAR, 4, '0') AS media_id, '{kind}' AS kind,
+         string_agg(md5('{kind}:' || i || ':' || j), '' ORDER BY j) AS ph
+  FROM range({n}) t(i), range(8) s(j) GROUP BY i
+)""".strip()
+
+    feat_cols = ",\n       ".join(
+        f"CAST(('0x' || substr(md5(ph), {2 * i + 1}, 2)) AS INT) AS f{i}"
+        for i in range(8)
+    )
+    o["mm_features"] = f"""
+WITH {_media_cte('image', 32)}
+SELECT media_id, kind, CAST(128 AS BIGINT) AS n_bytes,
+       {feat_cols}
+FROM media
+"""
+    o["mm_resize"] = f"""
+WITH {_media_cte('image', 32)}
+SELECT media_id, 16 AS thumb_w, 12 AS thumb_h,
+       substr(repeat(md5(ph), 13), 1, 384) AS thumb_hex
+FROM media
+"""
+    o["mm_frame_sample"] = f"""
+WITH {_media_cte('video', 16)}
+SELECT media_id, CAST(fi AS INT) AS frame_idx,
+       md5(ph || printf('%08x', fi)) AS frame_hex
+FROM media, (SELECT unnest([0, 10, 20]) AS fi) f
 """
     return o

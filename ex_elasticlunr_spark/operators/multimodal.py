@@ -4,10 +4,12 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 The Spark-side plumbing — schemas, batch iteration, partition sizing —
 is real and tested; the actual media decode is STUBBED (codec libraries
 are not available in this environment): ``decode_stub=True`` (default)
-produces deterministic fake features from the bytes' md5 so pipelines
-are end-to-end testable; ``decode_stub=False`` raises
-NotImplementedError at the decode boundary, which is where a real
-Pillow/torchaudio/pyav implementation plugs in.
+produces deterministic fake features from the md5 of the payload's hex
+string (hex, not raw bytes, so the stub is expressible in ANSI SQL for
+the DuckDB correctness oracle) so pipelines are end-to-end testable;
+``decode_stub=False`` raises NotImplementedError at the decode
+boundary, which is where a real Pillow/torchaudio/pyav implementation
+plugs in.
 """
 
 from __future__ import annotations
@@ -42,7 +44,7 @@ def synthetic_media_df(spark, n: int = 64, kind: str = "image") -> DataFrame:
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list:
-    h = hashlib.md5(payload).digest()
+    h = hashlib.md5(payload.hex().encode()).digest()
     return [h[i % 16] / 255.0 for i in range(dim)]
 
 
@@ -84,9 +86,8 @@ def resize_images(df: DataFrame, width: int = 16, height: int = 12,
                 raise NotImplementedError("real image resize needs Pillow")
             thumbs = [
                 bytearray(
-                    (hashlib.md5(bytes(p)).digest() * (width * height // 16 + 1))[
-                        : width * height
-                    ]
+                    (hashlib.md5(bytes(p).hex().encode()).digest()
+                     * (width * height // 16 + 1))[: width * height]
                 )
                 for p in pdf["payload"]
             ]
@@ -118,7 +119,9 @@ def sample_frames(df: DataFrame, every_n: int = 10,
                     out["media_id"].append(mid)
                     out["frame_idx"].append(fi)
                     out["frame"].append(
-                        bytearray(hashlib.md5(bytes(payload) + fi.to_bytes(4, "big")).digest())
+                        bytearray(hashlib.md5(
+                            (bytes(payload).hex() + f"{fi:08x}").encode()
+                        ).digest())
                     )
             yield pd.DataFrame(out)
 

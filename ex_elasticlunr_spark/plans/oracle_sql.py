@@ -77,7 +77,7 @@ ids AS (
   WHERE text IS NOT NULL
 ),
 dstats AS (
-  SELECT i.docid, coalesce(p.doc_len, 0) AS doc_len
+  SELECT i.docid, CAST(coalesce(p.doc_len, 0) AS BIGINT) AS doc_len
   FROM ids i LEFT JOIN (
     SELECT docid, SUM(tf_raw) AS doc_len FROM postings GROUP BY docid
   ) p USING (docid)
