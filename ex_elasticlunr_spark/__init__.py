@@ -29,3 +29,4 @@ from .build.indexer import InvertedIndex, build_index  # noqa: E402
 from .functions.udfs import AnalyzerConfig  # noqa: E402
 from .index import Index  # noqa: E402
 from .manager import IndexManager  # noqa: E402
+from .storage import Blackhole, Disk  # noqa: E402

@@ -81,15 +81,19 @@ class InvertedIndex:
         """Compressed posting segments + doc ordinals (built lazily,
         cached; see build/segments.py). An existing segment build is
         reused even for a different requested block_size unless
-        ``force`` — rebuilds are expensive and any block size is valid."""
+        ``force`` — rebuilds are expensive and any block size is valid.
+        ``save()`` persists segments durably and ``load()`` picks them
+        up, so on a loaded index this is a parquet read, not a build."""
         if self._segments is not None and not force:
             return self._segments[1], self._segments[2]
-        if self._segments is None or self._segments[0] != block_size:
-            from .segments import build_segments
+        if self._segments is not None:
+            self._segments[1].unpersist()
+            self._segments[2].unpersist()
+        from .segments import build_segments
 
-            seg, ords = build_segments(self, block_size)
-            seg = seg.persist()
-            self._segments = (block_size, seg, ords)
+        seg, ords = build_segments(self, block_size)
+        seg = seg.persist()
+        self._segments = (block_size, seg, ords)
         return self._segments[1], self._segments[2]
 
     # -- lifecycle -------------------------------------------------------
@@ -113,51 +117,110 @@ class InvertedIndex:
                    self.term_stats, self.docs):
             df.unpersist()
 
-    def save(self, path: str, timings: Optional[dict] = None) -> None:
+    def save(self, path: str, timings: Optional[dict] = None,
+             with_segments: bool = True, block_size: int = 4096,
+             term_salt: int = 8) -> None:
         """Persist as a partitioned parquet warehouse (Iceberg-shaped
         layout; reference analogue: storage/disk.ex:22-31).
 
-        Build-fresh indexes write the analyzer output ONCE (posting rows
-        + per-doc sentinel rows in one file); every stats table then
-        derives from already-written parquet with pruned vectorized
-        scans — no joins, no analyzer re-runs. Loaded/derived indexes
-        (no _flat) write their frames directly. Deliberately no
-        partitionBy/repartition on field: repartition("field") collapses
-        the write to #fields tasks and partitionBy makes every task sort
-        by the partition key first (measured 6x slower); per-field
-        predicate pushdown still works via parquet row-group stats.
+        Durable layout (version 3) is TERM-CLUSTERED: the analyzer
+        output (posting rows + per-doc sentinel rows) is shuffled once
+        on (field, term, salt(docid)) and sorted within partitions by
+        (field, term, docid) before writing, so parquet row-group
+        min/max stats carry tight term ranges and the pushed
+        ``In(term, ...)`` / ``StartsWith(term)`` predicates from the
+        query path (search/scorer.py) actually prune row groups — a
+        doc-ordered layout makes every terms query a full postings scan
+        at scale. The salt bounds hot-term (stopword-class) partition
+        skew: a term spans at most ``term_salt`` shuffle partitions,
+        and pruning only needs sorted-within-file, not one-file-per-
+        term. Sentinel rows (term NULL) shuffle by docid and sort
+        nulls-first, so the ``term IS NULL`` doc_stats scan and every
+        query's ``term IS NOT NULL`` prune entire row groups via
+        parquet null-count stats.
+
+        After the clustered postings write, all stats tables derive
+        from ONE additional aggregation pass over the written parquet
+        (the vocabulary-sized (field, term) df counts are persisted and
+        reused for field_stats + term_stats — no repeated postings
+        scans), and the WAND posting segments (delta-gap + varint
+        blocks, build/segments.py) are built and persisted alongside so
+        queries on a loaded index never pay the segment build.
+
+        Everything is written to a ``.staging`` subdirectory and swapped
+        in atomically at the end: saving an index whose lineage reads
+        the same path (the IndexManager get -> add_documents -> save
+        round-trip) never hits Spark's overwrite-while-reading error,
+        and a crashed save leaves the previous index intact. On a real
+        cluster the same swap is a metastore/Iceberg snapshot commit.
+        After a successful save, ``self`` is repointed at the written
+        parquet (fresh lineage, clustered scans).
+
+        Deliberately no partitionBy on field: repartition("field")
+        collapses the write to #fields tasks and partitionBy makes
+        every task sort by the partition key first (measured 6x
+        slower); per-field predicate pushdown still works via parquet
+        row-group stats (field is the leading sort key).
         """
+        import shutil
         import time as _time
 
         spark = self.postings.sparkSession
+        os.makedirs(path, exist_ok=True)
+        staging = os.path.join(path, ".staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
+
+        def _sp(name: str) -> str:
+            return os.path.join(staging, name)
+
         t0 = _time.perf_counter()
-        has_sentinels = self._flat is not None
-        if has_sentinels:
-            self._flat.write.mode("overwrite").parquet(
-                os.path.join(path, "postings"))
+        flat_cols = ["field", "docid", "term", "tf_raw", "doc_len"]
+        if self.store_positions:
+            flat_cols.append("positions")
+        if self._flat is not None:
+            flat = self._flat.select(*flat_cols)
         else:
-            self.postings.write.mode("overwrite").parquet(
-                os.path.join(path, "postings"))
+            # reconstruct the sentinel layout from postings + doc_stats
+            sent = self.doc_stats.select(
+                "field", "docid",
+                F.lit(None).cast("string").alias("term"),
+                F.lit(0).cast("long").alias("tf_raw"),
+                F.col("doc_len").cast("long").alias("doc_len"),
+            )
+            if self.store_positions:
+                sent = sent.withColumn(
+                    "positions", F.lit(None).cast("array<int>"))
+            flat = self.postings.select(*flat_cols).unionByName(
+                sent.select(*flat_cols))
+        clustered = flat.repartition(
+            F.col("field"),
+            F.coalesce(F.col("term"), F.col("docid")),
+            F.pmod(F.xxhash64("docid"), F.lit(term_salt)),
+        ).sortWithinPartitions("field", "term", "docid")
+        clustered.write.mode("overwrite").parquet(_sp("postings"))
         t1 = _time.perf_counter()
-        self.docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
 
-        raw = spark.read.parquet(os.path.join(path, "postings"))
-        if has_sentinels:
-            doc_stats = raw.where(F.col("term").isNull()) \
-                .select("field", "docid", "doc_len")
-            postings = raw.where(F.col("term").isNotNull())
-        else:
-            doc_stats = self.doc_stats
-            postings = raw
-        doc_stats.write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
-        doc_stats = spark.read.parquet(os.path.join(path, "doc_stats"))
+        self.docs.write.mode("overwrite").parquet(_sp("docs"))
+        docs = spark.read.parquet(_sp("docs"))
 
+        raw = spark.read.parquet(_sp("postings"))
+        raw.where(F.col("term").isNull()) \
+            .select("field", "docid", "doc_len") \
+            .write.mode("overwrite").parquet(_sp("doc_stats"))
+        doc_stats = spark.read.parquet(_sp("doc_stats"))
+        postings = raw.where(F.col("term").isNotNull())
+
+        # one postings aggregation pass feeds BOTH term_stats and the
+        # per-field vocabulary counts (vocabulary-sized; persisted)
+        tdf = (postings.groupBy("field", "term")
+               .agg(F.count(F.lit(1)).alias("df")).persist())
         field_stats = (
             doc_stats.groupBy("field")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.avg("doc_len").alias("avg_doc_len"))
-            .join(postings.groupBy("field").agg(
-                F.countDistinct("term").alias("n_unique_terms")), "field", "left")
+            .join(tdf.groupBy("field").agg(
+                F.count(F.lit(1)).alias("n_unique_terms")), "field", "left")
             .withColumn("n_unique_terms",
                         F.coalesce(F.col("n_unique_terms"), F.lit(0)))
             .withColumn("flnorm",
@@ -165,32 +228,92 @@ class InvertedIndex:
                                F.lit(1.0) / F.sqrt(F.col("n_unique_terms")))
                         .otherwise(F.lit(0.0)))
         )
-        field_stats.write.mode("overwrite").parquet(os.path.join(path, "field_stats"))
-        field_stats = spark.read.parquet(os.path.join(path, "field_stats"))
+        field_stats.write.mode("overwrite").parquet(_sp("field_stats"))
+        field_stats = spark.read.parquet(_sp("field_stats"))
 
-        term_stats = (
-            postings.groupBy("field", "term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .join(F.broadcast(field_stats.select("field", "n_docs")), "field")
+        (tdf.join(F.broadcast(field_stats.select("field", "n_docs")), "field")
             .withColumn("idf", F.lit(1.0) + F.log10(
                 F.col("n_docs") / (F.col("df") + F.lit(1.0))))
             .drop("n_docs")
-        )
-        term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
+            .write.mode("overwrite").parquet(_sp("term_stats")))
+        tdf.unpersist()
+        t2 = _time.perf_counter()
+
+        tables = ["postings", "docs", "doc_stats", "field_stats", "term_stats"]
+        if with_segments:
+            from .segments import build_segments
+
+            seg_src = InvertedIndex(
+                postings=postings.withColumn("tf", F.sqrt(F.col("tf_raw"))),
+                doc_stats=doc_stats, field_stats=field_stats,
+                term_stats=None, docs=docs, analyzers=self.analyzers,
+                store_positions=self.store_positions,
+            )
+            seg, ords = build_segments(seg_src, block_size)
+            seg.write.mode("overwrite").parquet(_sp("segments"))
+            ords.write.mode("overwrite").parquet(_sp("ordinals"))
+            ords.unpersist()
+            for dep in getattr(ords, "_persisted_deps", []):
+                dep.unpersist()
+            tables += ["segments", "ordinals"]
+        t3 = _time.perf_counter()
+
         manifest = {
-            "version": 2,
+            "version": 3,
             "store_positions": self.store_positions,
-            "doc_rows_in_postings": has_sentinels,
+            "doc_rows_in_postings": True,
+            "segments": with_segments,
+            "block_size": block_size,
             "fields": {
                 f: {"stages": list(c.stages), "separator": c.separator}
                 for f, c in self.analyzers.items()
             },
         }
-        with open(os.path.join(path, "manifest.json"), "w") as fh:
+        with open(os.path.join(staging, "manifest.json"), "w") as fh:
             json.dump(manifest, fh, indent=2)
+
+        # atomic-ish swap: retire old tables, move staging into place
+        old = os.path.join(path, ".old")
+        shutil.rmtree(old, ignore_errors=True)
+        os.makedirs(old)
+        for name in tables + ["manifest.json"]:
+            dst = os.path.join(path, name)
+            if os.path.exists(dst):
+                os.rename(dst, os.path.join(old, name))
+            os.rename(os.path.join(staging, name), dst)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        # repoint self at the durable layout (fresh lineage — safe to
+        # keep querying/merging/saving this object)
+        self._rebind_from(path, manifest)
+
         if timings is not None:
             timings["postings_write_sec"] = round(t1 - t0, 4)
-            timings["stats_write_sec"] = round(_time.perf_counter() - t1, 4)
+            timings["stats_write_sec"] = round(t2 - t1, 4)
+            if with_segments:
+                timings["segments_write_sec"] = round(t3 - t2, 4)
+
+    def _rebind_from(self, path: str, manifest: dict, spark=None) -> None:
+        spark = spark or self.postings.sparkSession
+        raw = spark.read.parquet(os.path.join(path, "postings"))
+        self._flat = None
+        self.postings = raw.where(F.col("term").isNotNull()) \
+            .withColumn("tf", F.sqrt(F.col("tf_raw")))
+        self.doc_stats = spark.read.parquet(os.path.join(path, "doc_stats"))
+        self.field_stats = spark.read.parquet(os.path.join(path, "field_stats"))
+        self.term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
+        self.docs = spark.read.parquet(os.path.join(path, "docs"))
+        if self._segments is not None:
+            self._segments[1].unpersist()
+            self._segments[2].unpersist()
+        self._segments = None
+        if manifest.get("segments"):
+            self._segments = (
+                manifest.get("block_size", 4096),
+                spark.read.parquet(os.path.join(path, "segments")),
+                spark.read.parquet(os.path.join(path, "ordinals")),
+            )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
@@ -205,7 +328,7 @@ class InvertedIndex:
             postings = postings.where(F.col("term").isNotNull())
         if "tf" not in postings.columns:
             postings = postings.withColumn("tf", F.sqrt(F.col("tf_raw")))
-        return cls(
+        inv = cls(
             postings=postings,
             doc_stats=spark.read.parquet(os.path.join(path, "doc_stats")),
             field_stats=spark.read.parquet(os.path.join(path, "field_stats")),
@@ -214,6 +337,14 @@ class InvertedIndex:
             analyzers=analyzers,
             store_positions=manifest["store_positions"],
         )
+        if manifest.get("segments") and os.path.exists(
+                os.path.join(path, "segments")):
+            inv._segments = (
+                manifest.get("block_size", 4096),
+                spark.read.parquet(os.path.join(path, "segments")),
+                spark.read.parquet(os.path.join(path, "ordinals")),
+            )
+        return inv
 
     # -- incremental maintenance -----------------------------------------
     def add_documents(self, source: DataFrame, docid_col: str = "docid") -> "InvertedIndex":

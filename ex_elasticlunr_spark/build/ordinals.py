@@ -63,4 +63,8 @@ def assign_doc_ordinals(docs: DataFrame, partitions: int = 0) -> DataFrame:
             )
             seen += n
 
-    return ranged.mapInPandas(number, "docid string, ord long")
+    out = ranged.mapInPandas(number, "docid string, ord long")
+    # handle for callers to unpersist the internal ranged DF once the
+    # ordinals have been materialized/written (save() uses this)
+    out._persisted_deps = [ranged]
+    return out

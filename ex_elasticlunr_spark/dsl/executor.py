@@ -84,7 +84,13 @@ class QueryExecutor:
         if isinstance(node, MatchAllNode):
             return scorer.match_all_scores(self.index, node.boost)
         if isinstance(node, NotNode):
-            return scorer.not_scores(self.index, self.compile(node.inner))
+            # the reference forwards options[:filtered] into the inner
+            # query (not_query.ex:23-25 via QueryRepository.score), so in
+            # a filter chain {filter: [A, {not: B}]} the inner lookup is
+            # restricted to A's survivors while the docs universe stays
+            # unrestricted: result = all_docs - (B ∩ A-survivors)
+            return scorer.not_scores(
+                self.index, self.compile(node.inner, restrict=restrict))
         if isinstance(node, BoolNode):
             return self._compile_bool(node)
         raise TypeError(f"cannot compile {type(node).__name__}")
@@ -108,6 +114,13 @@ class QueryExecutor:
 
         should_aggs = []
         if node.should:
+            if base is not None and len(node.should) >= 1:
+                # the base subtree is embedded once per should clause
+                # (restrict semi-join) plus the final join; materialize it
+                # once instead of re-executing the whole filter/must plan
+                # per clause. localCheckpoint blocks are GC-cleaned by the
+                # ContextCleaner, so no manual unpersist bookkeeping.
+                base = base.localCheckpoint(eager=True)
             clause_results = [
                 self.compile(c, restrict=base) for c in node.should
             ]

@@ -82,6 +82,22 @@ class Index:
         idx.analyzers = idx.inverted.analyzers
         return idx
 
+    def documents_size(self) -> int:
+        """Max over fields of the per-field id-count (B6, reference
+        core/index.ex:161-175 ``update_documents_size``): the ref/id
+        field indexes every document, the per-content fields index the
+        docs with non-null content."""
+        from pyspark.sql import functions as F
+
+        row = (
+            self.inverted.doc_stats.groupBy("field")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m"))
+            .first()
+        )
+        per_field = row["m"] if row and row["m"] is not None else 0
+        return max(self.inverted.docs.count(), per_field)
+
     # -- introspection (reference Q17: field.ex:44-75,207-215) -------------
     def documents(self, field: str) -> DataFrame:
         """All docids indexed under ``field`` (Field.documents/1)."""

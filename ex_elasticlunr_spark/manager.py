@@ -9,8 +9,6 @@ the way the reference's Disk provider globs ``*.index`` files.
 
 from __future__ import annotations
 
-import os
-import shutil
 from typing import Dict, List, Optional
 
 from pyspark.sql import SparkSession
@@ -19,33 +17,29 @@ from .index import Index
 
 
 class IndexManager:
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(self, spark: SparkSession, warehouse: str, storage=None):
+        from .storage import Disk
+
         self.spark = spark
         self.warehouse = warehouse
-        os.makedirs(warehouse, exist_ok=True)
+        self.storage = storage or Disk(warehouse)
         self._loaded: Dict[str, Index] = {}
 
-    def _path(self, name: str) -> str:
-        return os.path.join(self.warehouse, name)
-
     def list(self) -> List[str]:
-        return sorted(
-            d for d in os.listdir(self.warehouse)
-            if os.path.exists(os.path.join(self.warehouse, d, "manifest.json"))
-        )
+        return self.storage.load_all(self.spark)
 
     def save(self, index: Index) -> "IndexManager":
-        index.save(self._path(index.name))
+        self.storage.write(index)
         self._loaded[index.name] = index
         return self
 
     def get(self, name: str) -> Optional[Index]:
         if name in self._loaded:
             return self._loaded[name]
-        path = self._path(name)
-        if not os.path.exists(os.path.join(path, "manifest.json")):
+        try:
+            idx = self.storage.read(self.spark, name)
+        except FileNotFoundError:
             return None
-        idx = Index.load(self.spark, path, name=name)
         self._loaded[name] = idx
         return idx
 
@@ -54,7 +48,7 @@ class IndexManager:
 
     def remove(self, name: str) -> "IndexManager":
         self._loaded.pop(name, None)
-        shutil.rmtree(self._path(name), ignore_errors=True)
+        self.storage.delete(name)
         return self
 
     def preload(self) -> Dict[str, Index]:

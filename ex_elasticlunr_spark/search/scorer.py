@@ -99,6 +99,20 @@ def terms_scores(
             post = post.where(cond)
         else:
             post = post.where(F.col("term").isin(terms))
+    else:
+        # fuzzy: the matched vocab set is tiny (edit-distance ball around
+        # the query terms) — resolve it against term_stats (vocabulary-
+        # sized, cheap) and push the literal In(term, ...) into the
+        # postings scan; without it the fuzzy path is a full postings
+        # scan that anti-scales with data size
+        fuzzy_terms = [
+            r["term"]
+            for r in matched_terms.select("term").distinct().collect()
+        ]
+        if not fuzzy_terms:
+            spark = index.postings.sparkSession
+            return spark.createDataFrame([], "docid string, score double")
+        post = post.where(F.col("term").isin(fuzzy_terms))
     if restrict is not None:
         # no broadcast hint: the restriction can be nearly all docids
         # (e.g. a not-filter base) — AQE picks broadcast when it IS small

@@ -269,7 +269,9 @@ class NotQ:
     inner: object
 
     def score(self, index: OracleIndex, filtered=None):
-        matched = {r["ref"] for r in self.inner.score(index)}
+        # reference (not_query.ex:23-25) forwards options[:filtered] to
+        # the inner query but rejects from the UNRESTRICTED doc universe
+        matched = {r["ref"] for r in self.inner.score(index, filtered=filtered)}
         return [
             {"ref": d, "score": 1.0, "positions": {}}
             for d in index.all()

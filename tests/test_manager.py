@@ -118,3 +118,58 @@ def test_query_pipeline_q16(spark):
     assert [r["docid"] for r in res] == ["1"]
     # index-side analysis did NOT use the expander: "pup" not indexed
     assert not idx.has_token("content", "pup")
+
+
+def test_documents_size(spark):
+    """B6: max over fields of the per-field id-count
+    (reference core/index.ex:161-175, index_test.exs counts)."""
+    from ex_elasticlunr_spark import Index
+
+    sdf = spark.createDataFrame(
+        [("1", "quick fox", "run"), ("2", "lazy dog", None), ("3", None, None)],
+        "id string, text string, tool string")
+    idx = Index(name="ds").add_field("text").add_field("tool")
+    idx.add_documents(sdf, docid_col="id")
+    # ref/id field indexes all 3 docs; text indexes 2, tool indexes 1
+    assert idx.documents_size() == 3
+
+
+def test_blackhole_storage(spark, tmp_path):
+    """B11: noop provider (reference storage/blackhole.ex:7-18) — write
+    computes the plan but persists nothing; read errors; delete noop."""
+    from ex_elasticlunr_spark import Blackhole, Index, IndexManager
+
+    mgr = IndexManager(spark, str(tmp_path / "wh"), storage=Blackhole())
+    sdf = spark.createDataFrame([("1", "quick fox")], "id string, text string")
+    idx = Index(name="bh").add_field("text")
+    idx.add_documents(sdf, docid_col="id")
+    mgr.save(idx)                       # runs the write plan, stores nothing
+    assert mgr.list() == []
+    assert (tmp_path / "wh" / "bh").exists() is False
+    mgr2 = IndexManager(spark, str(tmp_path / "wh"), storage=Blackhole())
+    assert mgr2.get("bh") is None
+
+
+def test_manager_update_roundtrip(spark, tmp_path):
+    """get -> add_documents -> save to the SAME path must not hit
+    Spark's overwrite-while-reading error (staging + atomic swap)."""
+    from ex_elasticlunr_spark import Index, IndexManager
+
+    wh = str(tmp_path / "wh2")
+    mgr = IndexManager(spark, wh)
+    sdf = spark.createDataFrame(
+        [("1", "quick fox"), ("2", "lazy dog")], "id string, text string")
+    idx = Index(name="rt").add_field("text")
+    idx.add_documents(sdf, docid_col="id")
+    mgr.save(idx)
+
+    mgr2 = IndexManager(spark, wh)
+    got = mgr2.get("rt")
+    more = spark.createDataFrame([("3", "sly fox")], "id string, text string")
+    got.add_documents(more, docid_col="id")
+    mgr2.update(got)                    # save over the path being read
+
+    mgr3 = IndexManager(spark, wh)
+    reloaded = mgr3.get("rt")
+    res = reloaded.search({"query": {"terms": {"text": "fox"}}}).collect()
+    assert sorted(r["docid"] for r in res) == ["1", "3"]

@@ -40,6 +40,12 @@ QUERY_SET = [
     {"query": {"match": {"content": "elixir livebook"}}},
     {"query": {"terms": {"content": ["quick", "fox", "lorem"],
                           "minimum_should_match": 2}}},
+    # not inside a filter chain: the reference forwards the previous
+    # clause's survivors into the inner query (not_query.ex:23-25) but
+    # rejects from the unrestricted doc universe
+    {"query": {"bool": {"filter": [{"terms": {"content": "lorem"}},
+                                    {"not": {"terms": {"content": "dog"}}}],
+                         "should": [{"terms": {"content": "ipsum"}}]}}},
 ]
 
 
