@@ -219,7 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = lambda s, d: ann.ivf_topk(
         _embeddings(s, d), _qvec(s, d), k=10, n_cells=8, n_probe=3)
     q["emb_near_dups"] = lambda s, d: ann.pairwise_near_duplicates(
-        _embeddings(s, d), threshold=0.99, n_planes=4)
+        _embeddings(s, d), threshold=0.99, n_planes=8, n_bands=4)
 
     # ---- multimodal plumbing (stubbed decode; hash-comparable gate
     # projections: per-dim feature bytes / hex of the stub outputs so the
@@ -551,41 +551,49 @@ WHERE b.bucket = qb.bucket OR xor(b.bucket, qb.bucket) IN (1, 2, 4, 8)
 ORDER BY ROUND({cos2}, 6) DESC, CAST(e.vec_id AS VARCHAR) ASC
 LIMIT 10
 """
-    # embedding near-duplicate pairs: same hyperplane buckets, exact
-    # cosine within buckets, threshold 0.99
+    # embedding near-duplicate pairs: BANDED hyperplane LSH (4 bands x
+    # 8 planes, global plane ids 0..31 shared with operators/ann.py),
+    # candidates = all band-bits agree in some band, exact cosine >= 0.99
+    nd_planes, nd_bands = 8, 4
+    nd_hp_rows = ", ".join(
+        f"({p}, {j + 1}, {w!r})"
+        for p in range(nd_planes * nd_bands)
+        for j, w in enumerate(_hyperplane(64, p))
+    )
     cos_ab = (
         "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) / "
         "(sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) * "
         "sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))"
     )
     o["emb_near_dups"] = f"""
-WITH hp AS (SELECT * FROM (VALUES {hp_rows}) t(plane, j, w)),
+WITH hp AS (SELECT * FROM (VALUES {nd_hp_rows}) t(plane, j, w)),
 vecs AS (
   SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
          generate_subscripts(embedding, 1) AS j
   FROM embeddings
 ),
 dots AS (
-  SELECT vec_id, plane, SUM(x * w) AS d
+  SELECT vec_id, plane // {nd_planes} AS band, plane % {nd_planes} AS bit,
+         SUM(x * w) AS d
   FROM vecs JOIN hp USING (j) GROUP BY vec_id, plane
 ),
 buckets AS (
-  SELECT vec_id,
-         SUM(CASE WHEN d >= 0 THEN (1 << plane) ELSE 0 END) AS bucket
-  FROM dots GROUP BY vec_id
+  SELECT vec_id, band,
+         SUM(CASE WHEN d >= 0 THEN (1 << bit) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, band
 )
-SELECT CAST(ea.vec_id AS VARCHAR) AS vec_id_a,
+SELECT DISTINCT CAST(ea.vec_id AS VARCHAR) AS vec_id_a,
        CAST(eb.vec_id AS VARCHAR) AS vec_id_b,
        ROUND({cos_ab}, 6) AS cos_sim
 FROM buckets ba
-JOIN buckets bb ON ba.bucket = bb.bucket
+JOIN buckets bb ON ba.band = bb.band AND ba.bucket = bb.bucket
   AND CAST(ba.vec_id AS VARCHAR) < CAST(bb.vec_id AS VARCHAR)
 JOIN embeddings ea ON ea.vec_id = ba.vec_id
 JOIN embeddings eb ON eb.vec_id = bb.vec_id
 WHERE {cos_ab} >= 0.99
 """
-    # IVF-style coarse search: deterministic centroids (first 8 vec ids),
-    # argmax assignment, probe the 3 cells nearest the query
+    # IVF-style coarse search: deterministic pseudo-random centroids
+    # (md5-ordered vec ids), argmax assignment, probe the 3 nearest cells
     cos_ec = (
         "list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) / "
         "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
@@ -599,7 +607,8 @@ WHERE {cos_ab} >= 0.99
     o["ann_ivf_topk"] = f"""
 WITH cents AS (
   SELECT CAST(vec_id AS VARCHAR) AS cell, embedding AS cv
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 8
 ),
 sims AS (
   SELECT e.vec_id, c.cell, {cos_ec} AS sim

@@ -41,7 +41,9 @@ def _run_regex(separator: str) -> re.Pattern:
     if pat is None:
         m = re.fullmatch(r"\[([^\]]*)\]\+?", separator)
         if m:
-            pat = re.compile(r"[^" + m.group(1) + r"]+")
+            # re.ASCII: the reference's Elixir regexes are PCRE without
+            # the `u` flag, so \s/\w classes are ASCII-only
+            pat = re.compile(r"[^" + m.group(1) + r"]+", re.ASCII)
         else:
             pat = None
         _FAST[separator] = pat if pat is not None else False
@@ -62,7 +64,7 @@ def tokenize(
     if run is not None:
         return [Token(m.group(0), m.start(), m.end() - m.start()) for m in run.finditer(s)]
     # generic fallback: per-character separator test (reference semantics)
-    sep = re.compile(separator)
+    sep = re.compile(separator, re.ASCII)
     tokens: List[Token] = []
     start = None
     for i, ch in enumerate(s):

@@ -16,8 +16,10 @@ import re
 
 from .token import Token
 
-_LEAD = re.compile(r"^\W+")
-_TRAIL = re.compile(r"\W+$")
+# re.ASCII: Elixir ~r/\W/ without the `u` flag is PCRE ASCII-only, so
+# e.g. "über." trims to "ber" in the reference — parity over prettiness
+_LEAD = re.compile(r"^\W+", re.ASCII)
+_TRAIL = re.compile(r"\W+$", re.ASCII)
 
 
 def trim_str(s: str) -> str:

@@ -44,13 +44,20 @@ class QueryExecutor:
         self.b = b
 
     # -- public ----------------------------------------------------------
-    def execute(self, query: dict, top_k: Optional[int] = None) -> DataFrame:
+    def execute(self, query: dict, top_k: Optional[int] = None,
+                include_details: bool = False) -> DataFrame:
         """query: {"query": {...}} or the inner node map. Returns
         DataFrame(docid, score) sorted (score desc, docid asc), limited
         to top_k when given (the reference has no limit, index.ex:262-265;
-        top-k is required by the north rule)."""
+        top-k is required by the north rule).
+
+        ``include_details``: add ``matched`` (should-clauses / term
+        entries matched) and ``positions`` (map<field, [start, len, ...]>)
+        columns — the reference's full result shape
+        %{ref, score, matched, positions} (index.ex:258-266,
+        bool_query.ex:108-124)."""
         node = parse(query.get("query", query) if isinstance(query, dict) else query)
-        df = self.compile(node)
+        df = self.compile(node, details=include_details)
         out = df.orderBy(F.desc("score"), F.asc("docid"))
         return out.limit(top_k) if top_k else out
 
@@ -70,7 +77,8 @@ class QueryExecutor:
         return self.execute({"query": {"bool": {"should": should}}}, top_k=top_k)
 
     # -- compilation -----------------------------------------------------
-    def compile(self, node, restrict: Optional[DataFrame] = None) -> DataFrame:
+    def compile(self, node, restrict: Optional[DataFrame] = None,
+                details: bool = False) -> DataFrame:
         if isinstance(node, MatchNode):
             pipeline = self.index.analyzers[node.field].to_query_pipeline()
             node = rewrite_match(node, pipeline)
@@ -80,9 +88,11 @@ class QueryExecutor:
                 expand=node.expand, fuzziness=node.fuzziness,
                 minimum_should_match=node.minimum_should_match,
                 restrict=restrict, mode=self.mode, k1=self.k1, b=self.b,
+                with_details=details,
             )
         if isinstance(node, MatchAllNode):
-            return scorer.match_all_scores(self.index, node.boost)
+            return scorer.match_all_scores(self.index, node.boost,
+                                           with_details=details)
         if isinstance(node, NotNode):
             # the reference forwards options[:filtered] into the inner
             # query (not_query.ex:23-25 via QueryRepository.score), so in
@@ -90,12 +100,13 @@ class QueryExecutor:
             # restricted to A's survivors while the docs universe stays
             # unrestricted: result = all_docs - (B ∩ A-survivors)
             return scorer.not_scores(
-                self.index, self.compile(node.inner, restrict=restrict))
+                self.index, self.compile(node.inner, restrict=restrict),
+                with_details=details)
         if isinstance(node, BoolNode):
-            return self._compile_bool(node)
+            return self._compile_bool(node, details=details)
         raise TypeError(f"cannot compile {type(node).__name__}")
 
-    def _compile_bool(self, node: BoolNode) -> DataFrame:
+    def _compile_bool(self, node: BoolNode, details: bool = False) -> DataFrame:
         msm = node.effective_msm()
 
         # filter chain: each clause restricted to the previous clause's
@@ -112,6 +123,8 @@ class QueryExecutor:
         if node.must is not None:
             base = self.compile(node.must, restrict=base)
 
+        empty_map = F.create_map().cast(scorer.EMPTY_POSITIONS)
+
         should_aggs = []
         if node.should:
             if base is not None and len(node.should) >= 1:
@@ -122,43 +135,78 @@ class QueryExecutor:
                 # ContextCleaner, so no manual unpersist bookkeeping.
                 base = base.localCheckpoint(eager=True)
             clause_results = [
-                self.compile(c, restrict=base) for c in node.should
+                self.compile(c, restrict=base, details=details)
+                for c in node.should
             ]
+            if details:
+                # positions merge in should-clause order, per field
+                # (bool_query.ex:155-162 appends token positions)
+                clause_results = [
+                    df.withColumn("clause_idx", F.lit(i))
+                    for i, df in enumerate(clause_results)
+                ]
             unioned = scorer.union_all(clause_results)
-            should_aggs = (
-                unioned.groupBy("docid")
-                .agg(F.sum("score").alias("should_score"),
-                     F.count(F.lit(1)).alias("matched"))
-            )
+            aggs = [F.sum("score").alias("should_score"),
+                    F.count(F.lit(1)).alias("matched")]
+            if details:
+                merged_pos = F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("clause_idx"), F.col("positions"))),
+                        # structs holding maps aren't naturally orderable;
+                        # compare on the clause index alone
+                        lambda a, b: a["clause_idx"] - b["clause_idx"],
+                    ),
+                    empty_map,
+                    lambda acc, s: F.map_zip_with(
+                        acc, s["positions"],
+                        lambda _k, a, b: F.concat(
+                            F.coalesce(a, F.array().cast("array<int>")),
+                            F.coalesce(b, F.array().cast("array<int>")),
+                        ),
+                    ),
+                )
+                aggs.append(merged_pos.alias("positions"))
+            should_aggs = unioned.groupBy("docid").agg(*aggs)
 
+        det_cols = (["matched", "positions"] if details else [])
         if base is None:
             if node.should:
                 docs = should_aggs.select(
-                    "docid", F.col("should_score").alias("score"), "matched"
-                )
+                    "docid", F.col("should_score").alias("score"), "matched",
+                    *(["positions"] if details else []))
             else:
                 spark = self.index.postings.sparkSession
-                return spark.createDataFrame([], "docid string, score double")
+                schema = "docid string, score double"
+                if details:
+                    schema += (", matched int, positions "
+                               + scorer.EMPTY_POSITIONS)
+                return spark.createDataFrame([], schema)
         else:
+            # base (filter/must) docs enter with matched=0 and EMPTY
+            # positions — the reference drops clause positions when
+            # seeding docs from filter results (bool_query.ex:110-124)
             base_docs = base.select(
                 "docid", F.coalesce(F.col("score"), F.lit(0.0)).alias("base_score")
             )
             if node.should:
-                docs = (
-                    base_docs.join(should_aggs, "docid", "left")
-                    .select(
-                        "docid",
-                        (F.col("base_score")
-                         + F.coalesce(F.col("should_score"), F.lit(0.0))).alias("score"),
-                        F.coalesce(F.col("matched"), F.lit(0)).alias("matched"),
-                    )
-                )
+                sel = [
+                    "docid",
+                    (F.col("base_score")
+                     + F.coalesce(F.col("should_score"), F.lit(0.0))).alias("score"),
+                    F.coalesce(F.col("matched"), F.lit(0)).alias("matched"),
+                ]
+                if details:
+                    sel.append(F.coalesce(F.col("positions"), empty_map)
+                               .alias("positions"))
+                docs = base_docs.join(should_aggs, "docid", "left").select(*sel)
             else:
-                docs = base_docs.select(
-                    "docid", F.col("base_score").alias("score"),
-                    F.lit(0).alias("matched"),
-                )
+                sel = ["docid", F.col("base_score").alias("score"),
+                       F.lit(0).alias("matched")]
+                if details:
+                    sel.append(empty_map.alias("positions"))
+                docs = base_docs.select(*sel)
 
         return docs.where(
             (F.col("matched") >= F.lit(msm)) & (F.col("score") > 0)
-        ).select("docid", "score")
+        ).select("docid", "score", *det_cols)

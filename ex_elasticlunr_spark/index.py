@@ -157,10 +157,14 @@ class Index:
 
     def search(self, query, top_k: Optional[int] = None,
                options: Optional[dict] = None, mode: str = "elasticlunr",
-               **kw) -> DataFrame:
+               include_details: bool = False, **kw) -> DataFrame:
         """DSL map / string / field-map search -> DataFrame(docid, score)
         ordered (score desc, docid asc), mirroring index.ex:177-266 (plus
-        the top-k the reference lacks)."""
+        the top-k the reference lacks).
+
+        ``include_details``: emit the reference's full result shape
+        %{ref, score, matched, positions} (index.ex:258-266) as extra
+        ``matched``/``positions`` columns (DSL-map queries only)."""
         ex = self.executor(mode=mode, **kw)
         if query is None:
             spark = self.inverted.postings.sparkSession
@@ -171,7 +175,8 @@ class Index:
                 return ex.search_text(query, top_k=top_k, field_boosts=boosts)
             return ex.search_text(query, top_k=top_k)
         if isinstance(query, dict) and "query" in query:
-            return ex.execute(query, top_k=top_k)
+            return ex.execute(query, top_k=top_k,
+                              include_details=include_details)
         if isinstance(query, dict):
             # map-query sugar (index.ex:229-256)
             opts = options or {}

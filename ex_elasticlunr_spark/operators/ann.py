@@ -70,12 +70,13 @@ def _hyperplane(dim: int, plane: int) -> List[float]:
     return out
 
 
-def bucket_of(vec_col, dim: int, n_planes: int):
-    """Sign-pattern bucket id (integer) for a vector column."""
+def bucket_of(vec_col, dim: int, n_planes: int, plane_offset: int = 0):
+    """Sign-pattern bucket id (integer) for a vector column, over global
+    hyperplanes [plane_offset, plane_offset + n_planes)."""
     vec = vec_col.cast("array<double>")
     acc = F.lit(0)
     for p in range(n_planes):
-        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_offset + p)])
         bit = F.when(_dot(vec, hp) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         acc = acc + bit
     return acc
@@ -113,23 +114,49 @@ def lsh_topk(df: DataFrame, query_vec: List[float], k: int = 10,
 
 
 def pairwise_near_duplicates(df: DataFrame, threshold: float = 0.95,
-                             n_planes: int = 6, id_col: str = "vec_id",
+                             n_planes: int = 8, n_bands: int = 4,
+                             id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              dim: Optional[int] = None) -> DataFrame:
-    """Embedding-cosine near-dup pairs: LSH-bucket self-join (vectors in
-    the same sign bucket), exact cosine within buckets, keep >= threshold.
+    """Embedding-cosine near-dup pairs via BANDED hyperplane LSH (the
+    MinHash-LSH shape): ``n_bands`` independent bands of ``n_planes``
+    sign bits each; a pair is a candidate iff all bits of SOME band
+    agree, then exact cosine verifies candidates only.
+
+    Scale shape: candidates are bounded per (band, bucket) — bucket
+    count is ``n_bands * 2^n_planes`` and grows with ``n_planes``, so
+    the within-bucket self-join never approaches all-pairs; banding
+    (OR over bands) restores the recall a single fine bucket table
+    loses. Each vector emits ``n_bands`` rows (sign bits are map-side
+    column math); the only shuffle keys on (band, bucket).
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    b = df.select(
+    vecs = df.select(
         F.col(id_col).cast("string").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("bucket", bucket_of(F.col("v"), dim, n_planes))
+    )
+    # band b uses global planes [b*n_planes, (b+1)*n_planes) so the SQL
+    # oracle reproduces the exact same hyperplanes
+    band_buckets = F.array(*[
+        F.struct(
+            F.lit(band).alias("band"),
+            bucket_of(F.col("v"), dim, n_planes,
+                      plane_offset=band * n_planes).alias("bucket"),
+        )
+        for band in range(n_bands)
+    ])
+    b = (
+        vecs.withColumn("bb", F.explode(band_buckets))
+        .select("vec_id", "v", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    )
     a, c = b.alias("a"), b.alias("c")
-    return (
+    pairs = (
         a.join(
             c,
-            (F.col("a.bucket") == F.col("c.bucket"))
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
             & (F.col("a.vec_id") < F.col("c.vec_id")),
         )
         .select(
@@ -139,23 +166,14 @@ def pairwise_near_duplicates(df: DataFrame, threshold: float = 0.95,
         )
         .where(F.col("cos_sim") >= threshold)
     )
+    # a pair matching in several bands appears once per band; the rounded
+    # cosine is identical, so distinct() dedupes exactly
+    return pairs.distinct()
 
 
-def ivf_topk(df: DataFrame, query_vec: List[float], k: int = 10,
-             n_cells: int = 8, n_probe: int = 2, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """IVF-style: deterministic centroids (first n_cells ids), assign via
-    broadcast argmax join, probe the n_probe cells nearest the query."""
-    vecs = df.select(
-        F.col(id_col).cast("string").alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    cents = (
-        vecs.orderBy(F.col("vec_id").cast("long"))
-        .limit(n_cells)
-        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
-    )
-    assigned = (
+def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """argmax-cosine cell assignment via one broadcast cross join."""
+    return (
         vecs.crossJoin(F.broadcast(cents))
         .withColumn("sim", cosine(F.col("v"), F.col("cv")))
         .withColumn(
@@ -167,6 +185,50 @@ def ivf_topk(df: DataFrame, query_vec: List[float], k: int = 10,
         .where(F.col("rn") == 1)
         .select("vec_id", "v", "cell")
     )
+
+
+def ivf_topk(df: DataFrame, query_vec: List[float], k: int = 10,
+             n_cells: int = 8, n_probe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding", kmeans_iters: int = 0) -> DataFrame:
+    """IVF-style coarse search: deterministic pseudo-random sampled
+    centroids (md5-ordered vec ids — uniform over the corpus, unlike a
+    first-N prefix, and reproducible in any engine with md5), optional
+    Lloyd refinement iterations, assignment via broadcast argmax join,
+    query probes the ``n_probe`` nearest cells.
+
+    ``kmeans_iters``: each iteration re-assigns all vectors to their
+    nearest centroid (broadcast join) and recomputes centroids as the
+    per-cell elementwise mean (posexplode + groupBy(cell, dim) — a
+    distributed Lloyd step whose output is only n_cells*dim values,
+    collected and re-broadcast).
+    """
+    vecs = df.select(
+        F.col(id_col).cast("string").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cents = (
+        vecs.orderBy(F.md5(F.col("vec_id")), F.col("vec_id"))
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    )
+    for _ in range(kmeans_iters):
+        means = (
+            _assign_cells(vecs, cents)
+            .select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell",
+                    F.transform("pm", lambda s: s["m"]).alias("cv"))
+        )
+        spark = df.sparkSession
+        cents = spark.createDataFrame(
+            [(r["cell"], [float(x) for x in r["cv"]]) for r in means.collect()],
+            "cell string, cv array<double>",
+        )
+    assigned = _assign_cells(vecs, cents)
+
     cent_rows = cents.collect()
     import math
 

@@ -73,15 +73,26 @@ def terms_scores(
     mode: str = "elasticlunr",
     k1: float = 1.2,
     b: float = 0.75,
+    with_details: bool = False,
 ) -> DataFrame:
     """Score one terms query -> DataFrame(docid, score).
 
     ``restrict``: optional DataFrame(docid) — the filtered-docs pushdown
     (terms_query.ex:70-76 / field.ex:351-362), a broadcast semi-join here.
+
+    ``with_details``: additionally emit ``matched`` (count of matched
+    (query term, vocab term) entries) and ``positions``
+    (map<field, array<int>> of packed [start, len, ...] pairs — the
+    winning entry's positions in elasticlunr mode, mirroring
+    terms_query.ex:93-98's highest-score pick; all matched entries'
+    positions term-sorted in bm25 sum mode).
     """
+    empty_schema = "docid string, score double"
+    if with_details:
+        empty_schema += ", matched int, positions map<string,array<int>>"
     if not terms:
         spark = index.postings.sparkSession
-        return spark.createDataFrame([], "docid string, score double")
+        return spark.createDataFrame([], empty_schema)
 
     matched_terms = _query_terms_df(index, field, terms, expand, fuzziness)
 
@@ -111,7 +122,7 @@ def terms_scores(
         ]
         if not fuzzy_terms:
             spark = index.postings.sparkSession
-            return spark.createDataFrame([], "docid string, score double")
+            return spark.createDataFrame([], empty_schema)
         post = post.where(F.col("term").isin(fuzzy_terms))
     if restrict is not None:
         # no broadcast hint: the restriction can be nearly all docids
@@ -149,27 +160,66 @@ def terms_scores(
     else:
         raise ValueError(f"unknown scoring mode {mode!r}")
 
-    per_doc = entries.groupBy("docid").agg(
-        agg_score.alias("raw_score"),
-        F.count(F.lit(1)).alias("n_entries"),
-    )
+    aggs = [agg_score.alias("raw_score"), F.count(F.lit(1)).alias("n_entries")]
+    if with_details:
+        if mode == "elasticlunr":
+            # the winning (highest-score) entry's positions; the
+            # reference keeps the FIRST max in per-doc term insertion
+            # order (terms_query.ex:80-84 strict >), which equals
+            # ascending first-occurrence start — so ties break on the
+            # smallest first position
+            pos = F.max_by(
+                "positions",
+                F.struct(
+                    entry_score,
+                    -F.coalesce(F.element_at("positions", 1), F.lit(0)),
+                ),
+            )
+        else:
+            pos = F.flatten(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("term"), F.col("positions")))),
+                lambda s: s["positions"],
+            ))
+        aggs.append(pos.alias("pos_arr"))
+    per_doc = entries.groupBy("docid").agg(*aggs)
     if minimum_should_match > 1:
         per_doc = per_doc.where(F.col("n_entries") >= minimum_should_match)
-    return per_doc.select(
-        "docid", (F.col("raw_score") * F.lit(float(boost))).alias("score")
-    )
+    out_cols = ["docid", (F.col("raw_score") * F.lit(float(boost))).alias("score")]
+    if with_details:
+        out_cols += [
+            F.col("n_entries").cast("int").alias("matched"),
+            F.create_map(F.lit(field), F.coalesce(
+                F.col("pos_arr"), F.array().cast("array<int>"))
+            ).alias("positions"),
+        ]
+    return per_doc.select(*out_cols)
 
 
-def match_all_scores(index, boost: float = 1.0) -> DataFrame:
-    return index.docs.select(
+EMPTY_POSITIONS = 'map<string,array<int>>'
+
+
+def _details_cols():
+    return [
+        F.lit(0).alias("matched"),
+        F.create_map().cast(EMPTY_POSITIONS).alias("positions"),
+    ]
+
+
+def match_all_scores(index, boost: float = 1.0,
+                     with_details: bool = False) -> DataFrame:
+    out = index.docs.select(
         "docid", (F.lit(1.0) * F.lit(float(boost))).alias("score")
     )
+    return out.select("*", *_details_cols()) if with_details else out
 
 
-def not_scores(index, inner: DataFrame) -> DataFrame:
-    return index.docs.join(
+def not_scores(index, inner: DataFrame,
+               with_details: bool = False) -> DataFrame:
+    out = index.docs.join(
         inner.select("docid"), "docid", "left_anti"
     ).select("docid", F.lit(1.0).alias("score"))
+    return out.select("*", *_details_cols()) if with_details else out
 
 
 def union_all(dfs: List[DataFrame]) -> DataFrame:

@@ -155,3 +155,22 @@ class TestPipeline:
         assert p3.callbacks == [b]
         p4 = Pipeline([a]).insert_before(b, a)
         assert p4.callbacks == [b, a]
+
+
+def test_trimmer_ascii_parity():
+    """Elixir ~r/\\W/ without the `u` flag is ASCII-only (PCRE), so
+    non-ASCII letters trim as non-word chars (trimmer.ex:8-9)."""
+    from ex_elasticlunr_spark.analysis.trimmer import trim_str
+
+    assert trim_str("über.") == "ber"
+    assert trim_str("naïve") == "naïve"     # 'ï' is mid-word, untouched
+    assert trim_str("café") == "caf"        # trailing 'é' is \W in ASCII
+    assert trim_str("it's") == "it's"
+
+
+def test_tokenizer_ascii_separator():
+    """ASCII \\s: NBSP is NOT a separator (reference PCRE semantics)."""
+    from ex_elasticlunr_spark.analysis.tokenizer import tokenize
+
+    toks = [t.token for t in tokenize("foo bar baz")]
+    assert toks == ["foo bar", "baz"]

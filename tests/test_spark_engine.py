@@ -192,3 +192,44 @@ def test_save_load_roundtrip(tmp_path, spark, golden):
     assert_rank_identical(
         spark_results(loaded.search(q)), oracle_results(oidx, q)
     )
+
+
+def test_search_details_terms_positions(golden):
+    """Result shape parity with the reference's %{ref, score, matched,
+    positions} (index.ex:258-266, terms_query.ex:93-98)."""
+    idx, oidx = golden
+    q = {"query": {"terms": {"content": "fox"}}}
+    rows = idx.search(q, include_details=True).collect()
+    want = {r["ref"]: r for r in oracle_search(oidx, q)}
+    assert rows and set(rows[0].asDict()) == {
+        "docid", "score", "matched", "positions"}
+    for r in rows:
+        w = want[r["docid"]]
+        packed = [x for pair in w["positions"]["content"] for x in pair]
+        assert r["positions"]["content"] == packed
+        assert r["score"] == pytest.approx(w["score"])
+
+
+def test_search_details_bool_merge(golden):
+    """Bool should-clause positions merge per field in clause order
+    (bool_query.ex:155-162); matched counts should clauses."""
+    idx, oidx = golden
+    q = {"query": {"bool": {
+        "must": {"terms": {"content": "lorem"}},
+        "should": [{"terms": {"content": "dog"}},
+                    {"terms": {"content": "lorem"}}]}}}
+    rows = {r["docid"]: r for r in
+            idx.search(q, include_details=True).collect()}
+    want = {r["ref"]: r for r in oracle_search(oidx, q)}
+    assert set(rows) == set(want)
+    for docid, w in want.items():
+        r = rows[docid]
+        assert r["matched"] == w["matched"], docid
+        got_pos = dict(r["positions"]) if r["positions"] else {}
+        want_pos = {
+            f: [x for pair in pos for x in pair]
+            for f, pos in w.get("positions", {}).items() if pos
+        }
+        got_pos = {f: p for f, p in got_pos.items() if p}
+        assert got_pos == want_pos, docid
+        assert r["score"] == pytest.approx(w["score"])
