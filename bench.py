@@ -38,6 +38,9 @@ def main() -> None:
         # the default 128MB row-group buffer; 16MB keeps write scaling
         # linear (measured: 37.5s -> 8.2s for 11M rows at local[32])
         .config("spark.hadoop.parquet.block.size", "16777216")
+        # AQE's 64MB advisory coalesce shrinks the segment-encode stage
+        # below the core count at bench scale; 8MB keeps it CPU-bound
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

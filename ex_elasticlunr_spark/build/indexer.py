@@ -193,7 +193,15 @@ class InvertedIndex:
                     "positions", F.lit(None).cast("array<int>"))
             flat = self.postings.select(*flat_cols).unionByName(
                 sent.select(*flat_cols))
+        # explicit partition count: a column-only repartition is subject
+        # to AQE coalescing toward the advisory size, which would shrink
+        # the sort+encode+write stage below the executor count
+        try:
+            n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n_shuffle = spark.sparkContext.defaultParallelism
         clustered = flat.repartition(
+            n_shuffle,
             F.col("field"),
             F.coalesce(F.col("term"), F.col("docid")),
             F.pmod(F.xxhash64("docid"), F.lit(term_salt)),
