@@ -71,7 +71,9 @@ def main() -> None:
     stage_timings = {}
     t0 = time.perf_counter()
     idx = Index(name="bench").add_field("text").add_field("tool")
-    idx.add_documents(tx, docid_col="docid")
+    # transcripts key on (conv_id, turn_idx) -> docids unique by
+    # construction; skip the duplicate-guard full-text shuffle
+    idx.add_documents(tx, docid_col="docid", dedupe=False)
     idx.inverted.save(out_dir, timings=stage_timings)
     build_sec = time.perf_counter() - t0
 

@@ -83,6 +83,7 @@ def checkpointed_build(
     analyzers: Optional[Dict[str, AnalyzerConfig]] = None,
     store_positions: bool = True,
     max_buckets: Optional[int] = None,
+    dedupe: bool = True,
 ) -> Optional[InvertedIndex]:
     """Build (or resume building) the index under ``out_path``.
 
@@ -121,7 +122,7 @@ def checkpointed_build(
         part = spark.read.parquet(src_dir).where(F.col("bucket") == b)
         idx = build_index(
             part, fields=fields, docid_col="docid", analyzers=analyzers,
-            store_positions=store_positions,
+            store_positions=store_positions, dedupe=dedupe,
         )
         # one write: posting rows + per-doc sentinel rows (term NULL)
         idx._flat.write.mode("overwrite").parquet(os.path.join(bdir, "postings"))

@@ -66,8 +66,14 @@ class InvertedIndex:
         docs: DataFrame,
         analyzers: Dict[str, AnalyzerConfig],
         store_positions: bool = True,
+        postings_full: Optional[DataFrame] = None,
     ):
         self.postings = postings
+        # the positions-bearing postings view (== postings for a fresh
+        # build; the flat ingest table on a loaded v4 index). The scoring
+        # hot path uses the narrow `postings`; details/introspection use
+        # this one.
+        self.postings_full = postings_full if postings_full is not None else postings
         self.doc_stats = doc_stats
         self.field_stats = field_stats
         self.term_stats = term_stats
@@ -76,6 +82,7 @@ class InvertedIndex:
         self.store_positions = store_positions
         self._flat = None  # build-time analyzer output incl. sentinel rows
         self._segments = None  # (block_size, segments DF, ordinals DF)
+        self._ordinals = None  # durable docid->ord table (v4 layout)
 
     def segments(self, block_size: int = 4096, force: bool = False):
         """Compressed posting segments + doc ordinals (built lazily,
@@ -89,6 +96,15 @@ class InvertedIndex:
         if self._segments is not None:
             self._segments[1].unpersist()
             self._segments[2].unpersist()
+        if (self._ordinals is not None and "ord" in self.postings.columns
+                and not force):
+            # v4 layout saved without segments: the postings table is
+            # already block-clustered with ords — pure-map build
+            from .segments import build_segments_streaming
+
+            seg = build_segments_streaming(self.postings, block_size).persist()
+            self._segments = (block_size, seg, self._ordinals)
+            return seg, self._ordinals
         from .segments import build_segments
 
         seg, ords = build_segments(self, block_size)
@@ -123,29 +139,29 @@ class InvertedIndex:
         """Persist as a partitioned parquet warehouse (Iceberg-shaped
         layout; reference analogue: storage/disk.ex:22-31).
 
-        Durable layout (version 3) is TERM-CLUSTERED: the analyzer
-        output (posting rows + per-doc sentinel rows) is shuffled once
-        on (field, term, salt(docid)) and sorted within partitions by
-        (field, term, docid) before writing, so parquet row-group
-        min/max stats carry tight term ranges and the pushed
-        ``In(term, ...)`` / ``StartsWith(term)`` predicates from the
-        query path (search/scorer.py) actually prune row groups — a
-        doc-ordered layout makes every terms query a full postings scan
-        at scale. The salt bounds hot-term (stopword-class) partition
-        skew: a term spans at most ``term_salt`` shuffle partitions,
-        and pruning only needs sorted-within-file, not one-file-per-
-        term. Sentinel rows (term NULL) shuffle by docid and sort
-        nulls-first, so the ``term IS NULL`` doc_stats scan and every
-        query's ``term IS NOT NULL`` prune entire row groups via
-        parquet null-count stats.
+        Durable layout (version 4), Lucene-shaped table split:
 
-        After the clustered postings write, all stats tables derive
-        from ONE additional aggregation pass over the written parquet
-        (the vocabulary-sized (field, term) df counts are persisted and
-        reused for field_stats + term_stats — no repeated postings
-        scans), and the WAND posting segments (delta-gap + varint
-        blocks, build/segments.py) are built and persisted alongside so
-        queries on a loaded index never pay the segment build.
+        * ``flat``      — the analyzer output as produced (map-only
+          ingest write; posting rows + per-doc sentinel rows). The ONLY
+          table carrying the positions arrays — the scoring hot path
+          never reads positions, and shuffling/sorting array columns
+          was measured as the dominant CPU cost of a clustered rewrite
+          (Lucene's separate .pos file, same rationale).
+        * ``postings``  — NARROW (field, term, docid, ord, tf_raw,
+          doc_len), shuffled once on (field, term, pmod(block, salt))
+          and sorted within partitions by (field, term, ord): row
+          groups carry tight term ranges so the query path's pushed
+          ``In(term, ...)``/``StartsWith`` predicates prune on every
+          scan, the block-aligned salt bounds hot-term skew AND makes
+          every (field, term, block) complete inside one partition.
+        * ``ordinals``  — the global docID assignment (docid -> ord in
+          docid sort order, build/ordinals.py).
+        * ``segments``  — delta-gap + varint posting blocks, built as a
+          pure MAP over the block-clustered postings
+          (build_segments_streaming: no shuffle, no collect_list).
+        * stats tables derive from ONE aggregation pass over the
+          clustered parquet (the vocabulary-sized (field, term) counts
+          are persisted and reused for field_stats + term_stats).
 
         Everything is written to a ``.staging`` subdirectory and swapped
         in atomically at the end: saving an index whose lineage reads
@@ -165,6 +181,9 @@ class InvertedIndex:
         import shutil
         import time as _time
 
+        from .ordinals import assign_doc_ordinals
+        from .segments import build_segments_streaming
+
         spark = self.postings.sparkSession
         os.makedirs(path, exist_ok=True)
         staging = os.path.join(path, ".staging")
@@ -174,6 +193,12 @@ class InvertedIndex:
         def _sp(name: str) -> str:
             return os.path.join(staging, name)
 
+        # ---- phase 1: INGEST — the analyzer output written exactly as
+        # produced (map-only, no shuffle). This is the raw-throughput
+        # stage; positions live ONLY here (Lucene keeps positions in a
+        # separate .pos file for the same reason: the scoring hot path
+        # never reads them, and sorting/shuffling array columns is the
+        # single most expensive part of a clustered rewrite).
         t0 = _time.perf_counter()
         flat_cols = ["field", "docid", "term", "tf_raw", "doc_len"]
         if self.store_positions:
@@ -182,6 +207,7 @@ class InvertedIndex:
             flat = self._flat.select(*flat_cols)
         else:
             # reconstruct the sentinel layout from postings + doc_stats
+            src = self.postings_full
             sent = self.doc_stats.select(
                 "field", "docid",
                 F.lit(None).cast("string").alias("term"),
@@ -189,38 +215,61 @@ class InvertedIndex:
                 F.col("doc_len").cast("long").alias("doc_len"),
             )
             if self.store_positions:
+                if "positions" not in src.columns:
+                    src = src.withColumn(
+                        "positions", F.lit(None).cast("array<int>"))
                 sent = sent.withColumn(
                     "positions", F.lit(None).cast("array<int>"))
-            flat = self.postings.select(*flat_cols).unionByName(
-                sent.select(*flat_cols))
-        # explicit partition count: a column-only repartition is subject
-        # to AQE coalescing toward the advisory size, which would shrink
-        # the sort+encode+write stage below the executor count
-        try:
-            n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except (TypeError, ValueError):
-            n_shuffle = spark.sparkContext.defaultParallelism
-        clustered = flat.repartition(
-            n_shuffle,
-            F.col("field"),
-            F.coalesce(F.col("term"), F.col("docid")),
-            F.pmod(F.xxhash64("docid"), F.lit(term_salt)),
-        ).sortWithinPartitions("field", "term", "docid")
-        clustered.write.mode("overwrite").parquet(_sp("postings"))
+            flat = src.select(*flat_cols).unionByName(sent.select(*flat_cols))
+        flat.write.mode("overwrite").parquet(_sp("flat"))
         t1 = _time.perf_counter()
 
+        # ---- phase 2: doc tables + global ordinals ----------------------
         self.docs.write.mode("overwrite").parquet(_sp("docs"))
         docs = spark.read.parquet(_sp("docs"))
 
-        raw = spark.read.parquet(_sp("postings"))
+        raw = spark.read.parquet(_sp("flat"))
         raw.where(F.col("term").isNull()) \
             .select("field", "docid", "doc_len") \
             .write.mode("overwrite").parquet(_sp("doc_stats"))
         doc_stats = spark.read.parquet(_sp("doc_stats"))
-        postings = raw.where(F.col("term").isNotNull())
 
-        # one postings aggregation pass feeds BOTH term_stats and the
-        # per-field vocabulary counts (vocabulary-sized; persisted)
+        ordinals = assign_doc_ordinals(docs)
+        ordinals = ordinals.persist()
+        ordinals.write.mode("overwrite").parquet(_sp("ordinals"))
+
+        # ---- phase 3: TERM-CLUSTERED narrow postings --------------------
+        # One shuffle joins ordinals in (docID assignment) and one
+        # clusters by term. The salt is pmod(block_id, term_salt) — the
+        # ordinal-range salting of the segment design — so (a) hot terms
+        # spread over term_salt partitions (bounded skew), (b) every
+        # (field, term, block) group lands COMPLETE in one partition,
+        # letting the segment encoder below run with ZERO further
+        # shuffle, and (c) within-partition (field, term, ord) sort gives
+        # parquet row groups tight term ranges: the query path's pushed
+        # In(term,...) / StartsWith predicates prune row groups on every
+        # scan. No positions column here — the hot path stays narrow.
+        try:
+            n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n_shuffle = spark.sparkContext.defaultParallelism
+        posts = raw.where(F.col("term").isNotNull()).select(
+            "field", "term", "docid", "tf_raw", "doc_len")
+        clustered = (
+            posts.join(ordinals, "docid")
+            .repartition(
+                n_shuffle, F.col("field"), F.col("term"),
+                F.pmod((F.col("ord") / block_size).cast("long"),
+                       F.lit(term_salt)))
+            .sortWithinPartitions("field", "term", "ord")
+            .select("field", "term", "docid", "ord", "tf_raw", "doc_len")
+        )
+        clustered.write.mode("overwrite").parquet(_sp("postings"))
+        t2 = _time.perf_counter()
+
+        # ---- phase 4: stats (one aggregation pass over the clustered
+        # parquet feeds BOTH term_stats and per-field vocab counts) ------
+        postings = spark.read.parquet(_sp("postings"))
         tdf = (postings.groupBy("field", "term")
                .agg(F.count(F.lit(1)).alias("df")).persist())
         field_stats = (
@@ -245,31 +294,27 @@ class InvertedIndex:
             .drop("n_docs")
             .write.mode("overwrite").parquet(_sp("term_stats")))
         tdf.unpersist()
-        t2 = _time.perf_counter()
-
-        tables = ["postings", "docs", "doc_stats", "field_stats", "term_stats"]
-        if with_segments:
-            from .segments import build_segments
-
-            seg_src = InvertedIndex(
-                postings=postings.withColumn("tf", F.sqrt(F.col("tf_raw"))),
-                doc_stats=doc_stats, field_stats=field_stats,
-                term_stats=None, docs=docs, analyzers=self.analyzers,
-                store_positions=self.store_positions,
-            )
-            seg, ords = build_segments(seg_src, block_size)
-            seg.write.mode("overwrite").parquet(_sp("segments"))
-            ords.write.mode("overwrite").parquet(_sp("ordinals"))
-            ords.unpersist()
-            for dep in getattr(ords, "_persisted_deps", []):
-                dep.unpersist()
-            tables += ["segments", "ordinals"]
         t3 = _time.perf_counter()
 
+        tables = ["flat", "postings", "docs", "doc_stats", "field_stats",
+                  "term_stats", "ordinals"]
+        # ---- phase 5: segments — a pure MAP over the block-clustered
+        # postings (runs chunked at global block boundaries; see
+        # build_segments_streaming). No shuffle, no collect_list.
+        if with_segments:
+            build_segments_streaming(postings, block_size) \
+                .write.mode("overwrite").parquet(_sp("segments"))
+            tables.append("segments")
+        ordinals.unpersist()
+        for dep in getattr(ordinals, "_persisted_deps", []):
+            dep.unpersist()
+        t4 = _time.perf_counter()
+
         manifest = {
-            "version": 3,
+            "version": 4,
             "store_positions": self.store_positions,
-            "doc_rows_in_postings": True,
+            "flat_table": True,
+            "clustered_ord": True,
             "segments": with_segments,
             "block_size": block_size,
             "fields": {
@@ -297,17 +342,36 @@ class InvertedIndex:
         self._rebind_from(path, manifest)
 
         if timings is not None:
-            timings["postings_write_sec"] = round(t1 - t0, 4)
-            timings["stats_write_sec"] = round(t2 - t1, 4)
+            timings["postings_write_sec"] = round(t1 - t0, 4)  # ingest
+            timings["cluster_write_sec"] = round(t2 - t1, 4)
+            timings["stats_write_sec"] = round(t3 - t2, 4)
             if with_segments:
-                timings["segments_write_sec"] = round(t3 - t2, 4)
+                timings["segments_write_sec"] = round(t4 - t3, 4)
 
     def _rebind_from(self, path: str, manifest: dict, spark=None) -> None:
         spark = spark or self.postings.sparkSession
-        raw = spark.read.parquet(os.path.join(path, "postings"))
         self._flat = None
-        self.postings = raw.where(F.col("term").isNotNull()) \
-            .withColumn("tf", F.sqrt(F.col("tf_raw")))
+        if manifest.get("version", 2) >= 4:
+            # v4 split layout: narrow clustered postings (hot path),
+            # positions in the flat ingest table (cold path)
+            self.postings = spark.read.parquet(
+                os.path.join(path, "postings")
+            ).withColumn("tf", F.sqrt(F.col("tf_raw")))
+            self.postings_full = (
+                spark.read.parquet(os.path.join(path, "flat"))
+                .where(F.col("term").isNotNull())
+                .withColumn("tf", F.sqrt(F.col("tf_raw")))
+            )
+            self._ordinals = spark.read.parquet(os.path.join(path, "ordinals"))
+        else:
+            raw = spark.read.parquet(os.path.join(path, "postings"))
+            if manifest.get("doc_rows_in_postings"):
+                raw = raw.where(F.col("term").isNotNull())
+            if "tf" not in raw.columns:
+                raw = raw.withColumn("tf", F.sqrt(F.col("tf_raw")))
+            self.postings = raw
+            self.postings_full = raw
+            self._ordinals = None
         self.doc_stats = spark.read.parquet(os.path.join(path, "doc_stats"))
         self.field_stats = spark.read.parquet(os.path.join(path, "field_stats"))
         self.term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
@@ -316,7 +380,8 @@ class InvertedIndex:
             self._segments[1].unpersist()
             self._segments[2].unpersist()
         self._segments = None
-        if manifest.get("segments"):
+        if manifest.get("segments") and os.path.exists(
+                os.path.join(path, "segments")):
             self._segments = (
                 manifest.get("block_size", 4096),
                 spark.read.parquet(os.path.join(path, "segments")),
@@ -331,38 +396,28 @@ class InvertedIndex:
             f: AnalyzerConfig(tuple(cfg["stages"]), cfg["separator"])
             for f, cfg in manifest["fields"].items()
         }
-        postings = spark.read.parquet(os.path.join(path, "postings"))
-        if manifest.get("doc_rows_in_postings"):
-            postings = postings.where(F.col("term").isNotNull())
-        if "tf" not in postings.columns:
-            postings = postings.withColumn("tf", F.sqrt(F.col("tf_raw")))
         inv = cls(
-            postings=postings,
-            doc_stats=spark.read.parquet(os.path.join(path, "doc_stats")),
-            field_stats=spark.read.parquet(os.path.join(path, "field_stats")),
-            term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
-            docs=spark.read.parquet(os.path.join(path, "docs")),
+            postings=spark.createDataFrame([], "docid string"),  # rebound
+            doc_stats=None, field_stats=None, term_stats=None, docs=None,
             analyzers=analyzers,
             store_positions=manifest["store_positions"],
         )
-        if manifest.get("segments") and os.path.exists(
-                os.path.join(path, "segments")):
-            inv._segments = (
-                manifest.get("block_size", 4096),
-                spark.read.parquet(os.path.join(path, "segments")),
-                spark.read.parquet(os.path.join(path, "ordinals")),
-            )
+        inv._rebind_from(path, manifest, spark=spark)
         return inv
 
     # -- incremental maintenance -----------------------------------------
-    def add_documents(self, source: DataFrame, docid_col: str = "docid") -> "InvertedIndex":
+    def add_documents(self, source: DataFrame, docid_col: str = "docid",
+                      dedupe: bool = True) -> "InvertedIndex":
         """Append documents (duplicate docids silently skipped, mirroring
         field.ex:85) and refresh stats — the reference's add+
-        recalculate_idf as one batch job (B1+B5 in SURVEY.md §2.2)."""
+        recalculate_idf as one batch job (B1+B5 in SURVEY.md §2.2).
+        ``dedupe=False`` skips the in-batch duplicate guard (see
+        build_index) when the source keys are unique by contract."""
         fresh = source.join(self.docs, source[docid_col] == self.docs.docid, "left_anti")
         new = build_index(
             fresh, fields=list(self.analyzers), docid_col=docid_col,
             analyzers=self.analyzers, store_positions=self.store_positions,
+            dedupe=dedupe,
         )
         return _merge(self, new)
 
@@ -378,8 +433,11 @@ class InvertedIndex:
         postings = self.postings.join(t, "docid", "left_anti")
         doc_stats = self.doc_stats.join(t, "docid", "left_anti")
         docs = self.docs.join(t, "docid", "left_anti")
+        pf = None
+        if self.postings_full is not self.postings:
+            pf = self.postings_full.join(t, "docid", "left_anti")
         return _finalize(postings, docs, self.analyzers, self.store_positions,
-                         doc_stats=doc_stats)
+                         doc_stats=doc_stats, postings_full=pf)
 
 
 def build_index(
@@ -389,6 +447,7 @@ def build_index(
     analyzers: Optional[Dict[str, AnalyzerConfig]] = None,
     analyzer: Optional[AnalyzerConfig] = None,
     store_positions: bool = True,
+    dedupe: bool = True,
 ) -> InvertedIndex:
     """Build an InvertedIndex from ``source``.
 
@@ -396,6 +455,14 @@ def build_index(
     AnalyzerConfig (default: the reference's default pipeline for every
     field). The docid column is indexed implicitly as the docid universe
     (the reference's ref-field/IdPipeline, core/index.ex:39-47).
+
+    ``dedupe``: the reference silently skips duplicate docids
+    (field.ex:85); that guard is a dropDuplicates over the FULL-TEXT
+    rows — a whole-corpus shuffle that the analyzer then consumes and
+    that re-executes in every job touching the docs table. When the
+    source has a uniqueness contract on the docid (the transcripts
+    tables key on (conv_id, turn_idx)), pass ``dedupe=False`` to make
+    the build shuffle-free up to the stats aggregations.
     """
     fields = list(fields)
     default = analyzer or AnalyzerConfig()
@@ -403,11 +470,12 @@ def build_index(
     for f in fields:
         analyzers.setdefault(f, default)
 
-    docs = (
-        source.select(F.col(docid_col).cast("string").alias("docid"),
-                      *[F.col(f).cast("string").alias(f) for f in fields])
-        .dropDuplicates(["docid"])
+    docs = source.select(
+        F.col(docid_col).cast("string").alias("docid"),
+        *[F.col(f).cast("string").alias(f) for f in fields],
     )
+    if dedupe:
+        docs = docs.dropDuplicates(["docid"])
 
     # one row per (field, docid) with non-null content — these are the
     # per-field id rows (N counts token-less docs too, index_test.exs:151-172)
@@ -437,7 +505,7 @@ def build_index(
 
 
 def _finalize(postings, docs, analyzers, store_positions,
-              doc_stats=None, ids=None) -> InvertedIndex:
+              doc_stats=None, ids=None, postings_full=None) -> InvertedIndex:
     """Derive doc/term/field stats from a postings table (B5/B6).
 
     ``doc_len`` is denormalized into postings (BM25 needs no query-time
@@ -506,14 +574,28 @@ def _finalize(postings, docs, analyzers, store_positions,
         docs=docs,
         analyzers=analyzers,
         store_positions=store_positions,
+        postings_full=postings_full,
     )
 
 
 def _merge(old: InvertedIndex, new: InvertedIndex) -> InvertedIndex:
-    postings = old.postings.unionByName(new.postings)
+    # the two sides may carry different physical extras (ord on a loaded
+    # v4 narrow table, positions on a fresh build) — union on the core
+    # scoring columns; the positions-bearing view unions separately
+    core = ["field", "term", "docid", "tf_raw", "doc_len", "tf"]
+    postings = old.postings.select(*core).unionByName(
+        new.postings.select(*core))
+    pf = None
+    if (old.postings_full is not old.postings
+            or new.postings_full is not new.postings):
+        full_cols = list(core)
+        if old.store_positions:
+            full_cols.append("positions")
+        pf = old.postings_full.select(*full_cols).unionByName(
+            new.postings_full.select(*full_cols))
     doc_stats = old.doc_stats.select("field", "docid", "doc_len").unionByName(
         new.doc_stats.select("field", "docid", "doc_len")
     )
     docs = old.docs.unionByName(new.docs).distinct()
     return _finalize(postings, docs, old.analyzers, old.store_positions,
-                     doc_stats=doc_stats)
+                     doc_stats=doc_stats, postings_full=pf)

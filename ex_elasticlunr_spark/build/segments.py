@@ -40,13 +40,15 @@ DEFAULT_BLOCK_SIZE = 4096
 
 
 @F.pandas_udf(BinaryType())
-def _encode_pairs(pairs: pd.Series, base: pd.Series) -> pd.Series:
-    out = []
-    for arr, b in zip(pairs, base):
-        ords = [int(p["ord"]) for p in arr]
-        tfs = [int(p["tf_raw"]) for p in arr]
-        dls = [int(p["doc_len"]) for p in arr]
-        out.append(encode_block(ords, tfs, dls, int(b)))
+def _encode_arrays(ords: pd.Series, tfs: pd.Series, dls: pd.Series,
+                   base: pd.Series) -> pd.Series:
+    # parallel primitive arrays (Arrow int lists) — no per-entry struct
+    # unwrapping in Python
+    out = [
+        encode_block([int(x) for x in o], [int(x) for x in t],
+                     [int(x) for x in d], int(b))
+        for o, t, d, b in zip(ords, tfs, dls, base)
+    ]
     return pd.Series(out)
 
 
@@ -55,7 +57,7 @@ def build_segments(index, block_size: int = DEFAULT_BLOCK_SIZE,
     """InvertedIndex -> (segments DataFrame, ordinals DataFrame)."""
     ordinals = assign_doc_ordinals(index.docs, partitions).persist()
 
-    with_ord = index.postings.join(ordinals, "docid")
+    with_ord = index.postings.drop("ord").join(ordinals, "docid")
     blocks = (
         with_ord.withColumn(
             "block_id", (F.col("ord") / block_size).cast("long")
@@ -72,14 +74,120 @@ def build_segments(index, block_size: int = DEFAULT_BLOCK_SIZE,
                 )
             ).alias("pairs"),
         )
+        # JVM-side column split: the pandas UDF receives three primitive
+        # int arrays instead of an array<struct> it would unwrap per entry
         .withColumn(
             "payload",
-            _encode_pairs(F.col("pairs"), F.col("block_id") * block_size),
+            _encode_arrays(
+                F.transform("pairs", lambda s: s["ord"]),
+                F.transform("pairs", lambda s: s["tf_raw"]),
+                F.transform("pairs", lambda s: s["doc_len"]),
+                F.col("block_id") * block_size,
+            ),
         )
         .withColumn("block_bytes", F.length("payload").cast("long"))
         .drop("pairs")
     )
     return blocks, ordinals
+
+
+def build_segments_streaming(clustered: DataFrame,
+                             block_size: int = DEFAULT_BLOCK_SIZE) -> DataFrame:
+    """Zero-shuffle segment build over an ALREADY block-clustered
+    postings DataFrame (the save() layout: partitioned by
+    (field, term, pmod(ord div block_size, salt)) and sorted within
+    partitions by (field, term, ord) — every (field, term, block) group
+    is complete inside one partition and arrives as a contiguous run).
+
+    One Arrow-batched mapInPandas pass walks each partition's runs,
+    chunks them at global block boundaries (ord // block_size), and
+    emits one encoded row per block; runs spanning batch boundaries are
+    carried over in the generator's state. Compared to the
+    groupBy+collect_list builder this removes the full postings shuffle
+    AND the array materialization — the only remaining segment cost is
+    the varint encode itself.
+    """
+
+    def run(batches):
+        import numpy as np
+
+        pf = pt = None          # pending run key
+        po: list = []
+        ptf: list = []
+        pdl: list = []
+
+        def flush(out):
+            if pf is None or not po:
+                return
+            ords = po
+            start = 0
+            n = len(ords)
+            while start < n:
+                bid = ords[start] // block_size
+                end = start
+                while end < n and ords[end] // block_size == bid:
+                    end += 1
+                o = ords[start:end]
+                t = ptf[start:end]
+                d = pdl[start:end]
+                out["field"].append(pf)
+                out["term"].append(pt)
+                out["block_id"].append(bid)
+                out["n_docs"].append(end - start)
+                out["min_ord"].append(o[0])
+                out["max_ord"].append(o[-1])
+                out["max_tf_raw"].append(max(t))
+                payload = encode_block(o, t, d, bid * block_size)
+                out["payload"].append(payload)
+                out["block_bytes"].append(len(payload))
+                start = end
+
+        cols = ["field", "term", "block_id", "n_docs", "min_ord",
+                "max_ord", "max_tf_raw", "block_bytes", "payload"]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            fields = pdf["field"].to_numpy()
+            terms = pdf["term"].to_numpy()
+            ords = pdf["ord"].to_numpy()
+            tfs = pdf["tf_raw"].to_numpy()
+            dls = pdf["doc_len"].to_numpy()
+            # boundaries of (field, term) runs inside this batch
+            n = len(pdf)
+            i = 0
+            while i < n:
+                j = i
+                f, t = fields[i], terms[i]
+                while j < n and fields[j] == f and terms[j] == t:
+                    j += 1
+                # continue the pending run only while ords stay strictly
+                # increasing — a parquet read that coalesces several
+                # files into one task can seam two runs of the same term
+                # (different salt partitions); flushing at the seam emits
+                # valid partial blocks (disjoint ord subsets, correct
+                # per-block metadata), which every consumer tolerates
+                if pf == f and pt == t and (not po or int(ords[i]) > po[-1]):
+                    po.extend(int(x) for x in ords[i:j])
+                    ptf.extend(int(x) for x in tfs[i:j])
+                    pdl.extend(int(x) for x in dls[i:j])
+                else:
+                    flush(out)
+                    pf, pt = f, t
+                    po = [int(x) for x in ords[i:j]]
+                    ptf = [int(x) for x in tfs[i:j]]
+                    pdl = [int(x) for x in dls[i:j]]
+                i = j
+            # emit everything except the still-open tail run
+            yield pd.DataFrame({c: out[c] for c in cols})
+        out = {c: [] for c in cols}
+        flush(out)
+        yield pd.DataFrame({c: out[c] for c in cols})
+
+    return clustered.mapInPandas(
+        run,
+        "field string, term string, block_id long, n_docs long, "
+        "min_ord long, max_ord long, max_tf_raw long, block_bytes long, "
+        "payload binary",
+    )
 
 
 def decode_segments(segments: DataFrame, block_size: int = DEFAULT_BLOCK_SIZE) -> DataFrame:

@@ -46,15 +46,20 @@ class Index:
 
     # -- build / maintain --------------------------------------------------
     def add_documents(self, source: DataFrame,
-                      docid_col: Optional[str] = None) -> "Index":
+                      docid_col: Optional[str] = None,
+                      dedupe: bool = True) -> "Index":
+        """``dedupe=False`` skips the duplicate-docid guard when the
+        source keys are unique by data contract (build/indexer.py)."""
         docid_col = docid_col or self.ref
         if self.inverted is None:
             self.inverted = build_index(
                 source, fields=list(self.analyzers), docid_col=docid_col,
                 analyzers=self.analyzers, store_positions=self.store_positions,
+                dedupe=dedupe,
             )
         else:
-            self.inverted = self.inverted.add_documents(source, docid_col)
+            self.inverted = self.inverted.add_documents(source, docid_col,
+                                                        dedupe=dedupe)
         return self
 
     def update_documents(self, source: DataFrame,
@@ -133,7 +138,7 @@ class Index:
         if row is None:
             return None
         fs = self.inverted.field_stats.where(F.col("field") == field).first()
-        docs = self.inverted.postings.where(
+        docs = self.inverted.postings_full.where(
             (F.col("field") == field) & (F.col("term") == term)
         ).select("docid", "tf_raw", "positions")
         return {

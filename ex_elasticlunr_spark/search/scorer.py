@@ -96,7 +96,11 @@ def terms_scores(
 
     matched_terms = _query_terms_df(index, field, terms, expand, fuzziness)
 
-    post = index.postings.where(F.col("field") == field)
+    # hot path scans the narrow clustered postings; the details path
+    # needs the positions column, which lives in the flat ingest table
+    # on a loaded index (postings_full)
+    src = index.postings_full if with_details else index.postings
+    post = src.where(F.col("field") == field)
     # push a literal term predicate into the scan (the equi-join with the
     # resolved vocab can't reach the parquet reader; this can — shows up
     # as PushedFilters: In(term, ...) / StringStartsWith, pruning row

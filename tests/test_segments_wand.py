@@ -133,3 +133,82 @@ class TestWand:
             want = [(r["docid"], round(r["score"], 9))
                     for r in exhaustive.collect()]
             assert got == want, terms
+
+
+@pytest.fixture()
+def v4_index(spark, tmp_path):
+    """A small index saved in the v4 layout (fresh per test — save()
+    rebinds the object to the written path)."""
+    src = with_docid(transcripts_df(spark, n_convs=30, turns_per_conv=5))
+    idx = Index(name="v4").add_field("text").add_field("tool")
+    idx.add_documents(src, docid_col="docid")
+    path = str(tmp_path / "v4")
+    idx.inverted.save(path, block_size=64)
+    return idx, path
+
+
+class TestStreamingSegments:
+    def test_streaming_equals_decode_roundtrip(self, spark, v4_index):
+        """save()'s zero-shuffle segment build over the block-clustered
+        layout decodes back to exactly the postings (ord, tf, doc_len)
+        multiset — same invariant as the legacy groupBy builder."""
+        _, path = v4_index
+        segs = spark.read.parquet(path + "/segments")
+        decoded = decode_segments(segs, 64)
+        got = sorted(
+            (r["field"], r["term"], r["ord"], r["tf_raw"], r["doc_len"])
+            for r in decoded.collect()
+        )
+        want = sorted(
+            (r["field"], r["term"], r["ord"], r["tf_raw"], r["doc_len"])
+            for r in spark.read.parquet(path + "/postings").collect()
+        )
+        assert got == want
+
+    def test_streaming_survives_file_splits(self, spark, v4_index):
+        """Partial blocks from split/merged parquet reads stay valid:
+        force tiny read partitions and check the decode multiset."""
+        from ex_elasticlunr_spark.build.segments import build_segments_streaming
+
+        _, path = v4_index
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+            posts = spark.read.parquet(path + "/postings")
+            segs = build_segments_streaming(posts, 64)
+            decoded = decode_segments(segs, 64)
+            got = sorted(
+                (r["field"], r["term"], r["ord"], r["tf_raw"])
+                for r in decoded.collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        want = sorted(
+            (r["field"], r["term"], r["ord"], r["tf_raw"])
+            for r in spark.read.parquet(path + "/postings").collect()
+        )
+        assert got == want
+
+    def test_wand_on_loaded_index_uses_disk_segments(self, spark, v4_index):
+        from ex_elasticlunr_spark.build.indexer import InvertedIndex
+
+        idx, path = v4_index
+        loaded = InvertedIndex.load(spark, path)
+        assert loaded._segments is not None  # no lazy build needed
+        got = wand_topk(loaded, "text", ["elixir", "search"], k=5,
+                        mode="bm25", block_size=64)
+        want = wand_topk(idx.inverted, "text", ["elixir", "search"], k=5,
+                         mode="bm25", block_size=64)
+        assert [tuple(r) for r in got.collect()] == \
+               [tuple(r) for r in want.collect()]
+
+    def test_details_positions_survive_save(self, spark, v4_index):
+        """positions live in the flat table after save; the details path
+        must still surface them on the REBOUND and the RELOADED index."""
+        idx, path = v4_index
+        q = {"query": {"terms": {"text": {"value": "elixir"}}}}
+        rows = idx.search(q, include_details=True).collect()
+        assert rows and all(r["positions"]["text"] for r in rows)
+        loaded = Index.load(spark, path)
+        rows2 = loaded.search(q, include_details=True).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
