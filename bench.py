@@ -41,6 +41,12 @@ def main() -> None:
         # AQE's 64MB advisory coalesce shrinks the segment-encode stage
         # below the core count at bench scale; 8MB keeps it CPU-bound
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # the sandbox VM's virtio disk has multi-second latency spikes
+        # (load-average inflation with idle CPUs); shuffle spill to
+        # tmpfs isolates the CPU/parallelism scaling we are measuring
+        .config("spark.local.dir", os.environ.get(
+            "BENCH_LOCAL_DIR",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -67,7 +73,10 @@ def main() -> None:
     tx = tx.persist()
     actual_turns = tx.count()  # materialize input outside the timed region
 
-    out_dir = tempfile.mkdtemp(prefix="bench_index_")
+    bench_tmp = os.environ.get(
+        "BENCH_TMPDIR",
+        "/dev/shm" if os.path.isdir("/dev/shm") else None)
+    out_dir = tempfile.mkdtemp(prefix="bench_index_", dir=bench_tmp)
     stage_timings = {}
     t0 = time.perf_counter()
     idx = Index(name="bench").add_field("text").add_field("tool")

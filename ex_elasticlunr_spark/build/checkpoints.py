@@ -84,6 +84,7 @@ def checkpointed_build(
     store_positions: bool = True,
     max_buckets: Optional[int] = None,
     dedupe: bool = True,
+    block_size: int = 4096,
 ) -> Optional[InvertedIndex]:
     """Build (or resume building) the index under ``out_path``.
 
@@ -165,7 +166,7 @@ def checkpointed_build(
     for f in fields:
         amap.setdefault(f, default)
     inv = _finalize(postings, docs, amap, store_positions, doc_stats=doc_stats)
-    inv.save(os.path.join(out_path, "index"))
+    inv.save(os.path.join(out_path, "index"), block_size=block_size)
     wall = time.perf_counter() - t0
     merged = InvertedIndex.load(spark, os.path.join(out_path, "index"))
     fan_in = float(len(completed_buckets(out_path, n_buckets)))

@@ -255,13 +255,23 @@ class InvertedIndex:
             n_shuffle = spark.sparkContext.defaultParallelism
         posts = raw.where(F.col("term").isNotNull()).select(
             "field", "term", "docid", "tf_raw", "doc_len")
+        # SHUFFLE_HASH: the default sort-merge join would sort the whole
+        # postings side by docid only to immediately re-shuffle it by
+        # term — the hash join skips both sorts; the per-partition build
+        # side is ordinals/num_partitions rows (tiny at any scale)
         clustered = (
-            posts.join(ordinals, "docid")
+            posts.join(ordinals.hint("shuffle_hash"), "docid")
             .repartition(
                 n_shuffle, F.col("field"), F.col("term"),
                 F.pmod((F.col("ord") / block_size).cast("long"),
                        F.lit(term_salt)))
-            .sortWithinPartitions("field", "term", "ord")
+            # term FIRST: the sort prefix comparator discriminates on the
+            # leading key's first 8 bytes — leading with the 2-valued
+            # field column would send every comparison to a full record
+            # compare. Term-range row-group pruning (the reason for the
+            # sort) is unaffected; the field predicate selects within the
+            # term's row groups.
+            .sortWithinPartitions("term", "field", "ord")
             .select("field", "term", "docid", "ord", "tf_raw", "doc_len")
         )
         clustered.write.mode("overwrite").parquet(_sp("postings"))

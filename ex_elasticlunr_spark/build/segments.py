@@ -57,7 +57,8 @@ def build_segments(index, block_size: int = DEFAULT_BLOCK_SIZE,
     """InvertedIndex -> (segments DataFrame, ordinals DataFrame)."""
     ordinals = assign_doc_ordinals(index.docs, partitions).persist()
 
-    with_ord = index.postings.drop("ord").join(ordinals, "docid")
+    with_ord = index.postings.drop("ord").join(
+        ordinals.hint("shuffle_hash"), "docid")
     blocks = (
         with_ord.withColumn(
             "block_id", (F.col("ord") / block_size).cast("long")
@@ -182,7 +183,12 @@ def build_segments_streaming(clustered: DataFrame,
         flush(out)
         yield pd.DataFrame({c: out[c] for c in cols})
 
-    return clustered.mapInPandas(
+    # prune to exactly the encoder's columns BEFORE the UDF: docid (a
+    # ~17-char string per posting) otherwise rides the whole
+    # parquet->Arrow->python round trip for nothing (measured: the
+    # string columns dominate the stage's JVM CPU + GC)
+    narrow = clustered.select("field", "term", "ord", "tf_raw", "doc_len")
+    return narrow.mapInPandas(
         run,
         "field string, term string, block_id long, n_docs long, "
         "min_ord long, max_ord long, max_tf_raw long, block_bytes long, "

@@ -9,7 +9,10 @@ Usage (multi-executor cluster):
         --output <index warehouse path> \
         --fields text,tool \
         --docid-expr "concat(conv_id, ':', turn_idx)" \
-        --buckets 256 [--resume]
+        --buckets 256 [--assume-unique]
+
+The final merge persists the full v4 layout (flat ingest table, narrow
+block-clustered postings, ordinals, stats, compressed posting segments).
 
 The job is the checkpointed build (per-bucket lineage + metrics,
 resumable: re-submitting with the same --output skips completed
@@ -33,8 +36,9 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--block-size", type=int, default=4096,
                     help="posting-block size for segment compaction")
-    ap.add_argument("--segments", action="store_true",
-                    help="also build compressed posting segments")
+    ap.add_argument("--assume-unique", action="store_true",
+                    help="docid expression is unique by data contract: "
+                         "skip the duplicate-guard full-corpus shuffle")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -55,14 +59,13 @@ def main() -> None:
     inv = checkpointed_build(
         spark, source, fields, args.output,
         docid_col="__docid", n_buckets=args.buckets,
+        dedupe=not args.assume_unique, block_size=args.block_size,
     )
     if inv is None:
         print("partial build: re-submit to resume")
         return
-    if args.segments:
-        seg, ords = inv.segments(args.block_size)
-        seg.write.mode("overwrite").parquet(args.output + "/segments")
-        ords.write.mode("overwrite").parquet(args.output + "/ordinals")
+    # the final merge's save() already wrote the clustered postings,
+    # ordinals and compressed posting segments (v4 layout)
     print("build complete:", args.output)
 
 
