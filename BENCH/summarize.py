@@ -64,17 +64,21 @@ lines = [
     f"local[{LO}] vs local[{HI}] on the same input.",
     "",
     "**Methodology.** The sandbox is a shared VM with heavy run-to-run",
-    "host noise (identical runs vary up to 3x), so runs ALTERNATE",
-    "between the two parallelism levels; medians and best-of-runs are",
-    "both reported (best-of approximates the quiet-host capability).",
+    "host noise (identical runs vary up to 3x; the virtio disk shows",
+    "multi-second latency spikes — shuffle dirs and the index output sit",
+    "on tmpfs so the measurement isolates CPU/parallelism scaling), so",
+    "runs ALTERNATE between the two parallelism levels; medians and",
+    "best-of-runs are both reported (best-of approximates the quiet-host",
+    "capability).",
     "",
     f"Input: {turns:,} synthetic transcript turns (deterministic seed),",
-    "fields text+tool. Timed region = analyze + postings + stats + write",
-    "of the durable parquet index (exactly the spark-submit job",
-    "scripts/build_index_job.py performs). 'postings stage' isolates the",
-    "embarrassingly-parallel core (analyze + postings write), which is",
-    "what dominates at 10^12 turns — the stats stages are",
-    "vocabulary-/doc-sized and amortize away at scale.",
+    "fields text+tool. Timed region = the FULL durable v4 index build:",
+    "analyze + map-only flat ingest write + docID-ordinal assignment +",
+    "term-clustered narrow postings (one shuffle-hash join + one",
+    "clustering shuffle) + stats + delta+varint WAND segments (pure map)",
+    "— exactly what scripts/build_index_job.py persists. 'postings",
+    "stage' isolates the embarrassingly-parallel ingest core (analyze +",
+    "flat write), the stage that dominates at 10^12 turns.",
     "",
     "| metric | config | median turns/sec | best turns/sec | runs |",
     "|---|---|---|---|---|",
@@ -94,18 +98,38 @@ lines += [
 ]
 for k in qkeys:
     lines.append(f"| {k} | {qmed(rlo, k)} | {qmed(rhi, k)} |")
+# per-stage medians at each level (where the scaling lives/dies)
+stage_keys = sorted(
+    set().union(*[r["build"].get("stages", {}) for r in rlo + rhi]))
+if stage_keys:
+    lines += ["", "Per-stage median seconds (same runs):", "",
+              f"| stage | local[{LO}] | local[{HI}] | stage efficiency |",
+              "|---|---|---|---|"]
+    for k in stage_keys:
+        lo_s = [r["build"]["stages"][k] for r in rlo if k in r["build"].get("stages", {})]
+        hi_s = [r["build"]["stages"][k] for r in rhi if k in r["build"].get("stages", {})]
+        if not (lo_s and hi_s):
+            continue
+        mlo, mhi = statistics.median(lo_s), statistics.median(hi_s)
+        eff = (mlo / mhi) / (HI / LO)
+        lines.append(f"| {k} | {mlo:.1f} | {mhi:.1f} | {eff:.2f} |")
 lines += [
     "",
     "Caveats: a single shared JVM (local mode) is the worst case for",
-    "scaling — one heap, one disk, shared memory bandwidth, and host",
-    "noise hits the wide configuration hardest. A real multi-executor",
-    "cluster isolates executor heaps and scales storage bandwidth with",
-    "nodes. Anti-scaling artifacts found and FIXED during this round",
-    "(128MB parquet writer buffers x N writers thrashing GC -> 16MB;",
-    "partitionBy-induced per-task sorts in save(); per-table re-analysis",
-    "in save(); a postings-wide groupBy shuffle replaced by document-",
-    "local aggregation inside the analyzer) are documented in",
-    "build/indexer.py and bench.py.",
+    "scaling — one heap, shared memory bandwidth, shared page cache,",
+    "and JVM+Python worker threads oversubscribing the cores during",
+    "pandas-UDF stages; host noise hits the wide configuration hardest.",
+    "A real multi-executor cluster isolates executor heaps and scales",
+    "memory/storage bandwidth with nodes. Anti-scaling artifacts found",
+    "and FIXED across rounds (128MB parquet writer buffers x N writers",
+    "thrashing GC -> 16MB; partitionBy-induced per-task sorts; wide-row",
+    "dropDuplicates under the analyzer; sort-merge join sorting the",
+    "postings side by docid -> shuffle-hash join; the 2-valued field",
+    "column as leading sort key defeating the sort prefix comparator;",
+    "unpruned docid strings riding the Arrow round trip into the",
+    "segment encoder - 10x on that stage; virtio-disk spill latency ->",
+    "tmpfs shuffle dirs) are documented in build/indexer.py,",
+    "build/segments.py and bench.py.",
 ]
 open("BENCH/BASELINE.md", "w").write("\n".join(lines) + "\n")
 print("wrote BENCH/BASELINE.md")
