@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_token_counts"] = lambda s, d: quality.token_counts(_documents(s, d))
     q["text_quality"] = lambda s, d: quality.quality_scores(_documents(s, d))
     q["text_lang_id"] = lambda s, d: quality.lang_id(_documents(s, d))
+    q["text_winnow"] = lambda s, d: quality.winnow_fingerprints(
+        _documents(s, d), k=8, w=4)
 
     # ---- similarity search ----------------------------------------------
     def _qvec(s, d):
@@ -498,6 +500,33 @@ s AS (
 SELECT docid, score_de, score_en, score_es, score_fr,
        CASE WHEN {best} = 0 THEN 'und' {pred_cases} END AS pred_lang
 FROM s
+"""
+    # winnowing fingerprints (MOSS): k=8-gram md5-slice hashes, w=4
+    # windows anchored per gram (tail-truncated), rightmost-min
+    # tie-break via the combined key h*2^20 + (2^20-1-pos)
+    o["text_winnow"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid, {norm} AS n
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT docid,
+         unnest(range(1, greatest(length(n) - 7, 1) + 1)) AS i, n
+  FROM t
+),
+keyed AS (
+  SELECT docid, i - 1 AS pos,
+         CAST(('0x' || substr(md5(substr(n, CAST(i AS INT), 8)), 1, 8))
+              AS BIGINT) * 1048576 + (1048575 - (i - 1)) AS key
+  FROM g
+),
+sel AS (
+  SELECT docid,
+         MIN(key) OVER (PARTITION BY docid ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sk
+  FROM keyed
+)
+SELECT DISTINCT docid, CAST(sk // 1048576 AS BIGINT) AS fp FROM sel
 """
     # ---- ANN --------------------------------------------------------------
     cos = (

@@ -118,3 +118,57 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         F.md5(norm).alias("content_hash"),
         F.md5(sorted_toks).alias("fingerprint"),
     )
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "docid") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    'Winnowing: Local Algorithms for Document Fingerprinting', SIGMOD
+    2003 — the MOSS algorithm): hash every k-gram of the normalized
+    text, slide a window over ``w`` consecutive k-gram hashes, keep
+    each window's minimum (rightmost position on ties), and emit the
+    distinct selected hashes per document. Any substring match of
+    length >= w + k - 1 guarantees a shared fingerprint — the standard
+    near-dup / provenance primitive at corpus scale.
+
+    Definition details (shared with the SQL oracle): windows are
+    anchored at every gram position and truncated at the document tail;
+    the k-gram hash is the first 8 hex chars of md5 (engine-portable);
+    the rightmost-min tie-break uses the combined key
+    h * 2^20 + (2^20 - 1 - pos), so positions must be < 2^20 (1M-char
+    documents; the normalizer caps far below that here).
+
+    Shape: the k-gram explode is map-side; the only shuffles are the
+    per-document window (partitioned by docid — skew-free and
+    document-bounded) and the distinct.
+    """
+    from pyspark.sql import Window
+
+    norm = normalized(F.col(text_col))
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(trim(regexp_replace("
+        f"lower({text_col}), '\\\\s+', ' '))) - {k - 1}, 1)), "
+        "i -> substring(trim(regexp_replace("
+        f"lower({text_col}), '\\\\s+', ' ')), i, {k}))"
+    )
+    g = (
+        df.select(F.col(id_col).cast("string").alias("docid"),
+                  F.posexplode(grams).alias("pos", "gram"))
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"))
+        .withColumn(
+            "key",
+            F.col("h") * F.lit(1 << 20)
+            + (F.lit((1 << 20) - 1) - F.col("pos")))
+    )
+    win = (Window.partitionBy("docid").orderBy("pos")
+           .rowsBetween(0, w - 1))
+    sel = g.withColumn("sel_key", F.min("key").over(win))
+    return (
+        sel.select(
+            "docid",
+            (F.col("sel_key") / F.lit(1 << 20)).cast("long").alias("fp"))
+        .distinct()
+    )
