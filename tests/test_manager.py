@@ -173,3 +173,33 @@ def test_manager_update_roundtrip(spark, tmp_path):
     reloaded = mgr3.get("rt")
     res = reloaded.search({"query": {"terms": {"text": "fox"}}}).collect()
     assert sorted(r["docid"] for r in res) == ["1", "3"]
+
+
+def test_update_documents_on_loaded_v4(spark, tmp_path):
+    """B3 on the v4 split layout: load -> update_documents (remove+re-add)
+    -> save -> reload; positions must survive the narrow/full split."""
+    from ex_elasticlunr_spark import Index
+
+    path = str(tmp_path / "u4")
+    sdf = spark.createDataFrame(
+        [("1", "quick fox runs"), ("2", "lazy dog sleeps")],
+        "id string, text string")
+    idx = Index(name="u").add_field("text")
+    idx.add_documents(sdf, docid_col="id")
+    idx.save(path)
+
+    loaded = Index.load(spark, path)
+    upd = spark.createDataFrame([("1", "quick cat naps")], "id string, text string")
+    loaded.update_documents(upd, docid_col="id")
+    loaded.save(path)
+
+    back = Index.load(spark, path)
+    assert [r["docid"] for r in
+            back.search({"query": {"terms": {"text": "cat"}}}).collect()] == ["1"]
+    assert back.search({"query": {"terms": {"text": "fox"}}}).count() == 0
+    # positions preserved through the round trip (details path reads flat)
+    row = back.search({"query": {"terms": {"text": "cat"}}},
+                      include_details=True).first()
+    assert row["positions"]["text"] == [6, 3]
+    # dog doc untouched
+    assert back.search({"query": {"terms": {"text": "dog"}}}).count() == 1
