@@ -26,6 +26,7 @@ from ex_elasticlunr_spark.analysis import Pipeline
 from ex_elasticlunr_spark.operators import ann, dedup, multimodal, quality
 from ex_elasticlunr_spark.plans.oracle_sql import (
     index_prefix,
+    phrase_scores_sql,
     stopword_list_sql,
     terms_scores_sql,
 )
@@ -138,6 +139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["match_and"] = lambda s, d: _search(
         s, d, {"query": {"match": {"text": {"query": "fast join",
                                              "operator": "and"}}}})
+    q["match_phrase"] = lambda s, d: _search(
+        s, d, {"query": {"match_phrase": {"text": "fast join"}}})
+    q["match_phrase_bm25"] = lambda s, d: _search(
+        s, d, {"query": {"match_phrase": {"text": "fast join"}}}, mode="bm25")
     q["bool_must_should"] = lambda s, d: _search(
         s, d, {"query": {"bool": {"must": {"terms": {"text": "spark"}},
                                     "should": [{"terms": {"text": "merg"}},
@@ -283,6 +288,11 @@ def oracle_sql() -> dict[str, str]:
     and_terms = _analyze("fast join")
     o["match_and"] = _score_query(
         terms_scores_sql(and_terms, minimum_should_match=len(and_terms)))
+
+    phrase_terms = _analyze("fast join")
+    o["match_phrase"] = _score_query(phrase_scores_sql(phrase_terms))
+    o["match_phrase_bm25"] = _score_query(
+        phrase_scores_sql(phrase_terms, mode="bm25"))
 
     must = terms_scores_sql(["spark"])
     o["bool_must_should"] = _wrap(pre, f"""

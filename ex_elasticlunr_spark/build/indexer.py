@@ -202,9 +202,13 @@ class InvertedIndex:
         t0 = _time.perf_counter()
         flat_cols = ["field", "docid", "term", "tf_raw", "doc_len"]
         if self.store_positions:
-            flat_cols.append("positions")
+            flat_cols += ["positions", "ords"]
         if self._flat is not None:
-            flat = self._flat.select(*flat_cols)
+            flat = self._flat
+            for c in flat_cols:
+                if c not in flat.columns:
+                    flat = flat.withColumn(c, F.lit(None).cast("array<int>"))
+            flat = flat.select(*flat_cols)
         else:
             # reconstruct the sentinel layout from postings + doc_stats
             src = self.postings_full
@@ -215,11 +219,10 @@ class InvertedIndex:
                 F.col("doc_len").cast("long").alias("doc_len"),
             )
             if self.store_positions:
-                if "positions" not in src.columns:
-                    src = src.withColumn(
-                        "positions", F.lit(None).cast("array<int>"))
-                sent = sent.withColumn(
-                    "positions", F.lit(None).cast("array<int>"))
+                for c in ("positions", "ords"):
+                    if c not in src.columns:
+                        src = src.withColumn(c, F.lit(None).cast("array<int>"))
+                    sent = sent.withColumn(c, F.lit(None).cast("array<int>"))
             flat = src.select(*flat_cols).unionByName(sent.select(*flat_cols))
         flat.write.mode("overwrite").parquet(_sp("flat"))
         t1 = _time.perf_counter()
@@ -503,7 +506,8 @@ def build_index(
         stacked, analyzers, positions=store_positions, doc_rows=True
     )
     if not store_positions:
-        flat = flat.withColumn("positions", F.lit(None).cast("array<int>"))
+        flat = flat.withColumn("positions", F.lit(None).cast("array<int>")) \
+            .withColumn("ords", F.lit(None).cast("array<int>"))
     postings = flat.where(F.col("term").isNotNull()) \
         .withColumn("tf", F.sqrt(F.col("tf_raw")))
     doc_stats = flat.where(F.col("term").isNull()) \
@@ -600,9 +604,15 @@ def _merge(old: InvertedIndex, new: InvertedIndex) -> InvertedIndex:
             or new.postings_full is not new.postings):
         full_cols = list(core)
         if old.store_positions:
-            full_cols.append("positions")
-        pf = old.postings_full.select(*full_cols).unionByName(
-            new.postings_full.select(*full_cols))
+            full_cols += ["positions", "ords"]
+
+        def _full(df):
+            for c in ("positions", "ords"):
+                if c in full_cols and c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast("array<int>"))
+            return df.select(*full_cols)
+
+        pf = _full(old.postings_full).unionByName(_full(new.postings_full))
     doc_stats = old.doc_stats.select("field", "docid", "doc_len").unionByName(
         new.doc_stats.select("field", "docid", "doc_len")
     )

@@ -28,10 +28,13 @@ from .nodes import (
     BoolNode,
     MatchAllNode,
     MatchNode,
+    MatchPhraseNode,
     NotNode,
+    PhraseNode,
     TermsNode,
     parse,
     rewrite_match,
+    rewrite_match_phrase,
 )
 
 
@@ -82,6 +85,15 @@ class QueryExecutor:
         if isinstance(node, MatchNode):
             pipeline = self.index.analyzers[node.field].to_query_pipeline()
             node = rewrite_match(node, pipeline)
+        if isinstance(node, MatchPhraseNode):
+            pipeline = self.index.analyzers[node.field].to_query_pipeline()
+            node = rewrite_match_phrase(node, pipeline)
+        if isinstance(node, PhraseNode):
+            return scorer.phrase_scores(
+                self.index, node.field, node.terms, boost=node.boost,
+                restrict=restrict, mode=self.mode, k1=self.k1, b=self.b,
+                with_details=details,
+            )
         if isinstance(node, TermsNode):
             return scorer.terms_scores(
                 self.index, node.field, node.terms, boost=node.boost,

@@ -37,6 +37,24 @@ class MatchNode:
 
 
 @dataclass
+class MatchPhraseNode:
+    """Exact-phrase sugar (extension — the reference stores positions
+    but has no phrase operator). Rewrites to PhraseNode after query
+    analysis, like match -> terms."""
+
+    field: str
+    query: Union[str, int, float]
+    boost: float = 1.0
+
+
+@dataclass
+class PhraseNode:
+    field: str
+    terms: List[str]
+    boost: float = 1.0
+
+
+@dataclass
 class MatchAllNode:
     boost: float = 1.0
 
@@ -77,6 +95,8 @@ def _parse(kind: str, options):
         return _parse_terms(options)
     if kind == "match":
         return _parse_match(options)
+    if kind == "match_phrase":
+        return _parse_match_phrase(options)
     if kind == "bool":
         return _parse_bool(options)
     if kind == "not":
@@ -131,6 +151,24 @@ def _parse_match(options):
     )
 
 
+def _parse_match_phrase(options):
+    if not options:
+        return MatchAllNode()
+    fields = {k: v for k, v in options.items() if k not in OPTION_KEYS}
+    if len(fields) > 1:
+        # multi-field sugar, mirroring match (match_query.ex:98-109)
+        return BoolNode(
+            should=[_parse_match_phrase({f: v}) for f, v in fields.items()])
+    (fname, params), = fields.items()
+    if not isinstance(params, dict):
+        params = {"query": params}
+    return MatchPhraseNode(
+        field=fname,
+        query=params.get("query"),
+        boost=params.get("boost", 1),
+    )
+
+
 def _parse_bool(options):
     should = options.get("should")
     should = [] if should is None else (should if isinstance(should, list) else [should])
@@ -172,3 +210,19 @@ def rewrite_match(node: MatchNode, analyzer_pipeline):
         field=node.field, terms=[t.token for t in tokens], boost=node.boost,
         expand=node.expand, fuzziness=node.fuzziness, minimum_should_match=msm,
     )
+
+
+def rewrite_match_phrase(node: MatchPhraseNode, analyzer_pipeline):
+    """match_phrase -> phrase/terms/match_all after analyzing the query
+    string (same driver-side rewrite shape as rewrite_match). A single
+    analyzed token degenerates to a plain terms lookup; zero tokens to
+    match_all."""
+    tokens = analyzer_pipeline.run(node.query)
+    n = len(tokens)
+    if n == 0:
+        return MatchAllNode()
+    if n == 1:
+        return TermsNode(field=node.field, terms=[tokens[0].token],
+                         boost=node.boost)
+    return PhraseNode(field=node.field, terms=[t.token for t in tokens],
+                      boost=node.boost)

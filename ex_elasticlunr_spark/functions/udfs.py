@@ -221,7 +221,7 @@ def analyze_flat(stacked, configs: dict, positions: bool = True):
 
 POSTINGS_SCHEMA = (
     "field string, docid string, term string, tf_raw long, doc_len long, "
-    "positions array<int>"
+    "positions array<int>, ords array<int>"
 )
 POSTINGS_SCHEMA_NOPOS = (
     "field string, docid string, term string, tf_raw long, doc_len long"
@@ -238,7 +238,11 @@ def analyze_postings(stacked, configs: dict, positions: bool = True,
     postings table (the ETS-insert loop of the reference, field.ex:217-241,
     becomes a pure map). Positions are packed int pairs
     [start0, len0, start1, len1, ...] in occurrence order (the
-    reference's append order, field.ex:224-230).
+    reference's append order, field.ex:224-230); ``ords`` carries the
+    post-pipeline token ordinal of each occurrence (one int per
+    positions pair) — the phrase-query adjacency key (the reference
+    stores positions but never consumes them; phrase matching is our
+    positions consumer, search/scorer.py phrase_scores).
 
     ``doc_rows``: additionally emit ONE sentinel row per (field, docid)
     with term=NULL and tf_raw=0 — the doc_stats table as a map-side
@@ -267,7 +271,7 @@ def analyze_postings(stacked, configs: dict, positions: bool = True,
 
         for pdf in batches:
             o_field, o_docid, o_term = [], [], []
-            o_tf, o_dl, o_pos = [], [], []
+            o_tf, o_dl, o_pos, o_ord = [], [], [], []
             for fld, docid, content in zip(
                 pdf["field"], pdf["docid"], pdf["content"]
             ):
@@ -296,13 +300,14 @@ def analyze_postings(stacked, configs: dict, positions: bool = True,
                 # deterministic term order within a doc)
                 agg: dict = {}
                 if positions:
-                    for t in toks:
+                    for i, t in enumerate(toks):
                         e = agg.get(t.token)
                         if e is None:
-                            agg[t.token] = [1, [t.start, t.length]]
+                            agg[t.token] = [1, [t.start, t.length], [i]]
                         else:
                             e[0] += 1
                             e[1].extend((t.start, t.length))
+                            e[2].append(i)
                 else:
                     for t in toks:
                         agg[t.token] = agg.get(t.token, 0) + 1
@@ -311,10 +316,11 @@ def analyze_postings(stacked, configs: dict, positions: bool = True,
                 o_docid.extend(itertools.repeat(docid, n))
                 o_dl.extend(itertools.repeat(dl, n))
                 if positions:
-                    for term, (tf, pos) in agg.items():
+                    for term, (tf, pos, ords) in agg.items():
                         o_term.append(term)
                         o_tf.append(tf)
                         o_pos.append(pos)
+                        o_ord.append(ords)
                 else:
                     for term, tf in agg.items():
                         o_term.append(term)
@@ -324,6 +330,7 @@ def analyze_postings(stacked, configs: dict, positions: bool = True,
                     o_tf.append(0)
                     if positions:
                         o_pos.append(None)
+                        o_ord.append(None)
             data = {
                 "field": o_field,
                 "docid": o_docid,
@@ -333,6 +340,7 @@ def analyze_postings(stacked, configs: dict, positions: bool = True,
             }
             if positions:
                 data["positions"] = o_pos
+                data["ords"] = o_ord
             yield pd.DataFrame(data)
 
     schema = POSTINGS_SCHEMA if positions else POSTINGS_SCHEMA_NOPOS

@@ -50,23 +50,32 @@ def index_prefix() -> str:
     """WITH-clause CTEs deriving the index tables from ``documents``."""
     return f"""
 stem_map AS (SELECT * FROM (VALUES {stem_map_values()}) AS t(word, stem)),
-tok0 AS (
+tokl AS (
   SELECT CAST(doc_id AS VARCHAR) AS docid,
-         unnest(list_filter(string_split_regex(lower(text), '[\\s\\-]+'),
-                            x -> x <> '')) AS tok
+         list_filter(string_split_regex(lower(text), '[\\s\\-]+'),
+                     x -> x <> '') AS toks
   FROM documents
   WHERE text IS NOT NULL
 ),
+tok0 AS (
+  SELECT docid, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord0
+  FROM tokl
+),
 trimmed AS (
-  SELECT docid,
+  SELECT docid, ord0,
          regexp_replace(regexp_replace(tok, '^\\W+', ''), '\\W+$', '') AS tok
   FROM tok0
 ),
 analyzed AS (
-  SELECT s.docid, coalesce(m.stem, s.tok) AS term
-  FROM (SELECT docid, tok FROM trimmed
+  SELECT s.docid, s.ord0, coalesce(m.stem, s.tok) AS term
+  FROM (SELECT docid, ord0, tok FROM trimmed
         WHERE tok NOT IN ({stopword_list_sql()})) s
   LEFT JOIN stem_map m ON m.word = s.tok
+),
+tokord AS (
+  SELECT docid, term,
+         row_number() OVER (PARTITION BY docid ORDER BY ord0) - 1 AS ord
+  FROM analyzed
 ),
 postings AS (
   SELECT docid, term, COUNT(*) AS tf_raw
@@ -149,4 +158,44 @@ def terms_scores_sql(
   SELECT docid, {agg} * {boost} AS score
   FROM ({entries}) e
   GROUP BY docid {having}
+""".strip()
+
+
+def phrase_scores_sql(terms: List[str], boost: float = 1.0,
+                      mode: str = "elasticlunr") -> str:
+    """Exact-phrase per-doc scoring select: (docid, score).
+
+    Mirrors search/scorer.py phrase_scores: the i-th query term must sit
+    at post-pipeline token ordinal base+i; phrase_freq plays tf, the
+    phrase's doc count plays df (pseudo-term scoring).
+    """
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
+    k = len(terms)
+    hits = f"""
+      SELECT t.docid, t.ord - q.qi AS base
+      FROM tokord t JOIN (VALUES {qvals}) AS q(qi, term) ON t.term = q.term
+      GROUP BY t.docid, t.ord - q.qi
+      HAVING COUNT(DISTINCT q.qi) = {k}
+    """.strip()
+    if mode == "elasticlunr":
+        score = (f"sqrt(p.pf) * pow(1.0 + log10(f.n_docs / (pdf.pdf + 1.0)), 2)"
+                 f" * f.flnorm * {boost}")
+    else:
+        score = (
+            f"ln(1.0 + (f.n_docs - pdf.pdf + 0.5) / (pdf.pdf + 0.5))"
+            f" * (p.pf * 2.2)"
+            f" / (p.pf + 1.2 * (0.25 + 0.75 * p.doc_len / f.avg_doc_len))"
+            f" * {boost}"
+        )
+    return f"""
+  SELECT p.docid, {score} AS score
+  FROM (
+    SELECT h.docid, COUNT(*) AS pf, MIN(d.doc_len) AS doc_len
+    FROM ({hits}) h JOIN dstats d USING (docid)
+    GROUP BY h.docid
+  ) p
+  CROSS JOIN (
+    SELECT COUNT(DISTINCT docid) AS pdf FROM ({hits}) h2
+  ) pdf
+  CROSS JOIN fstats f
 """.strip()

@@ -200,6 +200,127 @@ def terms_scores(
     return per_doc.select(*out_cols)
 
 
+def phrase_scores(
+    index,
+    field: str,
+    terms: List[str],
+    boost: float = 1.0,
+    restrict: Optional[DataFrame] = None,
+    mode: str = "elasticlunr",
+    k1: float = 1.2,
+    b: float = 0.75,
+    with_details: bool = False,
+) -> DataFrame:
+    """Exact-phrase scoring over stored token ordinals.
+
+    A doc matches iff the analyzed query terms occur at CONSECUTIVE
+    post-pipeline token ordinals: the i-th query term at ordinal
+    ``base + i`` for some base. The phrase is then scored as a
+    pseudo-term — ``phrase_freq`` (number of bases) plays tf and the
+    count of matching docs plays df:
+
+      elasticlunr:  sqrt(pf) * (1 + log10(N/(pdf+1)))^2 * flnorm * boost
+      bm25:         idf_bm25(pdf) * pf*(k1+1)/(pf + k1*(1-b+b*dl/avgdl))
+
+    The reference stores per-occurrence positions but never consumes
+    them (tokenizer.ex:61-66, field.ex:224-230); this operator is the
+    natural consumer. Not in the reference's DSL — an extension, like
+    BM25 mode.
+
+    Plan shape (100 TB rationale): the postings scan is pruned by the
+    pushed ``In(term, ...)`` predicate (term-clustered row groups), the
+    ordinal arrays explode to one row per occurrence OF THE QUERY TERMS
+    ONLY, and the adjacency test is ONE aggregation keyed by
+    (docid, ord - query_idx) — the classic positional-join without any
+    per-doc Python or self-join chain. ``pdf`` (global doc frequency of
+    the phrase) is a 1-row broadcast; like terms scoring, it is computed
+    on the UNRESTRICTED corpus so clause scores are stable under bool
+    composition (terms use global term_stats idf the same way).
+    """
+    empty_schema = "docid string, score double"
+    if with_details:
+        empty_schema += ", matched int, positions map<string,array<int>>"
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], empty_schema)
+    src = index.postings_full
+    if "ords" not in src.columns:
+        raise ValueError(
+            "phrase queries need the 'ords' column: this index was built "
+            "without positions (store_positions=False) or saved by a "
+            "pre-ordinal version — rebuild to enable match_phrase")
+    k = len(terms)
+    qdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "qi int, term string")
+
+    post = src.where(F.col("field") == field) \
+              .where(F.col("term").isin(terms)) \
+              .where(F.col("ords").isNotNull())
+    occ_cols = [F.col("docid"), F.col("term"), F.col("doc_len")]
+    if with_details:
+        occ_cols.append(F.col("positions"))
+    occ = post.select(*occ_cols, F.posexplode("ords").alias("occ_i", "ord"))
+    occ = occ.join(F.broadcast(qdf), "term")
+
+    hit_key = (F.col("ord") - F.col("qi")).alias("base")
+    aggs = [F.count_distinct(F.col("qi")).alias("nq"),
+            F.first("doc_len").alias("doc_len")]
+    if with_details:
+        aggs.append(F.collect_list(F.struct(
+            F.element_at("positions", F.col("occ_i") * 2 + 1).alias("s"),
+            F.element_at("positions", F.col("occ_i") * 2 + 2).alias("l"),
+        )).alias("occ_pos"))
+    hits = (occ.groupBy("docid", hit_key).agg(*aggs)
+            .where(F.col("nq") == k))
+    # two consumers (pdf broadcast + per-doc agg): cache the hit set —
+    # it is at most phrase-doc-frequency sized
+    hits = hits.persist()
+    pdf_df = hits.agg(F.count_distinct("docid").alias("pdf"))
+
+    if restrict is not None:
+        hits = hits.join(restrict.select("docid"), "docid", "left_semi")
+    per_aggs = [F.count(F.lit(1)).alias("pf"),
+                F.first("doc_len").alias("doc_len")]
+    if with_details:
+        per_aggs.append(F.flatten(F.transform(
+            F.array_sort(F.flatten(F.collect_list("occ_pos"))),
+            lambda s: F.array(s["s"], s["l"]),
+        )).alias("pos_arr"))
+    per_doc = hits.groupBy("docid").agg(*per_aggs)
+
+    fstats = F.broadcast(
+        index.field_stats.where(F.col("field") == field)
+        .select("flnorm", "n_docs", "avg_doc_len")
+    )
+    scored = per_doc.crossJoin(F.broadcast(pdf_df)).crossJoin(fstats)
+
+    if mode == "elasticlunr":
+        idf = F.lit(1.0) + F.log10(
+            F.col("n_docs") / (F.col("pdf") + F.lit(1.0)))
+        score = F.sqrt(F.col("pf")) * idf * idf * F.col("flnorm")
+    elif mode == "bm25":
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("pdf") + F.lit(0.5))
+            / (F.col("pdf") + F.lit(0.5))
+        )
+        score = idf * (F.col("pf") * (k1 + 1.0)) / (
+            F.col("pf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avg_doc_len"))
+        )
+    else:
+        raise ValueError(f"unknown scoring mode {mode!r}")
+
+    out_cols = ["docid", (score * F.lit(float(boost))).alias("score")]
+    if with_details:
+        out_cols += [
+            F.lit(1).alias("matched"),
+            F.create_map(F.lit(field), F.col("pos_arr")).alias("positions"),
+        ]
+    return scored.select(*out_cols)
+
+
 EMPTY_POSITIONS = 'map<string,array<int>>'
 
 
