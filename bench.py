@@ -33,6 +33,10 @@ def main() -> None:
         .appName(f"ex_elasticlunr_spark-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
+        # save() overlaps independent stages from multiple threads; FAIR
+        # lets the small stats/ordinals jobs interleave with the wide
+        # ingest/cluster stages instead of queueing behind them (FIFO)
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "32g"))
         # many concurrent parquet writers in one local JVM thrash GC with
         # the default 128MB row-group buffer; 16MB keeps write scaling

@@ -12,14 +12,22 @@ independently decodable. doc_len rides along so BM25 scoring needs no
 doc_stats join at query time (same denormalization as the postings
 table).
 
-Pure Python by design: encode/decode run inside Arrow-batched pandas
-UDFs over *already-grouped* arrays (one call per posting block), so the
-per-entry Python cost is amortized across the block.
+Encode/decode run inside Arrow-batched pandas UDFs over
+*already-grouped* arrays (one call per posting block). The block codec
+is numpy-vectorized — byte lengths, shifts, and continuation bits are
+computed for the whole interleaved (gap, tf, doc_len) stream in a
+handful of array passes (≤10 for 64-bit values) instead of a Python
+loop per varint; at ~11 postings/turn x 3 varints each, the scalar loop
+was the dominant cost of the segment-encode stage. The scalar
+``encode_varint``/``decode_varint`` remain as the format reference
+(tests pin the vectorized paths against them).
 """
 
 from __future__ import annotations
 
 from typing import List, Tuple
+
+import numpy as np
 
 
 def encode_varint(value: int, out: bytearray) -> None:
@@ -45,34 +53,75 @@ def decode_varint(buf: bytes, pos: int) -> Tuple[int, int]:
         shift += 7
 
 
+def _encode_varints(vals: np.ndarray) -> np.ndarray:
+    """Vectorized LEB128: uint64 values -> concatenated varint bytes."""
+    v = vals.astype(np.uint64, copy=False)
+    n = len(v)
+    nb = np.ones(n, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += tmp > 0
+        tmp >>= np.uint64(7)
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    pos = np.zeros(n, dtype=np.int64)
+    np.cumsum(nb[:-1], out=pos[1:])
+    cur = v.copy()
+    k = 0
+    while True:
+        mask = nb > k
+        if not mask.any():
+            break
+        b = (cur[mask] & np.uint64(0x7F)).astype(np.uint8)
+        more = (nb[mask] > k + 1).astype(np.uint8)
+        out[pos[mask] + k] = b | (more << 7)
+        cur >>= np.uint64(7)
+        k += 1
+    return out
+
+
+def _decode_varints(buf: bytes) -> np.ndarray:
+    """Vectorized LEB128: concatenated varint bytes -> uint64 values."""
+    a = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.flatnonzero(a < 128)
+    n = len(ends)
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    vals = a[starts].astype(np.uint64) & np.uint64(0x7F)
+    for j in range(1, int(lens.max()) if n else 0):
+        m = lens > j
+        vals[m] |= (a[starts[m] + j].astype(np.uint64)
+                    & np.uint64(0x7F)) << np.uint64(7 * j)
+    return vals
+
+
 def encode_block(ords: List[int], tfs: List[int], dls: List[int],
                  base_ord: int = 0) -> bytes:
     """Encode parallel (sorted ordinal, tf, doc_len) lists. ``ords`` MUST
     be strictly increasing."""
-    out = bytearray()
-    encode_varint(len(ords), out)
-    prev = base_ord
-    for o, tf, dl in zip(ords, tfs, dls):
-        encode_varint(o - prev, out)
-        encode_varint(tf, out)
-        encode_varint(dl, out)
-        prev = o
-    return bytes(out)
+    n = len(ords)
+    if n == 0:
+        out = bytearray()
+        encode_varint(0, out)
+        return bytes(out)
+    o = np.asarray(ords, dtype=np.int64)
+    inter = np.empty(3 * n + 1, dtype=np.uint64)
+    inter[0] = n
+    inter[1] = o[0] - base_ord
+    inter[4::3] = np.diff(o).astype(np.uint64)
+    inter[2::3] = np.asarray(tfs, dtype=np.uint64)
+    inter[3::3] = np.asarray(dls, dtype=np.uint64)
+    return _encode_varints(inter).tobytes()
 
 
 def decode_block(buf: bytes, base_ord: int = 0):
-    """-> (ords, tfs, dls)."""
-    n, pos = decode_varint(buf, 0)
-    ords: List[int] = []
-    tfs: List[int] = []
-    dls: List[int] = []
-    prev = base_ord
-    for _ in range(n):
-        gap, pos = decode_varint(buf, pos)
-        tf, pos = decode_varint(buf, pos)
-        dl, pos = decode_varint(buf, pos)
-        prev += gap
-        ords.append(prev)
-        tfs.append(tf)
-        dls.append(dl)
-    return ords, tfs, dls
+    """-> (ords, tfs, dls) as plain int lists."""
+    vals = _decode_varints(buf)
+    n = int(vals[0]) if len(vals) else 0
+    if n == 0:
+        return [], [], []
+    body = vals[1:1 + 3 * n]
+    ords = np.cumsum(body[0::3].astype(np.int64)) + base_ord
+    return (ords.tolist(), body[1::3].astype(np.int64).tolist(),
+            body[2::3].astype(np.int64).tolist())

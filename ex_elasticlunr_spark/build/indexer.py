@@ -180,9 +180,23 @@ class InvertedIndex:
         """
         import shutil
         import time as _time
+        from concurrent.futures import ThreadPoolExecutor
 
         from .ordinals import assign_doc_ordinals
         from .segments import build_segments_streaming
+
+        def _overlap(*thunks):
+            """Run independent Spark actions concurrently (each thunk
+            submits jobs from its own thread; the scheduler interleaves
+            their tasks over the shared executor slots). This converts
+            the save's serial tail of small jobs into overlapped work —
+            on a cluster the same trick keeps executors busy while a
+            vocabulary-sized stats job runs."""
+            if len(thunks) == 1:
+                return [thunks[0]()]
+            with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+                futs = [pool.submit(t) for t in thunks]
+                return [f.result() for f in futs]
 
         spark = self.postings.sparkSession
         os.makedirs(path, exist_ok=True)
@@ -224,24 +238,31 @@ class InvertedIndex:
                         src = src.withColumn(c, F.lit(None).cast("array<int>"))
                     sent = sent.withColumn(c, F.lit(None).cast("array<int>"))
             flat = src.select(*flat_cols).unionByName(sent.select(*flat_cols))
-        flat.write.mode("overwrite").parquet(_sp("flat"))
+        # ---- phase 1 (overlapped): flat ingest write ∥ the docs->global
+        # ordinals chain. Both sides end in everything the cluster phase
+        # needs; the docs/ordinals chain is docid-sized and hides
+        # completely under the analyzer-heavy flat write.
+        stage_secs: dict = {}
+        ordinals_box: list = []
+
+        def _w_flat():
+            s0 = _time.perf_counter()
+            flat.write.mode("overwrite").parquet(_sp("flat"))
+            stage_secs["postings_write_sec"] = _time.perf_counter() - s0
+
+        def _w_docs_ordinals():
+            self.docs.write.mode("overwrite").parquet(_sp("docs"))
+            docs = spark.read.parquet(_sp("docs"))
+            o = assign_doc_ordinals(docs).persist()
+            o.write.mode("overwrite").parquet(_sp("ordinals"))
+            ordinals_box.append(o)
+
+        _overlap(_w_flat, _w_docs_ordinals)
         t1 = _time.perf_counter()
-
-        # ---- phase 2: doc tables + global ordinals ----------------------
-        self.docs.write.mode("overwrite").parquet(_sp("docs"))
-        docs = spark.read.parquet(_sp("docs"))
-
         raw = spark.read.parquet(_sp("flat"))
-        raw.where(F.col("term").isNull()) \
-            .select("field", "docid", "doc_len") \
-            .write.mode("overwrite").parquet(_sp("doc_stats"))
-        doc_stats = spark.read.parquet(_sp("doc_stats"))
+        ordinals = ordinals_box[0]
 
-        ordinals = assign_doc_ordinals(docs)
-        ordinals = ordinals.persist()
-        ordinals.write.mode("overwrite").parquet(_sp("ordinals"))
-
-        # ---- phase 3: TERM-CLUSTERED narrow postings --------------------
+        # ---- phase 2: TERM-CLUSTERED narrow postings --------------------
         # One shuffle joins ordinals in (docID assignment) and one
         # clusters by term. The salt is pmod(block_id, term_salt) — the
         # ordinal-range salting of the segment design — so (a) hot terms
@@ -277,47 +298,81 @@ class InvertedIndex:
             .sortWithinPartitions("term", "field", "ord")
             .select("field", "term", "docid", "ord", "tf_raw", "doc_len")
         )
-        clustered.write.mode("overwrite").parquet(_sp("postings"))
+
+        def _w_cluster():
+            s0 = _time.perf_counter()
+            clustered.write.mode("overwrite").parquet(_sp("postings"))
+            stage_secs["cluster_write_sec"] = _time.perf_counter() - s0
+
+        # ---- stats thread: runs CONCURRENTLY with the cluster shuffle —
+        # doc_stats + all statistics derive from the flat ingest parquet
+        # (the same rows the clustered table will hold), so nothing here
+        # waits on the shuffle. Stats are consolidated into ONE
+        # vocabulary aggregation (tdf) plus two per-field collects;
+        # field_stats (one row per field) is assembled driver-side
+        # instead of a write->read round trip. Tradeoff noted: aggregating
+        # the doc-ordered flat table produces larger map-side partials
+        # than the term-clustered table would, but it is one
+        # vocabulary-sized shuffle either way and the overlap wins.
+        def _write_stats():
+            import math as _math
+
+            s0 = _time.perf_counter()
+            raw.where(F.col("term").isNull()) \
+                .select("field", "docid", "doc_len") \
+                .write.mode("overwrite").parquet(_sp("doc_stats"))
+            tdf = (raw.where(F.col("term").isNotNull())
+                   .groupBy("field", "term")
+                   .agg(F.count(F.lit(1)).alias("df")).persist())
+            drows = {
+                r["field"]: r
+                for r in raw.where(F.col("term").isNull())
+                .groupBy("field").agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.avg("doc_len").alias("avg_doc_len")).collect()
+            }
+            vrows = {
+                r["field"]: r["n_unique_terms"]
+                for r in tdf.groupBy("field").agg(
+                    F.count(F.lit(1)).alias("n_unique_terms")).collect()
+            }
+            fs_rows = [
+                (f,
+                 int(drows[f]["n_docs"]),
+                 int(vrows.get(f) or 0),
+                 (1.0 / _math.sqrt(vrows[f])) if vrows.get(f) else 0.0,
+                 float(drows[f]["avg_doc_len"] or 0.0))
+                for f in sorted(drows)
+            ]
+            fs_df = spark.createDataFrame(
+                fs_rows,
+                "field string, n_docs long, n_unique_terms long, "
+                "flnorm double, avg_doc_len double",
+            )
+            fs_df.write.mode("overwrite").parquet(_sp("field_stats"))
+            (tdf.join(F.broadcast(fs_df.select("field", "n_docs")), "field")
+                .withColumn("idf", F.lit(1.0) + F.log10(
+                    F.col("n_docs") / (F.col("df") + F.lit(1.0))))
+                .drop("n_docs")
+                .write.mode("overwrite").parquet(_sp("term_stats")))
+            tdf.unpersist()
+            stage_secs["stats_write_sec"] = _time.perf_counter() - s0
+
+        # ---- phase 2 runs cluster ∥ stats; phase 3 (segments, a pure
+        # MAP over the block-clustered postings — no shuffle, no
+        # collect_list) is the only stage that must wait for the shuffle.
+        _overlap(_w_cluster, _write_stats)
         t2 = _time.perf_counter()
-
-        # ---- phase 4: stats (one aggregation pass over the clustered
-        # parquet feeds BOTH term_stats and per-field vocab counts) ------
-        postings = spark.read.parquet(_sp("postings"))
-        tdf = (postings.groupBy("field", "term")
-               .agg(F.count(F.lit(1)).alias("df")).persist())
-        field_stats = (
-            doc_stats.groupBy("field")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.avg("doc_len").alias("avg_doc_len"))
-            .join(tdf.groupBy("field").agg(
-                F.count(F.lit(1)).alias("n_unique_terms")), "field", "left")
-            .withColumn("n_unique_terms",
-                        F.coalesce(F.col("n_unique_terms"), F.lit(0)))
-            .withColumn("flnorm",
-                        F.when(F.col("n_unique_terms") > 0,
-                               F.lit(1.0) / F.sqrt(F.col("n_unique_terms")))
-                        .otherwise(F.lit(0.0)))
-        )
-        field_stats.write.mode("overwrite").parquet(_sp("field_stats"))
-        field_stats = spark.read.parquet(_sp("field_stats"))
-
-        (tdf.join(F.broadcast(field_stats.select("field", "n_docs")), "field")
-            .withColumn("idf", F.lit(1.0) + F.log10(
-                F.col("n_docs") / (F.col("df") + F.lit(1.0))))
-            .drop("n_docs")
-            .write.mode("overwrite").parquet(_sp("term_stats")))
-        tdf.unpersist()
-        t3 = _time.perf_counter()
 
         tables = ["flat", "postings", "docs", "doc_stats", "field_stats",
                   "term_stats", "ordinals"]
-        # ---- phase 5: segments — a pure MAP over the block-clustered
-        # postings (runs chunked at global block boundaries; see
-        # build_segments_streaming). No shuffle, no collect_list.
         if with_segments:
+            tables.append("segments")
+            postings = spark.read.parquet(_sp("postings"))
+            s0 = _time.perf_counter()
             build_segments_streaming(postings, block_size) \
                 .write.mode("overwrite").parquet(_sp("segments"))
-            tables.append("segments")
+            stage_secs["segments_write_sec"] = _time.perf_counter() - s0
         ordinals.unpersist()
         for dep in getattr(ordinals, "_persisted_deps", []):
             dep.unpersist()
@@ -355,11 +410,17 @@ class InvertedIndex:
         self._rebind_from(path, manifest)
 
         if timings is not None:
-            timings["postings_write_sec"] = round(t1 - t0, 4)  # ingest
-            timings["cluster_write_sec"] = round(t2 - t1, 4)
-            timings["stats_write_sec"] = round(t3 - t2, 4)
-            if with_segments:
-                timings["segments_write_sec"] = round(t4 - t3, 4)
+            # per-thread durations: phase 1 overlaps the flat ingest
+            # write with docs+ordinals, phase 2 overlaps the clustering
+            # shuffle with all statistics — thread sums can exceed the
+            # phase wall times (ingest_wall_sec / cluster_wall_sec)
+            for k in ("postings_write_sec", "cluster_write_sec",
+                      "stats_write_sec", "segments_write_sec"):
+                if k in stage_secs:
+                    timings[k] = round(stage_secs[k], 4)
+            timings["ingest_wall_sec"] = round(t1 - t0, 4)
+            timings["cluster_wall_sec"] = round(t2 - t1, 4)
+            timings["segments_wall_sec"] = round(t4 - t2, 4)
 
     def _rebind_from(self, path: str, manifest: dict, spark=None) -> None:
         spark = spark or self.postings.sparkSession

@@ -47,6 +47,9 @@ def main() -> None:
         SparkSession.builder.appName("ex_elasticlunr_spark-build")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.hadoop.parquet.block.size", "16777216")
+        # save() overlaps independent stages (ingest ∥ ordinals,
+        # cluster ∥ stats) from threads; FAIR lets their jobs interleave
+        .config("spark.scheduler.mode", "FAIR")
         .getOrCreate()
     )
 

@@ -35,6 +35,27 @@ class TestCodec:
         buf = codec.encode_block(ords, [1] * len(ords), [10] * len(ords))
         assert len(buf) / len(ords) < 4
 
+    def test_vectorized_matches_scalar_reference(self):
+        # the numpy block codec must emit byte-identical output to the
+        # scalar varint reference (same LEB128 stream)
+        rng = random.Random(11)
+        for n in (0, 1, 2, 17, 1000):
+            base = rng.choice([0, 4096, 1 << 20])
+            ords = sorted(rng.sample(range(base, base + 80_000), n))
+            tfs = [rng.randint(0, 1 << rng.choice([3, 14, 30])) for _ in range(n)]
+            dls = [rng.randint(0, 1 << 14) for _ in range(n)]
+            ref = bytearray()
+            codec.encode_varint(n, ref)
+            prev = base
+            for o, t, d in zip(ords, tfs, dls):
+                codec.encode_varint(o - prev, ref)
+                codec.encode_varint(t, ref)
+                codec.encode_varint(d, ref)
+                prev = o
+            buf = codec.encode_block(ords, tfs, dls, base)
+            assert buf == bytes(ref)
+            assert codec.decode_block(buf, base) == (ords, tfs, dls)
+
     def test_varint_edge(self):
         out = bytearray()
         codec.encode_varint(0, out)
