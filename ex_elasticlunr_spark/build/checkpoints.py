@@ -54,9 +54,11 @@ def _dir_bytes(path: str) -> int:
 
 
 def _append_metrics(spark: SparkSession, out_path: str, rows: List[tuple]) -> None:
-    spark.createDataFrame(rows, METRICS_SCHEMA).write.mode("append").parquet(
-        os.path.join(out_path, "metrics")
-    )
+    # inline literal relation — no Python-RDD scan for a metrics append
+    from ..functions.literals import inline_rows
+
+    inline_rows(spark, rows, METRICS_SCHEMA) \
+        .write.mode("append").parquet(os.path.join(out_path, "metrics"))
 
 
 def read_metrics(spark: SparkSession, out_path: str) -> DataFrame:

@@ -41,6 +41,7 @@ from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.literals import inline_rows
 from ..functions.udfs import AnalyzerConfig, analyze_postings
 
 
@@ -238,31 +239,46 @@ class InvertedIndex:
                         src = src.withColumn(c, F.lit(None).cast("array<int>"))
                     sent = sent.withColumn(c, F.lit(None).cast("array<int>"))
             flat = src.select(*flat_cols).unionByName(sent.select(*flat_cols))
-        # ---- phase 1 (overlapped): flat ingest write ∥ the docs->global
-        # ordinals chain. Both sides end in everything the cluster phase
-        # needs; the docs/ordinals chain is docid-sized and hides
-        # completely under the analyzer-heavy flat write.
+        # ---- phase 1 (overlapped): the analyzer-heavy flat ingest write
+        # ∥ the trivial docs scan. NOTHING shuffle-heavy overlaps this
+        # phase — the ingest stage is the 10^12-turn bottleneck and owns
+        # the Python workers (measured: overlapping the ordinals shuffle
+        # here stretched the ingest wall ~20-50%).
         stage_secs: dict = {}
-        ordinals_box: list = []
 
         def _w_flat():
             s0 = _time.perf_counter()
             flat.write.mode("overwrite").parquet(_sp("flat"))
             stage_secs["postings_write_sec"] = _time.perf_counter() - s0
 
-        def _w_docs_ordinals():
-            self.docs.write.mode("overwrite").parquet(_sp("docs"))
+        _overlap(
+            _w_flat,
+            lambda: self.docs.write.mode("overwrite").parquet(_sp("docs")),
+        )
+        t1 = _time.perf_counter()
+        raw = spark.read.parquet(_sp("flat"))
+
+        # ---- phase 2 (overlapped): doc_stats (sentinel filter of flat)
+        # ∥ the docs -> global-ordinal assignment — both docid-sized.
+        ordinals_box: list = []
+
+        def _w_doc_stats():
+            raw.where(F.col("term").isNull()) \
+                .select("field", "docid", "doc_len") \
+                .write.mode("overwrite").parquet(_sp("doc_stats"))
+
+        def _w_ordinals():
             docs = spark.read.parquet(_sp("docs"))
             o = assign_doc_ordinals(docs).persist()
             o.write.mode("overwrite").parquet(_sp("ordinals"))
             ordinals_box.append(o)
 
-        _overlap(_w_flat, _w_docs_ordinals)
-        t1 = _time.perf_counter()
-        raw = spark.read.parquet(_sp("flat"))
+        _overlap(_w_doc_stats, _w_ordinals)
         ordinals = ordinals_box[0]
+        doc_stats = spark.read.parquet(_sp("doc_stats"))
 
-        # ---- phase 2: TERM-CLUSTERED narrow postings --------------------
+        # ---- phase 3: TERM-CLUSTERED narrow postings (serial — the one
+        # big shuffle gets the whole machine) -----------------------------
         # One shuffle joins ordinals in (docID assignment) and one
         # clusters by term. The salt is pmod(block_id, term_salt) — the
         # ordinal-range salting of the segment design — so (a) hot terms
@@ -299,35 +315,29 @@ class InvertedIndex:
             .select("field", "term", "docid", "ord", "tf_raw", "doc_len")
         )
 
-        def _w_cluster():
-            s0 = _time.perf_counter()
-            clustered.write.mode("overwrite").parquet(_sp("postings"))
-            stage_secs["cluster_write_sec"] = _time.perf_counter() - s0
+        s0 = _time.perf_counter()
+        clustered.write.mode("overwrite").parquet(_sp("postings"))
+        stage_secs["cluster_write_sec"] = _time.perf_counter() - s0
+        postings = spark.read.parquet(_sp("postings"))
 
-        # ---- stats thread: runs CONCURRENTLY with the cluster shuffle —
-        # doc_stats + all statistics derive from the flat ingest parquet
-        # (the same rows the clustered table will hold), so nothing here
-        # waits on the shuffle. Stats are consolidated into ONE
-        # vocabulary aggregation (tdf) plus two per-field collects;
-        # field_stats (one row per field) is assembled driver-side
-        # instead of a write->read round trip. Tradeoff noted: aggregating
-        # the doc-ordered flat table produces larger map-side partials
-        # than the term-clustered table would, but it is one
-        # vocabulary-sized shuffle either way and the overlap wins.
+        # ---- phase 4 (overlapped): stats ∥ segments — both read the
+        # clustered parquet and are otherwise independent. Stats are
+        # consolidated into ONE vocabulary aggregation (tdf) over the
+        # TERM-CLUSTERED table — each partition holds few distinct terms,
+        # so map-side partials are tiny (aggregating the doc-ordered flat
+        # table instead was measured 5-10x slower at 2M turns: every
+        # partition emits ~the whole vocabulary as partials) — plus two
+        # per-field collects; field_stats (one row per field) is
+        # assembled driver-side instead of a write->read round trip.
         def _write_stats():
             import math as _math
 
             s0 = _time.perf_counter()
-            raw.where(F.col("term").isNull()) \
-                .select("field", "docid", "doc_len") \
-                .write.mode("overwrite").parquet(_sp("doc_stats"))
-            tdf = (raw.where(F.col("term").isNotNull())
-                   .groupBy("field", "term")
+            tdf = (postings.groupBy("field", "term")
                    .agg(F.count(F.lit(1)).alias("df")).persist())
             drows = {
                 r["field"]: r
-                for r in raw.where(F.col("term").isNull())
-                .groupBy("field").agg(
+                for r in doc_stats.groupBy("field").agg(
                     F.count(F.lit(1)).alias("n_docs"),
                     F.avg("doc_len").alias("avg_doc_len")).collect()
             }
@@ -344,8 +354,12 @@ class InvertedIndex:
                  float(drows[f]["avg_doc_len"] or 0.0))
                 for f in sorted(drows)
             ]
-            fs_df = spark.createDataFrame(
-                fs_rows,
+            # inline literal relation: createDataFrame would be a
+            # Python-RDD scan costing one worker round trip per slice
+            # per job (measured ~5s to write 2 rows; see
+            # functions/literals.py)
+            fs_df = inline_rows(
+                spark, fs_rows,
                 "field string, n_docs long, n_unique_terms long, "
                 "flnorm double, avg_doc_len double",
             )
@@ -358,21 +372,22 @@ class InvertedIndex:
             tdf.unpersist()
             stage_secs["stats_write_sec"] = _time.perf_counter() - s0
 
-        # ---- phase 2 runs cluster ∥ stats; phase 3 (segments, a pure
-        # MAP over the block-clustered postings — no shuffle, no
-        # collect_list) is the only stage that must wait for the shuffle.
-        _overlap(_w_cluster, _write_stats)
-        t2 = _time.perf_counter()
-
-        tables = ["flat", "postings", "docs", "doc_stats", "field_stats",
-                  "term_stats", "ordinals"]
-        if with_segments:
-            tables.append("segments")
-            postings = spark.read.parquet(_sp("postings"))
+        def _w_segments():
+            # segments are a pure MAP over the block-clustered postings
+            # (build_segments_streaming: no shuffle, no collect_list)
             s0 = _time.perf_counter()
             build_segments_streaming(postings, block_size) \
                 .write.mode("overwrite").parquet(_sp("segments"))
             stage_secs["segments_write_sec"] = _time.perf_counter() - s0
+
+        t2 = _time.perf_counter()
+        tables = ["flat", "postings", "docs", "doc_stats", "field_stats",
+                  "term_stats", "ordinals"]
+        if with_segments:
+            tables.append("segments")
+            _overlap(_write_stats, _w_segments)
+        else:
+            _write_stats()
         ordinals.unpersist()
         for dep in getattr(ordinals, "_persisted_deps", []):
             dep.unpersist()
@@ -411,16 +426,16 @@ class InvertedIndex:
 
         if timings is not None:
             # per-thread durations: phase 1 overlaps the flat ingest
-            # write with docs+ordinals, phase 2 overlaps the clustering
-            # shuffle with all statistics — thread sums can exceed the
-            # phase wall times (ingest_wall_sec / cluster_wall_sec)
-            for k in ("postings_write_sec", "cluster_write_sec",
-                      "stats_write_sec", "segments_write_sec"):
-                if k in stage_secs:
-                    timings[k] = round(stage_secs[k], 4)
+            # write with the docs scan, phase 2 doc_stats ∥ ordinals,
+            # phase 4 stats ∥ segments — thread sums can exceed the
+            # phase wall times (ingest_wall_sec / tail_wall_sec)
+            for k in stage_secs:
+                timings[k] = round(stage_secs[k], 4)
             timings["ingest_wall_sec"] = round(t1 - t0, 4)
+            # doc_stats/ordinals + cluster shuffle
             timings["cluster_wall_sec"] = round(t2 - t1, 4)
-            timings["segments_wall_sec"] = round(t4 - t2, 4)
+            # stats ∥ segments
+            timings["tail_wall_sec"] = round(t4 - t2, 4)
 
     def _rebind_from(self, path: str, manifest: dict, spark=None) -> None:
         spark = spark or self.postings.sparkSession

@@ -137,88 +137,6 @@ def analyze_udf(config: Optional[AnalyzerConfig] = None, positions: bool = True)
     return _analyze
 
 
-FLAT_SCHEMA = (
-    "field string, docid string, term string, start int, length int, "
-    "doc_len long"
-)
-FLAT_SCHEMA_NOPOS = "field string, docid string, term string, doc_len long"
-
-
-def analyze_flat(stacked, configs: dict, positions: bool = True):
-    """(field, docid, content) -> exploded (field, docid, term, start,
-    length, doc_len) via ONE mapInPandas pass.
-
-    This is the build hot path: flat output columns avoid the Arrow
-    nested-struct conversion AND the JVM-side explode of analyze_udf,
-    and doc_len (token count per field-doc) is computed in the same pass
-    — eliminating the postings<->doc_lens self-join shuffle the naive
-    plan needs.
-    """
-    import itertools
-
-    cfg_items = {f: (c.stages, c.separator, c.extra) for f, c in configs.items()}
-
-    def run(batches):
-        from ..analysis.stop_words import STOP_WORDS
-        from ..analysis import porter2
-        from ..analysis.tokenizer import tokenize
-        from ..analysis.trimmer import trim_str
-        from ..analysis.token import Token
-
-        stem_cache: dict = {}
-
-        def stem1(t):
-            s = stem_cache.get(t)
-            if s is None:
-                s = porter2.stem(t)
-                stem_cache[t] = s
-            return s
-
-        for pdf in batches:
-            out_field, out_docid, out_term = [], [], []
-            out_start, out_len, out_dl = [], [], []
-            for fld, docid, content in zip(
-                pdf["field"], pdf["docid"], pdf["content"]
-            ):
-                if content is None:
-                    continue
-                stages, sep, extra = cfg_items[fld]
-                toks = tokenize(content, sep)
-                if "trim" in stages:
-                    toks = [Token(trim_str(t.token), t.start, t.length)
-                            for t in toks]
-                if "stop" in stages:
-                    toks = [t for t in toks if t.token not in STOP_WORDS]
-                if "stem" in stages:
-                    toks = [Token(stem1(t.token), t.start, t.length)
-                            for t in toks]
-                for cb in extra:
-                    nxt = []
-                    for t in toks:
-                        r = cb(t)
-                        if r is None:
-                            continue
-                        nxt.extend(r if isinstance(r, list) else [r])
-                    toks = nxt
-                n = len(toks)
-                out_field.extend(itertools.repeat(fld, n))
-                out_docid.extend(itertools.repeat(docid, n))
-                out_term.extend(t.token for t in toks)
-                if positions:
-                    out_start.extend(t.start for t in toks)
-                    out_len.extend(t.length for t in toks)
-                out_dl.extend(itertools.repeat(n, n))
-            data = {"field": out_field, "docid": out_docid, "term": out_term}
-            if positions:
-                data["start"] = pd.array(out_start, dtype="int32")
-                data["length"] = pd.array(out_len, dtype="int32")
-            data["doc_len"] = pd.array(out_dl, dtype="int64")
-            yield pd.DataFrame(data)
-
-    schema = FLAT_SCHEMA if positions else FLAT_SCHEMA_NOPOS
-    return stacked.mapInPandas(run, schema)
-
-
 POSTINGS_SCHEMA = (
     "field string, docid string, term string, tf_raw long, doc_len long, "
     "positions array<int>, ords array<int>"

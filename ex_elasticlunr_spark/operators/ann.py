@@ -223,7 +223,10 @@ def ivf_topk(df: DataFrame, query_vec: List[float], k: int = 10,
                     F.transform("pm", lambda s: s["m"]).alias("cv"))
         )
         spark = df.sparkSession
-        cents = spark.createDataFrame(
+        from ..functions.literals import inline_rows
+
+        cents = inline_rows(
+            spark,
             [(r["cell"], [float(x) for x in r["cv"]]) for r in means.collect()],
             "cell string, cv array<double>",
         )

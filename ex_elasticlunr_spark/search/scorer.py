@@ -33,6 +33,8 @@ from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.literals import inline_rows
+
 
 
 def _query_terms_df(index, field: str, terms: List[str],
@@ -44,7 +46,8 @@ def _query_terms_df(index, field: str, terms: List[str],
     minimum_should_match counts.
     """
     spark = index.postings.sparkSession
-    qterms = spark.createDataFrame([(t,) for t in terms], "qt string")
+    # inline literal relation: no Python-RDD scan in the query path
+    qterms = inline_rows(spark, [(t,) for t in terms], "qt string")
     vocab = index.term_stats.where(F.col("field") == field)
 
     if expand:
@@ -250,8 +253,7 @@ def phrase_scores(
             "without positions (store_positions=False) or saved by a "
             "pre-ordinal version — rebuild to enable match_phrase")
     k = len(terms)
-    qdf = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(terms)], "qi int, term string")
+    qdf = inline_rows(spark, list(enumerate(terms)), "qi int, term string")
 
     post = src.where(F.col("field") == field) \
               .where(F.col("term").isin(terms)) \

@@ -52,9 +52,8 @@ CHECKED = sorted(set(QUERIES) & set(ORACLES))
 def test_oracle_coverage():
     # every oracle key must have a query; most queries must have oracles
     assert set(ORACLES) <= set(QUERIES)
-    unchecked = set(QUERIES) - set(ORACLES)
-    # only non-SQL-expressible ops may skip the oracle
-    assert unchecked <= {"mm_features", "mm_resize", "mm_frame_sample"}
+    # every queries() entry has a DuckDB oracle (round-1 verdict ask)
+    assert set(QUERIES) == set(ORACLES)
 
 
 @pytest.mark.parametrize("name", CHECKED)
