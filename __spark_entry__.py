@@ -207,12 +207,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_jaccard"] = jaccard
 
+    def clusters(s, d):
+        docs = _documents(s, d)
+        cands = dedup.lsh_candidate_pairs(docs, num_hashes=16, bands=4, k=8) \
+            .select("docid_a", "docid_b")
+        pairs = dedup.ngram_jaccard_pairs(docs, cands, n=8, threshold=0.5)
+        return dedup.duplicate_clusters(pairs)
+
+    q["dedup_clusters"] = clusters
+
     # ---- text analysis --------------------------------------------------
     q["text_token_counts"] = lambda s, d: quality.token_counts(_documents(s, d))
     q["text_quality"] = lambda s, d: quality.quality_scores(_documents(s, d))
     q["text_lang_id"] = lambda s, d: quality.lang_id(_documents(s, d))
     q["text_winnow"] = lambda s, d: quality.winnow_fingerprints(
         _documents(s, d), k=8, w=4)
+
+    def pii(s, d):
+        # plant deterministic PII shapes (the synthetic corpus has none)
+        docs = _documents(s, d).withColumn(
+            "text",
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 call 555-123-4567"),
+            ),
+        )
+        return quality.pii_scrub(docs)
+
+    q["text_pii_scrub"] = pii
 
     # ---- similarity search ----------------------------------------------
     def _qvec(s, d):
@@ -448,6 +473,41 @@ JOIN sh sb ON sb.docid = cands.docid_b
 WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
       / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
 """
+    # connected components over the verified pairs: the recursive CTE
+    # computes the reachability closure (edges are bidirectional + a
+    # self row per node), cluster_id = MIN reachable docid
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({o["dedup_ngram_jaccard"]}),
+edges AS (
+  SELECT docid_a AS src, docid_b AS dst FROM pairs
+  UNION
+  SELECT docid_b AS src, docid_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS a, src AS b FROM edges
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON e.src = r.b
+)
+SELECT a AS docid, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+    pii_text = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+                " || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+                " || '.7 call 555-123-4567'")
+    pii_pats = {name: pat for name, pat, _tok in quality.PII_PATTERNS}
+    o["text_pii_scrub"] = f"""
+WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS docid, {pii_text} AS t FROM documents)
+SELECT docid,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '{pii_pats["email"]}', '[EMAIL]', 'g'),
+         '{pii_pats["ipv4"]}', '[IP]', 'g'),
+         '{pii_pats["phone"]}', '[PHONE]', 'g') AS scrubbed,
+       len(regexp_extract_all(t, '{pii_pats["email"]}'))::BIGINT AS n_email,
+       len(regexp_extract_all(t, '{pii_pats["ipv4"]}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(t, '{pii_pats["phone"]}'))::BIGINT AS n_phone
+FROM d
+"""
+
     o["text_token_counts"] = f"""
 SELECT CAST(doc_id AS VARCHAR) AS docid,
        CASE WHEN {norm} = '' THEN 0

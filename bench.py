@@ -45,6 +45,13 @@ def main() -> None:
         # AQE's 64MB advisory coalesce shrinks the segment-encode stage
         # below the core count at bench scale; 8MB keeps it CPU-bound
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # parquet scans bin-pack files to 128MB splits — at bench input
+        # sizes that caps the flat-scan (cluster map side) and the
+        # segment-encode stage at ~6-12 tasks REGARDLESS of core count,
+        # flattening 4->16 scaling; 16MB splits (= the parquet row-group
+        # size above) keep scan stages at >= core-count tasks. At real
+        # 100TB scale the default is fine — files outnumber cores.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         # the sandbox VM's virtio disk has multi-second latency spikes
         # (load-average inflation with idle CPUs); shuffle spill to
         # tmpfs isolates the CPU/parallelism scaling we are measuring

@@ -253,3 +253,46 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "docid",
         .groupBy("docid")
         .agg(F.sum("bitval").alias("simhash"))
     )
+
+
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over duplicate pairs -> (docid, cluster_id).
+
+    The step after candidate generation + verification in a dedup
+    pipeline: near-duplicate pairs form clusters and one representative
+    per cluster is kept. ``cluster_id`` is the MIN docid (string order)
+    of the component, so ``docid == cluster_id`` marks the keeper.
+
+    Scale shape: min-label propagation over the (bidirectional,
+    deduplicated) edge list — each iteration is one shuffle join plus a
+    min-aggregate, and it converges in O(component diameter) iterations
+    with a fixpoint early-stop. Duplicate clusters are shallow (near-dup
+    groups, not a social graph), so the iteration count stays small at
+    any corpus size; each iteration's volume is bounded by the edge
+    list, never the corpus.
+    """
+    fwd = pairs.select(F.col("docid_a").cast("string").alias("src"),
+                       F.col("docid_b").cast("string").alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (edges.select(F.col("src").alias("docid")).distinct()
+              .withColumn("cluster_id", F.col("docid"))
+              .persist())
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges["src"] == labels["docid"])
+            .select(F.col("dst").alias("docid"), F.col("cluster_id"))
+        )
+        new = (labels.unionByName(prop)
+               .groupBy("docid")
+               .agg(F.min("cluster_id").alias("cluster_id"))
+               .persist())
+        changed = (new.join(labels, ["docid", "cluster_id"], "left_anti")
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("docid", "cluster_id")

@@ -172,3 +172,37 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
             (F.col("sel_key") / F.lit(1 << 20)).cast("long").alias("fp"))
         .distinct()
     )
+
+
+# identical pattern strings run on both engines: Java regex (Spark) and
+# RE2 (DuckDB) — keep to the common subset (no backrefs, no lookaround)
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "docid") -> DataFrame:
+    """Redact common PII shapes (emails, IPv4s, phone-shaped numbers)
+    -> (docid, scrubbed, n_email, n_ipv4, n_phone).
+
+    A standard training-data hygiene pass. Pure column expressions
+    (regexp_count + chained regexp_replace, whole-stage codegen): at
+    100 TB this is a map-only scan with no shuffle at all. Counts are
+    measured on the ORIGINAL text; replacements apply in PII_PATTERNS
+    order (emails first so their host parts are gone before the looser
+    numeric patterns run).
+    """
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat))
+                      .cast("long").alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(
+        F.col(id_col).cast("string").alias("docid"),
+        scrubbed.alias("scrubbed"),
+        *counts,
+    )

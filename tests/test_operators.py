@@ -75,3 +75,47 @@ def test_banded_near_dups_no_duplicate_pairs(spark):
     pairs = [(r["vec_id_a"], r["vec_id_b"]) for r in got]
     assert len(pairs) == len(set(pairs))
     assert ("0", "100") in pairs
+
+
+def test_duplicate_clusters_connected_components(spark):
+    """Min-label propagation finds components across transitive chains:
+    a-b, b-c, (separate) d-e; cluster_id = min docid of the component."""
+    from ex_elasticlunr_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "f"), ("d", "e")],
+        "docid_a string, docid_b string",
+    )
+    got = {r["docid"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "f": "a",
+                   "d": "d", "e": "d"}
+
+
+def test_duplicate_clusters_chain_beyond_one_hop(spark):
+    """A 6-node path needs several propagation rounds — exercises the
+    fixpoint loop, not just a single join."""
+    from ex_elasticlunr_spark.operators import dedup
+
+    chain = [(str(i), str(i + 1)) for i in range(1, 6)]  # 1-2-3-4-5-6
+    pairs = spark.createDataFrame(chain, "docid_a string, docid_b string")
+    got = {r["docid"]: r["cluster_id"]
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {str(i): "1" for i in range(1, 7)}
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from ex_elasticlunr_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [("1", "mail bob@x.io and sue@y.co ip 10.0.0.1 call 555-123-4567"),
+         ("2", "clean text"),
+         ("3", None)],
+        "docid string, text string",
+    )
+    rows = {r["docid"]: r for r in quality.pii_scrub(df).collect()}
+    r1 = rows["1"]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (2, 1, 1)
+    assert r1["scrubbed"] == "mail [EMAIL] and [EMAIL] ip [IP] call [PHONE]"
+    assert rows["2"]["n_email"] == 0 and rows["2"]["scrubbed"] == "clean text"
+    assert rows["3"]["scrubbed"] is None
