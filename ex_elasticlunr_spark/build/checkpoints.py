@@ -159,6 +159,10 @@ def checkpointed_build(
     # final merge: pure read of the checkpoints (idempotent)
     t0 = time.perf_counter()
     raw = spark.read.parquet(os.path.join(out_path, "buckets", "*", "postings"))
+    if "ord" in raw.columns:
+        # per-bucket ingest ordinals collide across buckets; the merge
+        # save() reassigns globally (build/ordinals.py)
+        raw = raw.drop("ord")
     postings = raw.where(F.col("term").isNotNull()) \
         .withColumn("tf", F.sqrt(F.col("tf_raw")))
     doc_stats = raw.where(F.col("term").isNull()).select("field", "docid", "doc_len")

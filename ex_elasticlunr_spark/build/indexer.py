@@ -218,6 +218,14 @@ class InvertedIndex:
         flat_cols = ["field", "docid", "term", "tf_raw", "doc_len"]
         if self.store_positions:
             flat_cols += ["positions", "ords"]
+        # fresh builds carry map-only ingest ordinals (udfs.ORD_STRIDE
+        # assignment) — the clustering stage then needs NO docid->ord
+        # join at all; merged/loaded indexes fall back to the sorted
+        # zipWithIndex (their ingest ordinals would collide across
+        # builds)
+        has_ingest_ord = self._flat is not None and "ord" in self._flat.columns
+        if has_ingest_ord:
+            flat_cols.append("ord")
         if self._flat is not None:
             flat = self._flat
             for c in flat_cols:
@@ -259,7 +267,11 @@ class InvertedIndex:
         raw = spark.read.parquet(_sp("flat"))
 
         # ---- phase 2 (overlapped): doc_stats (sentinel filter of flat)
-        # ∥ the docs -> global-ordinal assignment — both docid-sized.
+        # ∥ the docid->ordinal table — both docid-sized. With ingest
+        # ordinals the table is a map-side-combined groupBy of the
+        # sentinels (docs with no non-null field don't appear, which no
+        # consumer needs — ordinals only translate MATCHED docs); the
+        # clustering shuffle is then also independent and joins in.
         ordinals_box: list = []
 
         def _w_doc_stats():
@@ -268,56 +280,73 @@ class InvertedIndex:
                 .write.mode("overwrite").parquet(_sp("doc_stats"))
 
         def _w_ordinals():
-            docs = spark.read.parquet(_sp("docs"))
-            o = assign_doc_ordinals(docs).persist()
+            if has_ingest_ord:
+                o = (raw.where(F.col("term").isNull())
+                     .groupBy("docid").agg(F.first("ord").alias("ord"))
+                     .persist())
+            else:
+                docs = spark.read.parquet(_sp("docs"))
+                o = assign_doc_ordinals(docs).persist()
             o.write.mode("overwrite").parquet(_sp("ordinals"))
             ordinals_box.append(o)
 
-        _overlap(_w_doc_stats, _w_ordinals)
-        ordinals = ordinals_box[0]
-        doc_stats = spark.read.parquet(_sp("doc_stats"))
-
-        # ---- phase 3: TERM-CLUSTERED narrow postings (serial — the one
-        # big shuffle gets the whole machine) -----------------------------
-        # One shuffle joins ordinals in (docID assignment) and one
-        # clusters by term. The salt is pmod(block_id, term_salt) — the
-        # ordinal-range salting of the segment design — so (a) hot terms
-        # spread over term_salt partitions (bounded skew), (b) every
-        # (field, term, block) group lands COMPLETE in one partition,
-        # letting the segment encoder below run with ZERO further
-        # shuffle, and (c) within-partition (field, term, ord) sort gives
-        # parquet row groups tight term ranges: the query path's pushed
-        # In(term,...) / StartsWith predicates prune row groups on every
-        # scan. No positions column here — the hot path stays narrow.
+        # ---- phase 3: TERM-CLUSTERED narrow postings --------------------
+        # ONE clustering shuffle (plus, only for merged indexes, the
+        # docid->ordinal shuffle-hash join — fresh builds carry ingest
+        # ordinals in the flat table). The salt is pmod(block_id,
+        # term_salt) — the ordinal-range salting of the segment design —
+        # so (a) hot terms spread over term_salt partitions (bounded
+        # skew), (b) every (field, term, block) group lands COMPLETE in
+        # one partition, letting the segment encoder below run with ZERO
+        # further shuffle, and (c) within-partition (field, term, ord)
+        # sort gives parquet row groups tight term ranges: the query
+        # path's pushed In(term,...) / StartsWith predicates prune row
+        # groups on every scan. No positions column here — the hot path
+        # stays narrow.
         try:
             n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
         except (TypeError, ValueError):
             n_shuffle = spark.sparkContext.defaultParallelism
-        posts = raw.where(F.col("term").isNotNull()).select(
-            "field", "term", "docid", "tf_raw", "doc_len")
-        # SHUFFLE_HASH: the default sort-merge join would sort the whole
-        # postings side by docid only to immediately re-shuffle it by
-        # term — the hash join skips both sorts; the per-partition build
-        # side is ordinals/num_partitions rows (tiny at any scale)
-        clustered = (
-            posts.join(ordinals.hint("shuffle_hash"), "docid")
-            .repartition(
-                n_shuffle, F.col("field"), F.col("term"),
-                F.pmod((F.col("ord") / block_size).cast("long"),
-                       F.lit(term_salt)))
-            # term FIRST: the sort prefix comparator discriminates on the
-            # leading key's first 8 bytes — leading with the 2-valued
-            # field column would send every comparison to a full record
-            # compare. Term-range row-group pruning (the reason for the
-            # sort) is unaffected; the field predicate selects within the
-            # term's row groups.
-            .sortWithinPartitions("term", "field", "ord")
-            .select("field", "term", "docid", "ord", "tf_raw", "doc_len")
-        )
 
-        s0 = _time.perf_counter()
-        clustered.write.mode("overwrite").parquet(_sp("postings"))
-        stage_secs["cluster_write_sec"] = _time.perf_counter() - s0
+        def _w_cluster():
+            if has_ingest_ord:
+                pre = raw.where(F.col("term").isNotNull()).select(
+                    "field", "term", "docid", "tf_raw", "doc_len", "ord")
+            else:
+                posts = raw.where(F.col("term").isNotNull()).select(
+                    "field", "term", "docid", "tf_raw", "doc_len")
+                # SHUFFLE_HASH: the default sort-merge join would sort
+                # the whole postings side by docid only to immediately
+                # re-shuffle it by term — the hash join skips both sorts
+                pre = posts.join(
+                    ordinals_box[0].hint("shuffle_hash"), "docid")
+            clustered = (
+                pre.repartition(
+                    n_shuffle, F.col("field"), F.col("term"),
+                    F.pmod((F.col("ord") / block_size).cast("long"),
+                           F.lit(term_salt)))
+                # term FIRST: the sort prefix comparator discriminates on
+                # the leading key's first 8 bytes — leading with the
+                # 2-valued field column would send every comparison to a
+                # full record compare. Term-range row-group pruning (the
+                # reason for the sort) is unaffected; the field predicate
+                # selects within the term's row groups.
+                .sortWithinPartitions("term", "field", "ord")
+                .select("field", "term", "docid", "ord", "tf_raw", "doc_len")
+            )
+            s0 = _time.perf_counter()
+            clustered.write.mode("overwrite").parquet(_sp("postings"))
+            stage_secs["cluster_write_sec"] = _time.perf_counter() - s0
+
+        if has_ingest_ord:
+            # no join dependency: the big shuffle overlaps the two
+            # docid-sized table builds
+            _overlap(_w_cluster, _w_doc_stats, _w_ordinals)
+        else:
+            _overlap(_w_doc_stats, _w_ordinals)
+            _w_cluster()
+        ordinals = ordinals_box[0]
+        doc_stats = spark.read.parquet(_sp("doc_stats"))
         postings = spark.read.parquet(_sp("postings"))
 
         # ---- phase 4 (overlapped): stats ∥ segments — both read the
@@ -578,8 +607,11 @@ def build_index(
     # aggregate document-locally inside the analyzer (each docid is one
     # input row), so postings need NO wide shuffle and doc_stats is a
     # map-side byproduct (no ids join, no second analyzer pass).
+    # with_ord: global doc ordinals assigned map-only in the same pass
+    # (save() then clusters without any docid->ordinal join).
     flat = analyze_postings(
-        stacked, analyzers, positions=store_positions, doc_rows=True
+        stacked, analyzers, positions=store_positions, doc_rows=True,
+        with_ord=True,
     )
     if not store_positions:
         flat = flat.withColumn("positions", F.lit(None).cast("array<int>")) \

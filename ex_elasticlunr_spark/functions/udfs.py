@@ -146,8 +146,11 @@ POSTINGS_SCHEMA_NOPOS = (
 )
 
 
+ORD_STRIDE = 1 << 33  # ingest-ordinal space per input partition
+
+
 def analyze_postings(stacked, configs: dict, positions: bool = True,
-                     doc_rows: bool = False):
+                     doc_rows: bool = False, with_ord: bool = False):
     """(field, docid, content) -> FINAL posting rows
     (field, docid, term, tf_raw, doc_len, positions) in one mapInPandas
     pass — tf is a per-document statistic and each docid sits in exactly
@@ -166,6 +169,19 @@ def analyze_postings(stacked, configs: dict, positions: bool = True,
     with term=NULL and tf_raw=0 — the doc_stats table as a map-side
     byproduct (no ids join, no extra analyzer pass; zero-token docs
     included). Consumers split on ``term IS NULL``.
+
+    ``with_ord``: additionally emit a global doc ordinal column,
+    assigned MAP-ONLY as ``partition_id * ORD_STRIDE + doc_seq`` (the
+    stacked field-rows of one doc are adjacent within a partition, so
+    the sequence increments on docid change). Ordinals are unique and
+    dense within a partition but NOT docid-ordered and NOT globally
+    dense — the delta-gap codec, block ids, and block clustering only
+    need per-(term) strictly-increasing unique ords, which any
+    injective assignment provides. This removes the docs-sized
+    docid->ordinal shuffle-hash join from the durable clustering stage
+    entirely (measured as ~half that stage's work); the classic sorted
+    zipWithIndex (build/ordinals.py) remains for merged indexes whose
+    ingest ordinals would collide across builds.
     """
     import itertools
 
@@ -187,14 +203,27 @@ def analyze_postings(stacked, configs: dict, positions: bool = True,
                 stem_cache[t] = s
             return s
 
+        if with_ord:
+            from pyspark import TaskContext
+
+            ord_base = TaskContext.get().partitionId() * ORD_STRIDE
+            doc_seq = -1
+            last_docid = None
+
         for pdf in batches:
             o_field, o_docid, o_term = [], [], []
             o_tf, o_dl, o_pos, o_ord = [], [], [], []
+            o_gord = []
             for fld, docid, content in zip(
                 pdf["field"], pdf["docid"], pdf["content"]
             ):
                 if content is None:
                     continue
+                if with_ord:
+                    if docid != last_docid:
+                        doc_seq += 1
+                        last_docid = docid
+                    g_ord = ord_base + doc_seq
                 stages, sep, extra = cfg_items[fld]
                 toks = tokenize(content, sep)
                 if "trim" in stages:
@@ -233,6 +262,8 @@ def analyze_postings(stacked, configs: dict, positions: bool = True,
                 o_field.extend(itertools.repeat(fld, n))
                 o_docid.extend(itertools.repeat(docid, n))
                 o_dl.extend(itertools.repeat(dl, n))
+                if with_ord:
+                    o_gord.extend(itertools.repeat(g_ord, n))
                 if positions:
                     for term, (tf, pos, ords) in agg.items():
                         o_term.append(term)
@@ -259,7 +290,11 @@ def analyze_postings(stacked, configs: dict, positions: bool = True,
             if positions:
                 data["positions"] = o_pos
                 data["ords"] = o_ord
+            if with_ord:
+                data["ord"] = pd.array(o_gord, dtype="int64")
             yield pd.DataFrame(data)
 
     schema = POSTINGS_SCHEMA if positions else POSTINGS_SCHEMA_NOPOS
+    if with_ord:
+        schema += ", ord long"
     return stacked.mapInPandas(run, schema)

@@ -167,13 +167,16 @@ def wand_topk(
     else:
         survivors = cand
 
-    topk = (
-        exact_scores(survivors)
-        .orderBy(F.desc("score"), F.asc("ord"))
-        .limit(k)
-    )
+    # join docids BEFORE the top-k limit: the tie-break at the k-th
+    # score must be on docid (the exhaustive scorer's tie-break) — an
+    # ord tie-break is only equivalent while ordinals are assigned in
+    # docid sort order, which ingest-time (partition-strided) ordinal
+    # assignment does not guarantee. The join input is the pruned
+    # candidate set, not the corpus.
     return (
-        topk.join(ordinals, "ord")
+        exact_scores(survivors)
+        .join(ordinals, "ord")
         .select("docid", (F.col("score") * F.lit(float(boost))).alias("score"))
         .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(k)
     )

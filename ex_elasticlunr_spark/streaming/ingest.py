@@ -82,6 +82,10 @@ def finalize_stream_index(
             os.path.join(delta, "batch=*", sub))
 
     raw = read("postings")
+    if "ord" in raw.columns:
+        # per-batch ingest ordinals collide across micro-batches; the
+        # merge save() reassigns globally (build/ordinals.py)
+        raw = raw.drop("ord")
     docs = read("docs")
 
     first = docs.groupBy("docid").agg(F.min("batch").alias("batch"))
