@@ -12,23 +12,32 @@ Dataflow (one analyzer pass over the data, MAP-ONLY postings):
     docs(docid, f1..fn)
       -> stack to (field, docid, content)                  [no shuffle]
       -> analyze_postings mapInPandas: tokenize + trim + stop + stem +
-         document-local term aggregation (tf, positions, doc_len)
-      = postings(field, docid, term, tf_raw, doc_len, positions, tf)
+         document-local term aggregation (tf, positions + ordinal
+         arrays, doc_len) + map-only global doc-ordinal stamping
+      = flat(field, docid, term, tf_raw, doc_len, positions, ords, ord)
         -- NO wide shuffle: tf is a per-document statistic and each
-           docid sits in exactly one input row
+           docid sits in exactly one input row; the global ordinal is
+           partition-strided (udfs.ORD_STRIDE)
 
-    doc_stats   = ids LEFT JOIN first(doc_len) per (field, docid)
-    term_stats  = postings groupBy (field, term) -> df (+ idf via
-                  broadcast join with field_stats)  [map-side combine,
-                  output = vocabulary size]
-    field_stats = per-field scalars (n_docs, unique terms, flnorm, avgdl)
+    doc_stats   = the analyzer's sentinel rows (term IS NULL)
+    term_stats  = postings groupBy (field, term) -> df (+ idf via a
+                  broadcast of the driver-assembled field_stats)
+                  [map-side combine, output = vocabulary size]
+    field_stats = per-field scalars (n_docs, unique terms, flnorm,
+                  avgdl) — two per-field collects, assembled driver-side
+
+save() then persists the v4 layout in overlapped phases: flat ingest
+write ∥ docs scan, then the ONE term-clustering shuffle ∥ doc_stats ∥
+ordinals table, then stats ∥ compressed segments (both reading the
+clustered parquet).
 
 Scale notes (10^12 turns):
   * the postings table itself is built without any shuffle — the build
     is embarrassingly parallel up to the stats aggregations, whose
-    outputs are vocabulary- or doc-sized with map-side combine;
-  * term-level skew appears only in segment compaction and is handled
-    there with ordinal-range salting (segments.py);
+    outputs are vocabulary- or doc-sized with map-side combine; the
+    durable layout costs exactly one wide shuffle (term clustering);
+  * term-level skew appears only in clustering/segment compaction and
+    is handled with ordinal-range salting (block-aligned pmod salt);
   * field_stats/term_stats are tiny relative to postings and are
     broadcast at query time.
 """

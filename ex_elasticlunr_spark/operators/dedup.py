@@ -10,6 +10,9 @@ Scale notes:
     shuffle is the band-bucket self-join, whose keys are hash-uniform.
     Candidate verification (exact Jaccard) runs only on bucket pairs.
   * SimHash: per-row map work + optional band join, same shape.
+  * duplicate_clusters: iterative min-label propagation — per round one
+    join + min-aggregate over the edge list (pair-sized, not corpus-
+    sized), O(component diameter) rounds with a fixpoint early-stop.
 """
 
 from __future__ import annotations
