@@ -11,7 +11,12 @@ Usage:  python scripts/gate_check.py [sf_dir] [cpus]
 from __future__ import annotations
 
 import math
+import os
 import sys
+
+# runnable from any cwd: the repo root (parent of scripts/) hosts
+# __spark_entry__ and the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 TABLES = [
