@@ -238,6 +238,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return quality.pii_scrub(docs)
 
     q["text_pii_scrub"] = pii
+    q["text_repetition"] = lambda s, d: quality.repetition_ratios(
+        _documents(s, d))
+    q["text_boilerplate"] = lambda s, d: quality.boilerplate_ngrams(
+        _documents(s, d), n=3, min_docs=2)
 
     # ---- similarity search ----------------------------------------------
     def _qvec(s, d):
@@ -597,6 +601,74 @@ sel AS (
   FROM keyed
 )
 SELECT DISTINCT docid, CAST(sk // 1048576 AS BIGINT) AS fp FROM sel
+"""
+    # Gopher-style repetition ratios: token n-grams via
+    # list_transform(generate_series(...)) (empty list when the doc is
+    # shorter than n), two-level counting mirrors the Spark aggregation
+    o["text_repetition"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid,
+         CASE WHEN {norm} = '' THEN 0
+              ELSE len(string_split({norm}, ' ')) END AS nt,
+         string_split({norm}, ' ') AS toks
+  FROM documents
+),
+b AS (
+  SELECT docid, nt::BIGINT AS n_tokens,
+         list_transform(generate_series(1, greatest(nt - 1, 0)),
+                        i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+         list_transform(generate_series(1, greatest(nt - 4, 0)),
+                        i -> array_to_string(toks[i:i+4], ' ')) AS g5
+  FROM t
+),
+c2 AS (SELECT docid, gram, count(*) AS cnt
+       FROM (SELECT docid, unnest(g2) AS gram FROM b) GROUP BY 1, 2),
+s2 AS (SELECT docid, sum(cnt) AS t2, count(*) AS d2, max(cnt) AS top
+       FROM c2 GROUP BY 1),
+c5 AS (SELECT docid, gram, count(*) AS cnt
+       FROM (SELECT docid, unnest(g5) AS gram FROM b) GROUP BY 1, 2),
+s5 AS (SELECT docid, sum(cnt) AS t5, count(*) AS d5 FROM c5 GROUP BY 1)
+SELECT b.docid, b.n_tokens,
+       CASE WHEN t2 > 0 THEN round(1.0 - d2 / t2::DOUBLE, 6)
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN t5 > 0 THEN round(1.0 - d5 / t5::DOUBLE, 6)
+            ELSE 0.0 END AS dup_5gram_frac,
+       CASE WHEN b.n_tokens > 0 AND top IS NOT NULL
+            THEN round(top * 2.0 / b.n_tokens, 6)
+            ELSE 0.0 END AS top_2gram_frac
+FROM b LEFT JOIN s2 USING (docid) LEFT JOIN s5 USING (docid)
+"""
+    # cross-doc boilerplate n-grams (n=3, min_docs=2): distinct grams
+    # per doc -> gram doc-count -> join back -> per-doc fractions
+    o["text_boilerplate"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid,
+         CASE WHEN {norm} = '' THEN 0
+              ELSE len(string_split({norm}, ' ')) END AS nt,
+         string_split({norm}, ' ') AS toks
+  FROM documents
+),
+b AS (
+  SELECT docid,
+         list_distinct(
+           list_transform(generate_series(1, greatest(nt - 2, 0)),
+                          i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM t
+),
+e AS (SELECT docid, unnest(grams) AS gram FROM b),
+dc AS (SELECT gram, count(*) AS doc_count FROM e GROUP BY 1),
+s AS (
+  SELECT e.docid, count(*) AS n_grams,
+         sum(CASE WHEN dc.doc_count >= 2 THEN 1 ELSE 0 END) AS boiler
+  FROM e LEFT JOIN dc USING (gram) GROUP BY 1
+)
+SELECT t.docid,
+       coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(s.boiler, 0)::BIGINT AS boiler_grams,
+       CASE WHEN coalesce(s.n_grams, 0) > 0
+            THEN round(s.boiler / s.n_grams::DOUBLE, 6)
+            ELSE 0.0 END AS boiler_frac
+FROM t LEFT JOIN s USING (docid)
 """
     # ---- ANN --------------------------------------------------------------
     cos = (

@@ -174,6 +174,141 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
     )
 
 
+def _token_ngrams(toks, n: int):
+    """``array<string>`` of space-joined token n-grams (empty when the
+    document has fewer than ``n`` tokens). Pure SQL transform — the
+    per-document work is linear in tokens."""
+    nt = F.size(toks)
+    return F.when(
+        nt >= n,
+        F.transform(
+            F.sequence(F.lit(1), nt - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_ratios(df: DataFrame, text_col: str = "text",
+                      id_col: str = "docid") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.,
+    'Scaling Language Models: ... Gopher', 2021, §A1.1 repetition
+    filters) -> one row per document:
+
+      n_tokens        whitespace tokens
+      dup_2gram_frac  1 - distinct 2-grams / total 2-grams
+      dup_5gram_frac  1 - distinct 5-grams / total 5-grams
+      top_2gram_frac  tokens covered by the most frequent 2-gram / tokens
+
+    Shape at 100 TB: one explode per n, then a two-level aggregation
+    (docid,gram) -> (docid) — both partial-agg (map-side combine)
+    friendly, keys are document-bounded so skew is bounded by document
+    length, and there is no per-document quadratic work (the naive
+    transform/filter counting of the most frequent gram is O(len^2) and
+    would die on 10k-token documents).
+    """
+    norm = normalized(F.col(text_col))
+    toks = F.split(norm, " ")
+    base = df.select(
+        F.col(id_col).cast("string").alias("docid"),
+        F.when(norm == "", F.lit(0)).otherwise(F.size(toks))
+        .cast("long").alias("n_tokens"),
+        _token_ngrams(toks, 2).alias("g2"),
+        _token_ngrams(toks, 5).alias("g5"),
+    )
+
+    def gram_stats(col, with_top: bool):
+        per_gram = (
+            base.select("docid", F.explode(col).alias("gram"))
+            .groupBy("docid", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        aggs = [F.sum("cnt").alias("total"),
+                F.count(F.lit(1)).alias("distinct_")]
+        if with_top:
+            aggs.append(F.max("cnt").alias("top"))
+        return per_gram.groupBy("docid").agg(*aggs)
+
+    s2 = gram_stats(F.col("g2"), with_top=True)
+    s5 = gram_stats(F.col("g5"), with_top=False)
+    out = (
+        base.select("docid", "n_tokens")
+        .join(s2.select(
+            "docid",
+            F.col("total").alias("t2"), F.col("distinct_").alias("d2"),
+            "top"), "docid", "left")
+        .join(s5.select(
+            "docid",
+            F.col("total").alias("t5"), F.col("distinct_").alias("d5")),
+            "docid", "left")
+    )
+    dup2 = F.when(F.col("t2") > 0,
+                  F.round(F.lit(1.0) - F.col("d2") / F.col("t2"), 6)) \
+        .otherwise(F.lit(0.0))
+    dup5 = F.when(F.col("t5") > 0,
+                  F.round(F.lit(1.0) - F.col("d5") / F.col("t5"), 6)) \
+        .otherwise(F.lit(0.0))
+    top2 = F.when(
+        (F.col("n_tokens") > 0) & F.col("top").isNotNull(),
+        F.round(F.col("top") * F.lit(2.0) / F.col("n_tokens"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "docid", "n_tokens",
+        dup2.alias("dup_2gram_frac"),
+        dup5.alias("dup_5gram_frac"),
+        top2.alias("top_2gram_frac"),
+    )
+
+
+def boilerplate_ngrams(df: DataFrame, n: int = 4, min_docs: int = 50,
+                       text_col: str = "text",
+                       id_col: str = "docid") -> DataFrame:
+    """Cross-document boilerplate detection (the CCNet/RefinedWeb-style
+    repeated-passage signal): a token n-gram is *boilerplate* when it
+    appears in >= ``min_docs`` distinct documents; per document report
+
+      n_grams      distinct n-grams in the document
+      boiler_grams how many of them are boilerplate
+      boiler_frac  boiler_grams / n_grams (0 for gram-less docs)
+
+    Shape at 100 TB: per-doc DISTINCT n-grams (array_distinct, map-side)
+    -> explode -> groupBy(gram) doc-count (partial-agg; gram keys are
+    hash-uniform) -> gram-keyed join back (large-large hash join, no
+    broadcast assumption) -> per-doc aggregation. No driver-side state;
+    ``min_docs`` is an absolute threshold so the operator composes with
+    incremental corpora without re-reading the world.
+    """
+    norm = normalized(F.col(text_col))
+    toks = F.split(norm, " ")
+    per_doc = df.select(
+        F.col(id_col).cast("string").alias("docid"),
+        F.explode_outer(
+            F.array_distinct(_token_ngrams(toks, n))).alias("gram"),
+    )
+    doc_counts = (
+        per_doc.where(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    joined = per_doc.join(doc_counts, "gram", "left")
+    return (
+        joined.groupBy("docid")
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_count") >= min_docs, 1).otherwise(0)
+            ).cast("long").alias("boiler_grams"),
+        )
+        .select(
+            "docid",
+            "n_grams",
+            "boiler_grams",
+            F.when(F.col("n_grams") > 0,
+                   F.round(F.col("boiler_grams") / F.col("n_grams"), 6))
+            .otherwise(F.lit(0.0)).alias("boiler_frac"),
+        )
+    )
+
+
 # identical pattern strings run on both engines: Java regex (Spark) and
 # RE2 (DuckDB) — keep to the common subset (no backrefs, no lookaround)
 PII_PATTERNS = (

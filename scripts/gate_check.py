@@ -62,6 +62,9 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    only = {s for s in os.environ.get("GATE_ONLY", "").split(",") if s}
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
     failures = []
     for name in sorted(queries):
         try:

@@ -119,3 +119,50 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert r1["scrubbed"] == "mail [EMAIL] and [EMAIL] ip [IP] call [PHONE]"
     assert rows["2"]["n_email"] == 0 and rows["2"]["scrubbed"] == "clean text"
     assert rows["3"]["scrubbed"] is None
+
+
+def test_repetition_ratios_golden(spark):
+    from ex_elasticlunr_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [("1", "a b a b a b"),          # 2-grams: ab,ba,ab,ba,ab -> top=ab x3
+         ("2", "w x y z q r"),          # all distinct
+         ("3", "solo"),                 # too short for any 2-gram
+         ("4", "")],
+        "docid string, text string",
+    )
+    rows = {r["docid"]: r for r in quality.repetition_ratios(df).collect()}
+    r1 = rows["1"]
+    assert r1["n_tokens"] == 6
+    # 5 bigrams, 2 distinct -> dup = 1 - 2/5; top 'a b' count 3 -> 3*2/6
+    assert r1["dup_2gram_frac"] == 0.6
+    assert r1["top_2gram_frac"] == 1.0
+    # 2 five-grams ('a b a b a', 'b a b a b'), both distinct
+    assert r1["dup_5gram_frac"] == 0.0
+    r2 = rows["2"]
+    assert (r2["dup_2gram_frac"], r2["top_2gram_frac"]) == (0.0, round(2 / 6, 6))
+    assert rows["3"]["n_tokens"] == 1
+    assert rows["3"]["dup_2gram_frac"] == 0.0
+    assert rows["3"]["top_2gram_frac"] == 0.0
+    assert rows["4"]["n_tokens"] == 0
+
+
+def test_boilerplate_ngrams_golden(spark):
+    from ex_elasticlunr_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [("1", "the quick brown fox jumps"),
+         ("2", "a lazy dog saw the quick brown fox"),
+         ("3", "nothing shared here at all"),
+         ("4", "x")],
+        "docid string, text string",
+    )
+    out = {r["docid"]: r for r in
+           quality.boilerplate_ngrams(df, n=3, min_docs=2).collect()}
+    # 'the quick brown' and 'quick brown fox' appear in docs 1 and 2
+    assert out["1"]["n_grams"] == 3 and out["1"]["boiler_grams"] == 2
+    assert out["1"]["boiler_frac"] == round(2 / 3, 6)
+    assert out["2"]["boiler_grams"] == 2
+    assert out["3"]["boiler_grams"] == 0 and out["3"]["boiler_frac"] == 0.0
+    # gram-less docs survive with zero counts
+    assert out["4"]["n_grams"] == 0 and out["4"]["boiler_frac"] == 0.0
