@@ -76,6 +76,17 @@ def main() -> None:
     import shutil
     import tempfile
 
+    def cpu_times():
+        # host-wide jiffies from /proc/stat: (busy=user+nice+system,
+        # idle+iowait, steal). Steal during the timed region exposes
+        # hypervisor contention — the sandbox VM shows episodic phases
+        # where every Spark stage uniformly slows 5-15x while pinned
+        # CPU/memory-bandwidth probes run clean between episodes.
+        with open("/proc/stat") as f:
+            p = f.readline().split()[1:]
+        u, n, s, i, w, irq, sirq, st = (int(x) for x in p[:8])
+        return u + n + s, i + w, st
+
     n_convs = max(n_turns // 8, 1)
     tx = with_docid(
         distributed_transcripts_df(spark, n_convs, turns_per_conv=8,
@@ -89,6 +100,7 @@ def main() -> None:
         "/dev/shm" if os.path.isdir("/dev/shm") else None)
     out_dir = tempfile.mkdtemp(prefix="bench_index_", dir=bench_tmp)
     stage_timings = {}
+    cpu0 = cpu_times()
     t0 = time.perf_counter()
     idx = Index(name="bench").add_field("text").add_field("tool")
     # transcripts key on (conv_id, turn_idx) -> docids unique by
@@ -96,6 +108,17 @@ def main() -> None:
     idx.add_documents(tx, docid_col="docid", dedupe=False)
     idx.inverted.save(out_dir, timings=stage_timings)
     build_sec = time.perf_counter() - t0
+    cpu1 = cpu_times()
+    hz = os.sysconf("SC_CLK_TCK")
+    ncpu_host = os.cpu_count() or 1
+    wall_jiffies = max(build_sec * hz * ncpu_host, 1.0)
+    host_cpu = {
+        # fraction of ALL host cpu-time in the timed region (this run is
+        # pinned to `cpus` cores, so busy_frac ~ cpus/ncpu_host when the
+        # host is quiet and the job is CPU-saturated)
+        "busy_frac": round((cpu1[0] - cpu0[0]) / wall_jiffies, 4),
+        "steal_frac": round((cpu1[2] - cpu0[2]) / wall_jiffies, 4),
+    }
 
     idx = Index.load(spark, out_dir, name="bench")
     idx.inverted.term_stats.cache().count()
@@ -110,6 +133,30 @@ def main() -> None:
         t = time.perf_counter()
         fn()
         queries[name] = round(time.perf_counter() - t, 4)
+
+    if os.environ.get("BENCH_SKIP_QUERIES"):
+        out = {
+            "metric": "index-build turns/sec (local[%d])" % cpus,
+            "value": round(build_sec, 4),
+            "unit": "sec",
+            "queries": {},
+            "sf": sf_dir,
+            "cpus": cpus,
+            "build": {
+                "turns": actual_turns,
+                "build_sec": round(build_sec, 4),
+                "turns_per_sec": round(actual_turns / build_sec, 2),
+                "postings_turns_per_sec": round(
+                    actual_turns
+                    / stage_timings.get("postings_write_sec", build_sec), 2),
+                "stages": stage_timings,
+                "host_cpu": host_cpu,
+                "postings_rows": postings_rows,
+            },
+        }
+        print(json.dumps(out))
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return
 
     timed("q1_bm25_topk", lambda: idx.search_bm25(
         "elixir tool run quick", top_k=10).collect())
@@ -157,6 +204,7 @@ def main() -> None:
             "postings_turns_per_sec": round(
                 actual_turns / stage_timings.get("postings_write_sec", build_sec), 2),
             "stages": stage_timings,
+            "host_cpu": host_cpu,
             "postings_rows": postings_rows,
         },
     }

@@ -202,8 +202,9 @@ class InvertedIndex:
             the save's serial tail of small jobs into overlapped work —
             on a cluster the same trick keeps executors busy while a
             vocabulary-sized stats job runs."""
-            if len(thunks) == 1:
-                return [thunks[0]()]
+            if len(thunks) == 1 or os.environ.get(
+                    "EX_SPARK_SAVE_OVERLAP") == "0":
+                return [t() for t in thunks]
             with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
                 futs = [pool.submit(t) for t in thunks]
                 return [f.result() for f in futs]
