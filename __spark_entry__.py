@@ -243,6 +243,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_boilerplate"] = lambda s, d: quality.boilerplate_ngrams(
         _documents(s, d), n=3, min_docs=2)
 
+    def snippets(s, d):
+        from ex_elasticlunr_spark.search import highlight
+        return highlight.snippet_ords(
+            _index(s, d).inverted, "text", _analyze("spark merge"),
+            window=5)
+
+    q["snippet_ords"] = snippets
+
     # ---- similarity search ----------------------------------------------
     def _qvec(s, d):
         row = _embeddings(s, d).where(F.col("vec_id") == 0).first()
@@ -670,6 +678,27 @@ SELECT t.docid,
             ELSE 0.0 END AS boiler_frac
 FROM t LEFT JOIN s USING (docid)
 """
+    # token-ordinal snippets around the first query-term hit: matched
+    # docs from tokord, window rebuild via an ordinal range join
+    snip_terms = ", ".join(f"'{t}'" for t in _analyze("spark merge"))
+    o["snippet_ords"] = _wrap(pre + """,
+matched AS (
+  SELECT docid, MIN(ord) AS first_ord, COUNT(*) AS n_matches
+  FROM tokord WHERE term IN (%s) GROUP BY docid
+),
+snip AS (
+  SELECT t.docid,
+         array_to_string(list(t.term ORDER BY t.ord), ' ') AS snippet
+  FROM tokord t JOIN matched m
+    ON t.docid = m.docid
+   AND t.ord >= m.first_ord AND t.ord < m.first_ord + 5
+  GROUP BY t.docid
+)""" % snip_terms, """
+SELECT m.docid, m.first_ord::BIGINT AS first_ord,
+       m.n_matches::BIGINT AS n_matches, s.snippet
+FROM matched m JOIN snip s USING (docid)
+""")
+
     # ---- ANN --------------------------------------------------------------
     cos = (
         "list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) / "

@@ -1,0 +1,160 @@
+"""Snippet / highlight operators — the stored-positions consumers.
+
+The reference records per-occurrence token positions at index time
+(tokenizer.ex:61-66 start/length, field.ex:224-230 stores them) and
+returns them raw in search results (core/index.ex:258-266), leaving
+snippet assembly to the caller. These operators finish that story:
+
+* :func:`snippet_ords` — token-ordinal snippets, fully relational over
+  the flat postings table (and therefore SQL-oracle-checkable: the
+  DuckDB gate oracle re-derives the same (docid, term, ord) relation).
+* :func:`highlight_spans` — character-offset spans + excerpt using the
+  stored [start0, len0, start1, len1, ...] position arrays joined back
+  to the original document text.
+
+Plan shape at 100 TB: both operators scan postings with the literal
+``In(term, ...)`` predicate pushed into the term-clustered parquet
+(row-group pruning), restrict any wider work to MATCHED docids via a
+semi join before exploding, and aggregate per docid — no window over
+the full corpus, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def snippet_ords(index, field: str, terms: List[str], window: int = 8,
+                 restrict: Optional[DataFrame] = None) -> DataFrame:
+    """Token-window snippets around the FIRST query-term occurrence.
+
+    ``terms`` are analyzed (post-pipeline) terms, like terms_scores.
+    Returns (docid, first_ord, n_matches, snippet) where
+
+      first_ord  earliest post-pipeline token ordinal of any query term
+      n_matches  total occurrences of query terms in the field
+      snippet    the analyzed tokens at ordinals
+                 [first_ord, first_ord + window), space-joined
+
+    The snippet is assembled from the index itself (stemmed tokens) —
+    deterministic, no original-text join — which is what makes the
+    operator expressible against the SQL oracle's (docid, term, ord)
+    relation. For original-text excerpts use :func:`highlight_spans`.
+    """
+    post = index.postings_full.where(F.col("field") == field)
+    if restrict is not None:
+        post = post.join(restrict.select("docid"), "docid", "left_semi")
+    matched = (
+        post.where(F.col("term").isin(terms))
+        .select("docid", F.explode("ords").alias("ord"))
+        .groupBy("docid")
+        .agg(F.min("ord").alias("first_ord"),
+             F.count(F.lit(1)).alias("n_matches"))
+    )
+    # token stream of MATCHED docs only (semi-join restricts before the
+    # per-occurrence explode), then one bounded range join per doc
+    toks = (
+        post.join(matched.select("docid"), "docid", "left_semi")
+        .select("docid", "term", F.explode("ords").alias("ord"))
+    )
+    snip = (
+        toks.join(matched.select("docid", "first_ord"), "docid")
+        .where((F.col("ord") >= F.col("first_ord"))
+               & (F.col("ord") < F.col("first_ord") + window))
+        .groupBy("docid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ord", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("snippet")
+        )
+    )
+    return (
+        matched.join(snip, "docid")
+        .select("docid",
+                F.col("first_ord").cast("long").alias("first_ord"),
+                F.col("n_matches").cast("long").alias("n_matches"),
+                "snippet")
+    )
+
+
+def highlight_spans(index, field: str, terms: List[str],
+                    source: DataFrame,
+                    context: int = 30,
+                    restrict: Optional[DataFrame] = None) -> DataFrame:
+    """Character-offset highlight spans + excerpt from the ORIGINAL text.
+
+    ``source`` supplies the original text: a DataFrame with ``docid``
+    and the ``field`` column (the index stores only the docid universe,
+    not full text — at 100 TB the excerpt join goes back to the source
+    table, restricted to hits).
+
+    Uses the stored flattened position arrays
+    ``[start0, len0, start1, len1, ...]`` (char offsets into the
+    downcased field — same indices as the original for ASCII, see
+    analysis/tokenizer.py). Returns
+
+      (docid, spans, excerpt)
+
+    where ``spans`` is an array<struct<start:int, length:int>> of every
+    query-term occurrence in offset order, and ``excerpt`` is the
+    original text from ``max(first_start - context, 0)`` spanning to
+    ``last_end + context`` (clamped by the string, 1-based substring
+    semantics).
+
+    The docs-table join is restricted to matched docids (semi-join
+    first), so the wide original-text rows are only touched for hits.
+    """
+    post = index.postings_full.where(F.col("field") == field)
+    if restrict is not None:
+        post = post.join(restrict.select("docid"), "docid", "left_semi")
+    occ = (
+        post.where(F.col("term").isin(terms))
+        .select(
+            "docid",
+            F.explode(
+                # pair up the flattened [start, len, ...] array
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        (F.size("positions") / 2).cast("int") - F.lit(1)),
+                    lambda i: F.struct(
+                        F.element_at("positions", i * 2 + 1).alias("start"),
+                        F.element_at("positions", i * 2 + 2).alias("length"),
+                    ),
+                )
+            ).alias("span"),
+        )
+    )
+    agg = (
+        occ.groupBy("docid")
+        .agg(
+            F.array_sort(F.collect_list("span")).alias("spans"),
+            F.min(F.col("span.start")).alias("first_start"),
+            F.max(F.col("span.start") + F.col("span.length")).alias("last_end"),
+        )
+    )
+    docs = source.select(
+        F.col("docid").cast("string").alias("docid"),
+        F.col(field).cast("string").alias("_text"))
+    # agg holds only matched docs (small relative to the corpus); the
+    # inner join restricts the wide text rows and AQE broadcasts when
+    # the hit set is small
+    return (
+        agg.join(docs, "docid")
+        .select(
+            "docid", "spans",
+            F.expr(
+                f"substring(_text, "
+                f"CAST(greatest(first_start - {context}, 0) AS INT) + 1, "
+                f"CAST(last_end + {context} "
+                f"- greatest(first_start - {context}, 0) AS INT))"
+            ).alias("excerpt"),
+        )
+    )

@@ -1,0 +1,72 @@
+"""Plan-shape guarantees on a LOADED (durable v4) index.
+
+The term-clustered postings layout exists so term predicates reach the
+parquet scan and prune row groups (SURVEY §2.3 Q3; VERDICT r01 item 2).
+These tests pin the physical plan: if a refactor reroutes the term
+filter above a join or widens the scan schema, they fail.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ex_elasticlunr_spark import Index
+
+
+@pytest.fixture(scope="module")
+def loaded(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx") / "warehouse")
+    df = spark.createDataFrame(
+        [(str(i), f"spark merge window value row{i % 7}") for i in range(200)],
+        "docid string, text string",
+    )
+    idx = Index(name="push").add_field("text")
+    idx.add_documents(df, docid_col="docid")
+    idx.inverted.save(path)
+    return Index.load(spark, path, name="push")
+
+
+def _scan_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_terms_query_pushes_in_filter_to_scan(loaded):
+    from ex_elasticlunr_spark.search import scorer
+
+    res = scorer.terms_scores(loaded.inverted, "text", ["spark", "merg"])
+    plan = _scan_plan(res)
+    assert "PushedFilters" in plan
+    # the literal In(term, ...) must reach the postings parquet scan
+    assert "In(term, [merg,spark])" in plan or "In(term, [spark,merg])" in plan
+
+
+def test_expand_query_pushes_startswith(loaded):
+    from ex_elasticlunr_spark.search import scorer
+
+    res = scorer.terms_scores(loaded.inverted, "text", ["sp"], expand=True)
+    plan = _scan_plan(res)
+    assert "StringStartsWith(term,sp)" in plan
+
+
+def test_scan_schema_is_pruned(loaded):
+    from ex_elasticlunr_spark.search import scorer
+
+    res = scorer.terms_scores(loaded.inverted, "text", ["spark"])
+    plan = _scan_plan(res)
+    # the narrow clustered postings scan must NOT drag the positions
+    # payload through a scoring query
+    assert "positions" not in plan
+
+
+def test_fuzzy_query_pushes_resolved_terms(loaded):
+    from ex_elasticlunr_spark.search import scorer
+
+    # 'spak' resolves to {spark} in the vocabulary; the fuzzy branch
+    # must push the RESOLVED literal terms, not scan all postings
+    res = scorer.terms_scores(loaded.inverted, "text", ["spak"],
+                              fuzziness=1)
+    plan = _scan_plan(res)
+    # a single resolved term folds In -> EqualTo; both prove the scan
+    # filters on the RESOLVED vocabulary, not a full postings read
+    assert ("In(term, [spark])" in plan
+            or "EqualTo(term,spark)" in plan)
