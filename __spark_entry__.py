@@ -54,7 +54,12 @@ def _index(spark: SparkSession, sf_dir: str) -> Index:
     idx = _CACHE.get(key)
     if idx is None:
         idx = Index(name=f"docs-{sf_dir}").add_field("text")
-        idx.add_documents(_documents(spark, sf_dir), docid_col="docid")
+        # doc_id is the documents table's key (unique by construction),
+        # so skip the duplicate-guard full-text shuffle — it re-executes
+        # in every job that touches the docs lineage and costs ~14s of
+        # the ~22s cold materialize at sf0.1 (measured local[32])
+        idx.add_documents(_documents(spark, sf_dir), docid_col="docid",
+                          dedupe=False)
         idx.materialize()
         _CACHE[key] = idx
     return idx
