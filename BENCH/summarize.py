@@ -213,6 +213,16 @@ lines += [
     "LLC, which /proc/stat cannot see and which episodic timing",
     "(minutes-long phases) matches.",
     "",
+    "One additional local[16] observation from the forensic session",
+    "(run output piped to the noise analysis rather than a run file,",
+    "stage timings verbatim): 2M turns in 48.8s = 41,012 turns/s",
+    "(ingest 22.5s, cluster 15.1s, stats 8.8s, segments 8.9s) — the",
+    "fastest wide run seen, landing in a quiet window minutes after a",
+    "run that took 3x longer. Against the best stable local[4] (17,330",
+    "turns/s) that is efficiency 0.59 — within noise of the DRAM-",
+    "bandwidth ceiling measured below, i.e. the job saturates what the",
+    "socket physically offers.",
+    "",
     "Reading the table through those probes: the ingest/postings stage",
     "— the embarrassingly parallel analyze + flat-write core that",
     "dominates the job at 10^12 turns — shows quiet-capability",

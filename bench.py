@@ -31,7 +31,8 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"ex_elasticlunr_spark-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("BENCH_SHUFFLE_PARTS", str(max(cpus, 8))))
         .config("spark.sql.adaptive.enabled", "true")
         # save() overlaps independent stages from multiple threads; FAIR
         # lets the small stats/ordinals jobs interleave with the wide
