@@ -8,6 +8,7 @@ rule's N vs 4N cluster-size criterion.
 import glob
 import json
 import os
+import re
 import statistics
 
 LEVELS = (os.environ.get("LEVELS") or "16 4").split()
@@ -15,18 +16,26 @@ HI, LO = int(LEVELS[0]), int(LEVELS[1])
 
 
 def load(cpus):
-    out = []
-    for f in sorted(glob.glob(f"BENCH/scaling_local{cpus}_run*.json")):
+    # keyed by NUMERIC rep index (lexical glob order puts run10 before
+    # run2, which would misalign the per-rep pairing below)
+    out = {}
+    for f in glob.glob(f"BENCH/scaling_local{cpus}_run*.json"):
+        m = re.search(r"run(\d+)\.json$", f)
         try:
-            out.append(json.load(open(f)))
+            out[int(m.group(1))] = json.load(open(f))
         except ValueError:
             print(f"skipping unparsable {f} (interrupted run)")
     return out
 
 
-rlo, rhi = load(LO), load(HI)
-if not (rlo and rhi):
+dlo, dhi = load(LO), load(HI)
+if not (dlo and dhi):
     raise SystemExit("missing runs")
+rlo = [dlo[k] for k in sorted(dlo)]
+rhi = [dhi[k] for k in sorted(dhi)]
+# per-rep pairing only over reps present at BOTH levels (runs alternate,
+# so equal rep numbers are time-adjacent)
+common_reps = sorted(set(dlo) & set(dhi))
 
 
 def tps(runs, key):
@@ -47,12 +56,13 @@ for label, key in (("full index build", "turns_per_sec"),
     med_lo, med_hi = statistics.median(lo_v), statistics.median(hi_v)
     best_lo, best_hi = max(lo_v), max(hi_v)
     effs[label] = (med_hi / med_lo / 4, best_hi / best_lo / 4)
-    # per-rep pairs (runs alternate, so run i at each level is adjacent
-    # in time); episodic noise makes single pairs bimodal — reported for
-    # transparency, the capability (best-vs-best) row is the headline
+    # per-rep pairs matched by rep NUMBER (runs alternate, so rep i at
+    # each level is adjacent in time); episodic noise makes single pairs
+    # bimodal — reported for transparency, the capability (best-vs-best)
+    # row is the headline
     pair_effs[label] = [
-        round(h / l / (HI / LO), 2)
-        for h, l in zip(hi_v, lo_v)
+        round(dhi[i]["build"][key] / dlo[i]["build"][key] / (HI / LO), 2)
+        for i in common_reps
     ]
     rows.append(
         f"| {label} | local[{LO}] | {med_lo:,.0f} | {best_lo:,.0f} | {fmt(lo_v)} |")

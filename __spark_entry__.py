@@ -647,7 +647,7 @@ SELECT b.docid, b.n_tokens,
        CASE WHEN t5 > 0 THEN round(1.0 - d5 / t5::DOUBLE, 6)
             ELSE 0.0 END AS dup_5gram_frac,
        CASE WHEN b.n_tokens > 0 AND top IS NOT NULL
-            THEN round(top * 2.0 / b.n_tokens, 6)
+            THEN least(round(top * 2.0 / b.n_tokens, 6), 1.0)
             ELSE 0.0 END AS top_2gram_frac
 FROM b LEFT JOIN s2 USING (docid) LEFT JOIN s5 USING (docid)
 """

@@ -186,6 +186,10 @@ def main() -> None:
     # for build-scaling runs (BENCH_SKIP_SF=1)
     if not os.environ.get("BENCH_SKIP_SF"):
         q = entry_mod.queries()
+        # the shared per-sf-dir index cache fills on first use; time the
+        # one-time build+materialize as ITS OWN line so the first sf
+        # query measures the query, not the cache fill
+        timed("sf_index_build", lambda: entry_mod._index(spark, sf_dir))
         for name in ("match_or", "bm25_topk", "dedup_minhash_lsh",
                      "ann_brute_topk", "text_quality"):
             timed(f"sf_{name}", lambda n=name: q[n](spark, sf_dir).collect())

@@ -127,8 +127,11 @@ def pairwise_near_duplicates(df: DataFrame, threshold: float = 0.95,
     count is ``n_bands * 2^n_planes`` and grows with ``n_planes``, so
     the within-bucket self-join never approaches all-pairs; banding
     (OR over bands) restores the recall a single fine bucket table
-    loses. Each vector emits ``n_bands`` rows (sign bits are map-side
-    column math); the only shuffle keys on (band, bucket).
+    loses. Each vector emits ``n_bands`` rows of (vec_id, band, bucket)
+    ONLY — the full vectors do NOT ride the candidate shuffle (at 100 TB
+    of 1-4 KB vectors that would multiply shuffle bytes by ~2*n_bands);
+    the embedding table joins back onto the (much smaller) deduplicated
+    candidate pair set for the exact cosine verification.
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
@@ -148,11 +151,13 @@ def pairwise_near_duplicates(df: DataFrame, threshold: float = 0.95,
     ])
     b = (
         vecs.withColumn("bb", F.explode(band_buckets))
-        .select("vec_id", "v", F.col("bb.band").alias("band"),
+        .select("vec_id", F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket"))
     )
     a, c = b.alias("a"), b.alias("c")
-    pairs = (
+    # id-width rows through the bucket shuffle; distinct() collapses
+    # pairs that collide in several bands BEFORE the vector join
+    cand = (
         a.join(
             c,
             (F.col("a.band") == F.col("c.band"))
@@ -162,13 +167,19 @@ def pairwise_near_duplicates(df: DataFrame, threshold: float = 0.95,
         .select(
             F.col("a.vec_id").alias("vec_id_a"),
             F.col("c.vec_id").alias("vec_id_b"),
-            F.round(cosine(F.col("a.v"), F.col("c.v")), 6).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    va = vecs.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "vec_id_a").join(vb, "vec_id_b")
+        .select(
+            "vec_id_a", "vec_id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
-    # a pair matching in several bands appears once per band; the rounded
-    # cosine is identical, so distinct() dedupes exactly
-    return pairs.distinct()
 
 
 def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:

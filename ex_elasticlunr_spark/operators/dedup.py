@@ -171,9 +171,12 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "docid",
             )
         ).alias("band_idx", "band_key"),
     )
-    # the bucket self-join references this subtree twice; persist so the
-    # (md5-heavy) signature pass computes once
-    banded = banded.persist()
+    # the bucket self-join references this subtree twice; materialize so
+    # the (md5-heavy) signature pass computes once. localCheckpoint (not
+    # persist): its blocks are GC-cleaned by the ContextCleaner when the
+    # DataFrame goes out of scope — no unpersist bookkeeping leaking
+    # storage across a long-lived session
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -198,6 +198,8 @@ def repetition_ratios(df: DataFrame, text_col: str = "text",
       dup_2gram_frac  1 - distinct 2-grams / total 2-grams
       dup_5gram_frac  1 - distinct 5-grams / total 5-grams
       top_2gram_frac  tokens covered by the most frequent 2-gram / tokens
+                      (occurrences*2/n_tokens clamped to 1.0 — overlapping
+                      repeats like "a a a a" would otherwise exceed 1)
 
     Shape at 100 TB: one explode per n, then a two-level aggregation
     (docid,gram) -> (docid) — both partial-agg (map-side combine)
@@ -249,7 +251,8 @@ def repetition_ratios(df: DataFrame, text_col: str = "text",
         .otherwise(F.lit(0.0))
     top2 = F.when(
         (F.col("n_tokens") > 0) & F.col("top").isNotNull(),
-        F.round(F.col("top") * F.lit(2.0) / F.col("n_tokens"), 6),
+        F.least(F.round(F.col("top") * F.lit(2.0) / F.col("n_tokens"), 6),
+                F.lit(1.0)),
     ).otherwise(F.lit(0.0))
     return out.select(
         "docid", "n_tokens",

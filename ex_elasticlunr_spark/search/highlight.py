@@ -111,11 +111,18 @@ def highlight_spans(index, field: str, terms: List[str],
     The docs-table join is restricted to matched docids (semi-join
     first), so the wide original-text rows are only touched for hits.
     """
+    if not getattr(index, "store_positions", True):
+        raise ValueError(
+            "highlight_spans needs stored positions: this index was built "
+            "with store_positions=False")
     post = index.postings_full.where(F.col("field") == field)
     if restrict is not None:
         post = post.join(restrict.select("docid"), "docid", "left_semi")
     occ = (
         post.where(F.col("term").isin(terms))
+        # guard: a null/empty positions array would send F.sequence a
+        # negative upper bound (descending range -> null spans)
+        .where(F.size("positions") >= 2)
         .select(
             "docid",
             F.explode(

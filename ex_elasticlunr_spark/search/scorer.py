@@ -274,9 +274,11 @@ def phrase_scores(
         )).alias("occ_pos"))
     hits = (occ.groupBy("docid", hit_key).agg(*aggs)
             .where(F.col("nq") == k))
-    # two consumers (pdf broadcast + per-doc agg): cache the hit set —
-    # it is at most phrase-doc-frequency sized
-    hits = hits.persist()
+    # two consumers (pdf broadcast + per-doc agg): materialize the hit
+    # set once — it is at most phrase-doc-frequency sized. localCheckpoint
+    # (GC-cleaned by the ContextCleaner) instead of persist, which would
+    # accumulate storage across queries in a long-lived session
+    hits = hits.localCheckpoint(eager=True)
     pdf_df = hits.agg(F.count_distinct("docid").alias("pdf"))
 
     if restrict is not None:

@@ -64,6 +64,10 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     only = {s for s in os.environ.get("GATE_ONLY", "").split(",") if s}
     if only:
+        unknown = only - set(queries)
+        if unknown:
+            raise SystemExit(
+                f"GATE_ONLY names not in queries(): {sorted(unknown)}")
         queries = {k: v for k, v in queries.items() if k in only}
     failures = []
     for name in sorted(queries):
