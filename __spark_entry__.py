@@ -256,6 +256,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snippet_ords"] = snippets
 
+    def hl_spans(s, d):
+        # char-offset spans + original-text excerpt; spans projected to
+        # a flat "start:len,..." string so the driver canonicalizer never
+        # sees the array<struct> column
+        from ex_elasticlunr_spark.search import highlight
+        res = highlight.highlight_spans(
+            _index(s, d).inverted, "text", _analyze("spark merge"),
+            source=_documents(s, d), context=30)
+        return res.select(
+            "docid",
+            F.size("spans").cast("long").alias("n_spans"),
+            F.array_join(
+                F.transform(
+                    "spans",
+                    lambda sp: F.concat_ws(
+                        ":", sp["start"].cast("string"),
+                        sp["length"].cast("string"))),
+                ",").alias("spans_str"),
+            "excerpt")
+
+    q["highlight_spans"] = hl_spans
+
     # ---- similarity search ----------------------------------------------
     def _qvec(s, d):
         row = _embeddings(s, d).where(F.col("vec_id") == 0).first()
@@ -265,8 +287,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _embeddings(s, d), _qvec(s, d), k=10)
     q["ann_lsh_topk"] = lambda s, d: ann.lsh_topk(
         _embeddings(s, d), _qvec(s, d), k=10, n_planes=4)
+    # one Lloyd refinement iteration: the gate verifies the full
+    # distributed k-means step (assign -> per-cell/dim mean -> reassign)
+    # against the SQL oracle, not just the sampled-centroid shortcut
     q["ann_ivf_topk"] = lambda s, d: ann.ivf_topk(
-        _embeddings(s, d), _qvec(s, d), k=10, n_cells=8, n_probe=3)
+        _embeddings(s, d), _qvec(s, d), k=10, n_cells=8, n_probe=3,
+        kmeans_iters=1)
     q["emb_near_dups"] = lambda s, d: ann.pairwise_near_duplicates(
         _embeddings(s, d), threshold=0.99, n_planes=8, n_bands=4)
 
@@ -704,6 +730,43 @@ SELECT m.docid, m.first_ord::BIGINT AS first_ord,
 FROM matched m JOIN snip s USING (docid)
 """)
 
+    # char-offset highlight spans + excerpt: token starts re-derived by
+    # prefix sum over raw token lengths (the corpus is single-space
+    # separated — verified property of the synthetic documents tables;
+    # the engine records tokenizer (start, len) of the downcased text)
+    hl_terms = ", ".join(f"'{t}'" for t in _analyze("spark merge"))
+    o["highlight_spans"] = _wrap(pre + f""",
+pos0 AS (
+  SELECT docid, tok, ord0,
+         CAST(coalesce(SUM(length(tok)) OVER (
+                PARTITION BY docid ORDER BY ord0
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + (ord0 - 1) AS INT) AS start,
+         CAST(length(tok) AS INT) AS len
+  FROM tok0
+),
+hlocc AS (
+  SELECT p.docid, coalesce(m.stem, p.tok) AS term, p.start, p.len
+  FROM pos0 p LEFT JOIN stem_map m ON m.word = p.tok
+  WHERE p.tok NOT IN ({stop_sql})
+),
+hhits AS (SELECT docid, start, len FROM hlocc WHERE term IN ({hl_terms})),
+hagg AS (
+  SELECT docid, COUNT(*) AS n_spans,
+         string_agg(start || ':' || len, ',' ORDER BY start, len) AS spans_str,
+         MIN(start) AS first_start, MAX(start + len) AS last_end
+  FROM hhits GROUP BY docid
+)""", """
+SELECT a.docid, a.n_spans::BIGINT AS n_spans, a.spans_str,
+       substring(d.text,
+                 CAST(greatest(first_start - 30, 0) AS INT) + 1,
+                 CAST(last_end + 30 - greatest(first_start - 30, 0) AS INT)
+       ) AS excerpt
+FROM hagg a
+JOIN (SELECT CAST(doc_id AS VARCHAR) AS docid, text FROM documents) d
+  USING (docid)
+""")
+
     # ---- ANN --------------------------------------------------------------
     cos = (
         "list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) / "
@@ -810,10 +873,36 @@ WHERE {cos_ab} >= 0.99
         "sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])))"
     )
     o["ann_ivf_topk"] = f"""
-WITH cents AS (
+WITH cents0 AS (
   SELECT CAST(vec_id AS VARCHAR) AS cell, embedding AS cv
   FROM embeddings
   ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 8
+),
+sims0 AS (
+  SELECT e.vec_id, c.cell, {cos_ec} AS sim
+  FROM embeddings e CROSS JOIN cents0 c
+),
+assigned0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell ASC) AS rn
+    FROM sims0
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+cents AS (
+  -- one Lloyd iteration: per-cell elementwise mean, rounded to 9
+  -- decimals exactly like the Spark side (operators/ann.py)
+  SELECT cell, list(m ORDER BY pos) AS cv FROM (
+    SELECT a.cell, u.pos, round(AVG(u.x), 9) AS m
+    FROM assigned0 a JOIN dims u USING (vec_id)
+    GROUP BY a.cell, u.pos
+  ) GROUP BY cell
 ),
 sims AS (
   SELECT e.vec_id, c.cell, {cos_ec} AS sim

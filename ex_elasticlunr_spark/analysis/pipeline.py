@@ -29,6 +29,13 @@ def trimmer(token: Token) -> Token:
     return trim(token)
 
 
+def unicode_trimmer(token: Token) -> Token:
+    """Opt-in Unicode variant (AnalyzerConfig(unicode=True)): ``\\W``
+    follows Unicode word chars — a documented deviation from reference
+    parity (the reference's PCRE classes are ASCII-only)."""
+    return trim(token, ascii_mode=False)
+
+
 def stop_word_filter(token: Token) -> Optional[Token]:
     return None if is_stop_word(token.token) else token
 
@@ -47,16 +54,20 @@ DEFAULT_RUNNERS: List[Callback] = [trimmer, stop_word_filter, stemmer]
 
 class Pipeline:
     def __init__(self, callbacks: Optional[Sequence[Callback]] = None,
-                 separator: str = DEFAULT_SEPARATOR):
+                 separator: str = DEFAULT_SEPARATOR,
+                 unicode: bool = False):
         self.callbacks: List[Callback] = list(callbacks or [])
         self.separator = separator
+        self.unicode = unicode
 
     @classmethod
     def default(cls) -> "Pipeline":
         return cls(DEFAULT_RUNNERS)
 
     def run(self, content: Union[str, int, float, List[Token]]) -> List[Token]:
-        tokens = content if isinstance(content, list) else tokenize(content, self.separator)
+        tokens = (content if isinstance(content, list)
+                  else tokenize(content, self.separator,
+                                ascii_mode=not self.unicode))
         for cb in self.callbacks:
             out: List[Token] = []
             for tok in tokens:
@@ -76,7 +87,7 @@ class Pipeline:
     # -- editing (reference pipeline.ex:18-77) --------------------------
     def add(self, cb: Callback) -> "Pipeline":
         cbs = [cb] + [c for c in self.callbacks if c is not cb]
-        return Pipeline(cbs, self.separator)
+        return Pipeline(cbs, self.separator, self.unicode)
 
     def insert_before(self, cb: Callback, anchor: Callback) -> "Pipeline":
         return self._insert(cb, anchor, 0)
@@ -96,10 +107,11 @@ class Pipeline:
             if id(c) not in seen:
                 seen.add(id(c))
                 out.append(c)
-        return Pipeline(out, self.separator)
+        return Pipeline(out, self.separator, self.unicode)
 
     def remove(self, cb: Callback) -> "Pipeline":
-        return Pipeline([c for c in self.callbacks if c is not cb], self.separator)
+        return Pipeline([c for c in self.callbacks if c is not cb],
+                        self.separator, self.unicode)
 
 
 ID_PIPELINE = Pipeline([id_pipeline_callback])

@@ -15,6 +15,11 @@ Semantics pinned against the reference (lib/elasticlunr/tokenizer.ex:4-66):
 * numbers are stringified then tokenized (tokenizer.ex:10-14).
 
 The default separator is ``[\\s\\-]+`` (tokenizer.ex:4).
+
+``ascii_mode`` (default True) pins regex classes to ASCII for reference
+parity; ``ascii_mode=False`` is the opt-in Unicode deviation
+(AnalyzerConfig(unicode=True)) where ``\\s``/``\\w`` classes follow
+Unicode — real transcripts are Unicode, the reference is not.
 """
 
 from __future__ import annotations
@@ -26,10 +31,10 @@ from .token import Token
 
 DEFAULT_SEPARATOR = r"[\s\-]+"
 
-_FAST = {}  # separator pattern -> compiled "non-separator run" regex
+_FAST = {}  # (separator, ascii_mode) -> compiled "non-separator run" regex
 
 
-def _run_regex(separator: str) -> re.Pattern:
+def _run_regex(separator: str, ascii_mode: bool = True) -> re.Pattern:
     """Compile a regex matching maximal runs of non-separator chars.
 
     Because the reference tests the separator per-character, the set of
@@ -37,22 +42,25 @@ def _run_regex(separator: str) -> re.Pattern:
     For the common character-class patterns we can derive the complement
     class directly; for arbitrary patterns we fall back to a per-char scan.
     """
-    pat = _FAST.get(separator)
+    key = (separator, ascii_mode)
+    pat = _FAST.get(key)
     if pat is None:
         m = re.fullmatch(r"\[([^\]]*)\]\+?", separator)
         if m:
             # re.ASCII: the reference's Elixir regexes are PCRE without
             # the `u` flag, so \s/\w classes are ASCII-only
-            pat = re.compile(r"[^" + m.group(1) + r"]+", re.ASCII)
+            flags = re.ASCII if ascii_mode else 0
+            pat = re.compile(r"[^" + m.group(1) + r"]+", flags)
         else:
             pat = None
-        _FAST[separator] = pat if pat is not None else False
-        return _run_regex(separator) if pat is not None else None
+        _FAST[key] = pat if pat is not None else False
+        return _run_regex(separator, ascii_mode) if pat is not None else None
     return pat or None
 
 
 def tokenize(
-    content: Union[str, int, float], separator: str = DEFAULT_SEPARATOR
+    content: Union[str, int, float], separator: str = DEFAULT_SEPARATOR,
+    ascii_mode: bool = True,
 ) -> List[Token]:
     if not isinstance(content, str):
         if isinstance(content, float) and content.is_integer():
@@ -60,11 +68,11 @@ def tokenize(
         else:
             content = str(content)
     s = content.lower()
-    run = _run_regex(separator)
+    run = _run_regex(separator, ascii_mode)
     if run is not None:
         return [Token(m.group(0), m.start(), m.end() - m.start()) for m in run.finditer(s)]
     # generic fallback: per-character separator test (reference semantics)
-    sep = re.compile(separator, re.ASCII)
+    sep = re.compile(separator, re.ASCII if ascii_mode else 0)
     tokens: List[Token] = []
     start = None
     for i, ch in enumerate(s):

@@ -17,14 +17,20 @@ import re
 from .token import Token
 
 # re.ASCII: Elixir ~r/\W/ without the `u` flag is PCRE ASCII-only, so
-# e.g. "über." trims to "ber" in the reference — parity over prettiness
+# e.g. "über." trims to "ber" in the reference — parity over prettiness.
+# ascii_mode=False (AnalyzerConfig(unicode=True)) is the opt-in Unicode
+# deviation where \W follows Unicode word characters.
 _LEAD = re.compile(r"^\W+", re.ASCII)
 _TRAIL = re.compile(r"\W+$", re.ASCII)
+_LEAD_U = re.compile(r"^\W+")
+_TRAIL_U = re.compile(r"\W+$")
 
 
-def trim_str(s: str) -> str:
-    return _TRAIL.sub("", _LEAD.sub("", s))
+def trim_str(s: str, ascii_mode: bool = True) -> str:
+    if ascii_mode:
+        return _TRAIL.sub("", _LEAD.sub("", s))
+    return _TRAIL_U.sub("", _LEAD_U.sub("", s))
 
 
-def trim(token: Token) -> Token:
-    return token.with_token(trim_str(token.token))
+def trim(token: Token, ascii_mode: bool = True) -> Token:
+    return token.with_token(trim_str(token.token, ascii_mode))

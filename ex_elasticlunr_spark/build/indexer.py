@@ -440,7 +440,8 @@ class InvertedIndex:
             "segments": with_segments,
             "block_size": block_size,
             "fields": {
-                f: {"stages": list(c.stages), "separator": c.separator}
+                f: {"stages": list(c.stages), "separator": c.separator,
+                    "unicode": getattr(c, "unicode", False)}
                 for f, c in self.analyzers.items()
             },
         }
@@ -521,7 +522,8 @@ class InvertedIndex:
         with open(os.path.join(path, "manifest.json")) as fh:
             manifest = json.load(fh)
         analyzers = {
-            f: AnalyzerConfig(tuple(cfg["stages"]), cfg["separator"])
+            f: AnalyzerConfig(tuple(cfg["stages"]), cfg["separator"],
+                              unicode=cfg.get("unicode", False))
             for f, cfg in manifest["fields"].items()
         }
         inv = cls(

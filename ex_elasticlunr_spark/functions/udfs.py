@@ -59,6 +59,7 @@ class AnalyzerConfig:
         separator: str = DEFAULT_SEPARATOR,
         extra: Optional[list] = None,
         query_pipeline: Optional["Pipeline"] = None,
+        unicode: bool = False,
     ):
         self.stages = tuple(stages)
         self.separator = separator
@@ -67,14 +68,21 @@ class AnalyzerConfig:
         # field.query_pipeline, used when is_query — field.ex:149-157);
         # index-side analysis always uses the stages above
         self.query_pipeline = query_pipeline
+        # opt-in Unicode mode: regex classes (\s in the separator, \W in
+        # the trimmer) follow Unicode instead of the reference's ASCII
+        # PCRE semantics — a documented parity deviation for real
+        # (Unicode) transcripts
+        self.unicode = bool(unicode)
 
     def to_pipeline(self) -> Pipeline:
         """Equivalent driver-side Pipeline for INDEX-side analysis."""
-        from ..analysis.pipeline import stemmer, stop_word_filter, trimmer
+        from ..analysis.pipeline import (
+            stemmer, stop_word_filter, trimmer, unicode_trimmer)
 
-        named = {"trim": trimmer, "stop": stop_word_filter, "stem": stemmer}
+        named = {"trim": unicode_trimmer if self.unicode else trimmer,
+                 "stop": stop_word_filter, "stem": stemmer}
         cbs = [named[s] for s in self.stages] + self.extra
-        return Pipeline(cbs, self.separator)
+        return Pipeline(cbs, self.separator, unicode=self.unicode)
 
     def to_query_pipeline(self) -> Pipeline:
         """Pipeline for analyzing query strings: the field's
@@ -98,13 +106,15 @@ class AnalyzerConfig:
 
         extra = self.extra
         sep = self.separator
+        ascii_mode = not self.unicode
 
         def one(text) -> list:
             if text is None:
                 return []
-            toks = tokenize(text, sep)
+            toks = tokenize(text, sep, ascii_mode)
             if do_trim:
-                toks = [Token(trim_str(t.token), t.start, t.length) for t in toks]
+                toks = [Token(trim_str(t.token, ascii_mode),
+                              t.start, t.length) for t in toks]
             if do_stop:
                 toks = [t for t in toks if t.token not in STOP_WORDS]
             if do_stem:
@@ -185,7 +195,10 @@ def analyze_postings(stacked, configs: dict, positions: bool = True,
     """
     import itertools
 
-    cfg_items = {f: (c.stages, c.separator, c.extra) for f, c in configs.items()}
+    cfg_items = {
+        f: (c.stages, c.separator, c.extra, not getattr(c, "unicode", False))
+        for f, c in configs.items()
+    }
 
     def run(batches):
         from ..analysis.stop_words import STOP_WORDS
@@ -224,10 +237,11 @@ def analyze_postings(stacked, configs: dict, positions: bool = True,
                         doc_seq += 1
                         last_docid = docid
                     g_ord = ord_base + doc_seq
-                stages, sep, extra = cfg_items[fld]
-                toks = tokenize(content, sep)
+                stages, sep, extra, ascii_mode = cfg_items[fld]
+                toks = tokenize(content, sep, ascii_mode)
                 if "trim" in stages:
-                    toks = [Token(trim_str(t.token), t.start, t.length)
+                    toks = [Token(trim_str(t.token, ascii_mode),
+                                  t.start, t.length)
                             for t in toks]
                 if "stop" in stages:
                     toks = [t for t in toks if t.token not in STOP_WORDS]

@@ -211,7 +211,10 @@ def ivf_topk(df: DataFrame, query_vec: List[float], k: int = 10,
     nearest centroid (broadcast join) and recomputes centroids as the
     per-cell elementwise mean (posexplode + groupBy(cell, dim) — a
     distributed Lloyd step whose output is only n_cells*dim values,
-    collected and re-broadcast).
+    collected and re-broadcast). Means are rounded to 9 decimals so the
+    refined centroids are bit-identical across engines (a parallel AVG
+    sums in partition order; the last-ulp difference vs a serial SQL
+    engine would otherwise leak into argmax assignments near ties).
     """
     vecs = df.select(
         F.col(id_col).cast("string").alias("vec_id"),
@@ -227,7 +230,7 @@ def ivf_topk(df: DataFrame, query_vec: List[float], k: int = 10,
             _assign_cells(vecs, cents)
             .select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.round(F.avg("x"), 9).alias("m"))
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cell",

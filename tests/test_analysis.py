@@ -174,3 +174,38 @@ def test_tokenizer_ascii_separator():
 
     toks = [t.token for t in tokenize("foo bar baz")]
     assert toks == ["foo bar", "baz"]
+
+
+def test_unicode_mode_goldens():
+    """AnalyzerConfig(unicode=True) lifts re.ASCII: \\W/\\s classes follow
+    Unicode (documented deviation from reference parity); the default
+    ASCII mode keeps the reference's PCRE-without-`u` semantics."""
+    from ex_elasticlunr_spark.functions.udfs import AnalyzerConfig
+
+    text = "Über-café naïve fox. L'élève—ok"
+    ascii_p = AnalyzerConfig().to_pipeline()
+    uni_p = AnalyzerConfig(unicode=True).to_pipeline()
+    # ASCII trimmer strips non-ASCII letters at token edges (ü, é)
+    assert ascii_p.run_terms(text) == ["ber", "caf", "naïv", "fox",
+                                       "l'élève—ok"]
+    # Unicode trimmer keeps them; interior chars were never trimmed
+    assert uni_p.run_terms(text) == ["über", "café", "naïv", "fox",
+                                     "l'élève—ok"]
+
+
+def test_unicode_mode_manifest_roundtrip(spark, tmp_path):
+    """The unicode flag survives save()/load() via the manifest."""
+    from ex_elasticlunr_spark import Index
+    from ex_elasticlunr_spark.functions.udfs import AnalyzerConfig
+
+    df = spark.createDataFrame(
+        [("1", "Über café"), ("2", "plain text")], "docid string, text string")
+    idx = Index(name="u", pipeline=AnalyzerConfig(unicode=True))
+    idx.add_field("text")
+    idx.add_documents(df, docid_col="docid")
+    path = str(tmp_path / "uindex")
+    idx.save(path)
+    loaded = Index.load(spark, path)
+    assert loaded.analyzers["text"].unicode is True
+    # the unicode term survives indexing end-to-end
+    assert loaded.has_token("text", "über")
