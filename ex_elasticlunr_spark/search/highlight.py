@@ -43,45 +43,53 @@ def snippet_ords(index, field: str, terms: List[str], window: int = 8,
     operator expressible against the SQL oracle's (docid, term, ord)
     relation. For original-text excerpts use :func:`highlight_spans`.
     """
+    key = index.key_col
     post = index.postings_full.where(F.col("field") == field)
     if restrict is not None:
-        post = post.join(restrict.select("docid"), "docid", "left_semi")
+        post = post.join(restrict.select(key), key, "left_semi")
+    # the doc key may itself be named "ord" (doc ordinal); the exploded
+    # per-occurrence TOKEN ordinal is aliased tok_ord throughout
     matched = (
         post.where(F.col("term").isin(terms))
-        .select("docid", F.explode("ords").alias("ord"))
-        .groupBy("docid")
-        .agg(F.min("ord").alias("first_ord"),
+        .select(key, F.explode("ords").alias("tok_ord"))
+        .groupBy(key)
+        .agg(F.min("tok_ord").alias("first_ord"),
              F.count(F.lit(1)).alias("n_matches"))
     )
     # token stream of MATCHED docs only (semi-join restricts before the
     # per-occurrence explode), then one bounded range join per doc
     toks = (
-        post.join(matched.select("docid"), "docid", "left_semi")
-        .select("docid", "term", F.explode("ords").alias("ord"))
+        post.join(matched.select(key), key, "left_semi")
+        .select(key, "term", F.explode("ords").alias("tok_ord"))
     )
     snip = (
-        toks.join(matched.select("docid", "first_ord"), "docid")
-        .where((F.col("ord") >= F.col("first_ord"))
-               & (F.col("ord") < F.col("first_ord") + window))
-        .groupBy("docid")
+        toks.join(matched.select(key, "first_ord"), key)
+        .where((F.col("tok_ord") >= F.col("first_ord"))
+               & (F.col("tok_ord") < F.col("first_ord") + window))
+        .groupBy(key)
         .agg(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("ord", "term"))),
+                        F.collect_list(F.struct("tok_ord", "term"))),
                     lambda s: s["term"],
                 ),
                 " ",
             ).alias("snippet")
         )
     )
-    return (
-        matched.join(snip, "docid")
-        .select("docid",
+    out = (
+        matched.join(snip, key)
+        .select(key,
                 F.col("first_ord").cast("long").alias("first_ord"),
                 F.col("n_matches").cast("long").alias("n_matches"),
                 "snippet")
     )
+    if key == "ord":
+        # resolve docids for the (hit-sized) result only
+        out = out.join(index.ordinals_df(), "ord") \
+            .select("docid", "first_ord", "n_matches", "snippet")
+    return out
 
 
 def highlight_spans(index, field: str, terms: List[str],
@@ -115,16 +123,17 @@ def highlight_spans(index, field: str, terms: List[str],
         raise ValueError(
             "highlight_spans needs stored positions: this index was built "
             "with store_positions=False")
+    key = index.key_col
     post = index.postings_full.where(F.col("field") == field)
     if restrict is not None:
-        post = post.join(restrict.select("docid"), "docid", "left_semi")
+        post = post.join(restrict.select(key), key, "left_semi")
     occ = (
         post.where(F.col("term").isin(terms))
         # guard: a null/empty positions array would send F.sequence a
         # negative upper bound (descending range -> null spans)
         .where(F.size("positions") >= 2)
         .select(
-            "docid",
+            key,
             F.explode(
                 # pair up the flattened [start, len, ...] array
                 F.transform(
@@ -140,13 +149,17 @@ def highlight_spans(index, field: str, terms: List[str],
         )
     )
     agg = (
-        occ.groupBy("docid")
+        occ.groupBy(key)
         .agg(
             F.array_sort(F.collect_list("span")).alias("spans"),
             F.min(F.col("span.start")).alias("first_start"),
             F.max(F.col("span.start") + F.col("span.length")).alias("last_end"),
         )
     )
+    if key == "ord":
+        # resolve docids for the (hit-sized) aggregate before touching
+        # the wide original-text rows
+        agg = agg.join(index.ordinals_df(), "ord").drop("ord")
     docs = source.select(
         F.col("docid").cast("string").alias("docid"),
         F.col(field).cast("string").alias("_text"))

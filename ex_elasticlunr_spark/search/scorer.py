@@ -23,7 +23,15 @@ Physical shape (scale rationale):
   resulting matched-term set is tiny and is broadcast into an equi-join
   with postings, so expand/fuzzy never nested-loop over postings and
   exact lookups are a broadcast hash semi-join. The only wide operation
-  is the per-doc aggregation, keyed by docid (skew-free).
+  is the per-doc aggregation, keyed by the index's doc key (skew-free).
+
+Doc-key currency: every scorer emits rows keyed by ``index.key_col`` —
+the int64 global ordinal wherever a consistent ordinal space exists
+(fresh builds, loaded v5 indexes whose narrow postings carry no docid),
+else the docid string. The executor translates ord->docid ONCE per
+query via the ordinals table (WAND does the same, search/wand.py) — so
+the ~17-byte docid never rides scoring shuffles or the build's
+clustering shuffle, and per-doc aggregation keys are fixed-width ints.
 """
 
 from __future__ import annotations
@@ -35,6 +43,15 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.literals import inline_rows
 
+
+CHECKPOINT_PHRASE_HITS = True  # see phrase_scores
+
+
+def _empty_schema(key: str, with_details: bool) -> str:
+    s = ("ord long" if key == "ord" else "docid string") + ", score double"
+    if with_details:
+        s += ", matched int, positions map<string,array<int>>"
+    return s
 
 
 def _query_terms_df(index, field: str, terms: List[str],
@@ -90,9 +107,8 @@ def terms_scores(
     terms_query.ex:93-98's highest-score pick; all matched entries'
     positions term-sorted in bm25 sum mode).
     """
-    empty_schema = "docid string, score double"
-    if with_details:
-        empty_schema += ", matched int, positions map<string,array<int>>"
+    key = index.key_col
+    empty_schema = _empty_schema(key, with_details)
     if not terms:
         spark = index.postings.sparkSession
         return spark.createDataFrame([], empty_schema)
@@ -132,9 +148,9 @@ def terms_scores(
             return spark.createDataFrame([], empty_schema)
         post = post.where(F.col("term").isin(fuzzy_terms))
     if restrict is not None:
-        # no broadcast hint: the restriction can be nearly all docids
+        # no broadcast hint: the restriction can be nearly all docs
         # (e.g. a not-filter base) — AQE picks broadcast when it IS small
-        post = post.join(restrict.select("docid"), "docid", "left_semi")
+        post = post.join(restrict.select(key), key, "left_semi")
 
     entries = post.join(
         F.broadcast(matched_terms.withColumnRenamed("df", "term_df")
@@ -189,10 +205,10 @@ def terms_scores(
                 lambda s: s["positions"],
             ))
         aggs.append(pos.alias("pos_arr"))
-    per_doc = entries.groupBy("docid").agg(*aggs)
+    per_doc = entries.groupBy(key).agg(*aggs)
     if minimum_should_match > 1:
         per_doc = per_doc.where(F.col("n_entries") >= minimum_should_match)
-    out_cols = ["docid", (F.col("raw_score") * F.lit(float(boost))).alias("score")]
+    out_cols = [key, (F.col("raw_score") * F.lit(float(boost))).alias("score")]
     if with_details:
         out_cols += [
             F.col("n_entries").cast("int").alias("matched"),
@@ -240,9 +256,8 @@ def phrase_scores(
     on the UNRESTRICTED corpus so clause scores are stable under bool
     composition (terms use global term_stats idf the same way).
     """
-    empty_schema = "docid string, score double"
-    if with_details:
-        empty_schema += ", matched int, positions map<string,array<int>>"
+    key = index.key_col
+    empty_schema = _empty_schema(key, with_details)
     spark = index.postings.sparkSession
     if not terms:
         return spark.createDataFrame([], empty_schema)
@@ -258,13 +273,16 @@ def phrase_scores(
     post = src.where(F.col("field") == field) \
               .where(F.col("term").isin(terms)) \
               .where(F.col("ords").isNotNull())
-    occ_cols = [F.col("docid"), F.col("term"), F.col("doc_len")]
+    # NB: the doc key may itself be named "ord" (doc ordinal) while the
+    # exploded token ordinal is aliased "tok_ord" — disjoint names
+    occ_cols = [F.col(key), F.col("term"), F.col("doc_len")]
     if with_details:
         occ_cols.append(F.col("positions"))
-    occ = post.select(*occ_cols, F.posexplode("ords").alias("occ_i", "ord"))
+    occ = post.select(*occ_cols,
+                      F.posexplode("ords").alias("occ_i", "tok_ord"))
     occ = occ.join(F.broadcast(qdf), "term")
 
-    hit_key = (F.col("ord") - F.col("qi")).alias("base")
+    hit_key = (F.col("tok_ord") - F.col("qi")).alias("base")
     aggs = [F.count_distinct(F.col("qi")).alias("nq"),
             F.first("doc_len").alias("doc_len")]
     if with_details:
@@ -272,17 +290,21 @@ def phrase_scores(
             F.element_at("positions", F.col("occ_i") * 2 + 1).alias("s"),
             F.element_at("positions", F.col("occ_i") * 2 + 2).alias("l"),
         )).alias("occ_pos"))
-    hits = (occ.groupBy("docid", hit_key).agg(*aggs)
+    hits = (occ.groupBy(key, hit_key).agg(*aggs)
             .where(F.col("nq") == k))
     # two consumers (pdf broadcast + per-doc agg): materialize the hit
     # set once — it is at most phrase-doc-frequency sized. localCheckpoint
     # (GC-cleaned by the ContextCleaner) instead of persist, which would
-    # accumulate storage across queries in a long-lived session
-    hits = hits.localCheckpoint(eager=True)
-    pdf_df = hits.agg(F.count_distinct("docid").alias("pdf"))
+    # accumulate storage across queries in a long-lived session.
+    # CHECKPOINT_PHRASE_HITS=False keeps the full lineage visible for
+    # plan-shape tests (tests/test_pushdown.py pins the pushed In(term)
+    # on the positions-table scan, which the checkpoint would hide).
+    if CHECKPOINT_PHRASE_HITS:
+        hits = hits.localCheckpoint(eager=True)
+    pdf_df = hits.agg(F.count_distinct(key).alias("pdf"))
 
     if restrict is not None:
-        hits = hits.join(restrict.select("docid"), "docid", "left_semi")
+        hits = hits.join(restrict.select(key), key, "left_semi")
     per_aggs = [F.count(F.lit(1)).alias("pf"),
                 F.first("doc_len").alias("doc_len")]
     if with_details:
@@ -290,7 +312,7 @@ def phrase_scores(
             F.array_sort(F.flatten(F.collect_list("occ_pos"))),
             lambda s: F.array(s["s"], s["l"]),
         )).alias("pos_arr"))
-    per_doc = hits.groupBy("docid").agg(*per_aggs)
+    per_doc = hits.groupBy(key).agg(*per_aggs)
 
     fstats = F.broadcast(
         index.field_stats.where(F.col("field") == field)
@@ -316,7 +338,7 @@ def phrase_scores(
     else:
         raise ValueError(f"unknown scoring mode {mode!r}")
 
-    out_cols = ["docid", (score * F.lit(float(boost))).alias("score")]
+    out_cols = [key, (score * F.lit(float(boost))).alias("score")]
     if with_details:
         out_cols += [
             F.lit(1).alias("matched"),
@@ -335,19 +357,30 @@ def _details_cols():
     ]
 
 
+def _universe(index) -> DataFrame:
+    """The all-docs relation keyed by the index currency: the docs table
+    (docid) or the full ordinals table (ord — includes synthetic negative
+    ordinals for zero-content docs, indexer.ordinals_df)."""
+    if index.key_col == "docid":
+        return index.docs.select("docid")
+    return index.ordinals_df(full=True).select("ord")
+
+
 def match_all_scores(index, boost: float = 1.0,
                      with_details: bool = False) -> DataFrame:
-    out = index.docs.select(
-        "docid", (F.lit(1.0) * F.lit(float(boost))).alias("score")
+    key = index.key_col
+    out = _universe(index).select(
+        key, (F.lit(1.0) * F.lit(float(boost))).alias("score")
     )
     return out.select("*", *_details_cols()) if with_details else out
 
 
 def not_scores(index, inner: DataFrame,
                with_details: bool = False) -> DataFrame:
-    out = index.docs.join(
-        inner.select("docid"), "docid", "left_anti"
-    ).select("docid", F.lit(1.0).alias("score"))
+    key = index.key_col
+    out = _universe(index).join(
+        inner.select(key), key, "left_anti"
+    ).select(key, F.lit(1.0).alias("score"))
     return out.select("*", *_details_cols()) if with_details else out
 
 

@@ -43,7 +43,10 @@ def test_resume_equals_direct_build(spark, tmp_path):
     direct = Index(name="direct").add_field("text").add_field("tool")
     direct.add_documents(src, docid_col="docid")
 
-    a = merged.postings.select("field", "term", "docid", "tf_raw", "doc_len")
+    # the loaded v5 narrow postings carry no docid — resolve through the
+    # ordinals table (the designed read path for docid-level comparisons)
+    a = (merged.postings.join(merged.ordinals_df(), "ord")
+         .select("field", "term", "docid", "tf_raw", "doc_len"))
     b = direct.inverted.postings.select("field", "term", "docid", "tf_raw", "doc_len")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
