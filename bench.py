@@ -119,6 +119,11 @@ def main() -> None:
         # host is quiet and the job is CPU-saturated)
         "busy_frac": round((cpu1[0] - cpu0[0]) / wall_jiffies, 4),
         "steal_frac": round((cpu1[2] - cpu0[2]) / wall_jiffies, 4),
+        # absolute busy CPU seconds over the whole timed build — the
+        # scaling criterion's cpu-time denominator (turns / cpu-sec is
+        # parallelism-overhead-sensitive but DRAM/noise-stall-blind,
+        # complementing wall-clock efficiency)
+        "build_cpu_sec": round((cpu1[0] - cpu0[0]) / hz, 2),
     }
 
     idx = Index.load(spark, out_dir, name="bench")
@@ -181,6 +186,11 @@ def main() -> None:
         "elixir tool run quick", "text", top_k=10).collect())
     timed("q7_wand_warm", lambda: idx.search_wand(
         "index search stream", "text", top_k=10).collect())
+    # positional path on the LOADED index: scans the term-clustered
+    # positions table with the pushed In(term, ...) predicate (v5)
+    timed("q8_phrase", lambda: idx.search(
+        {"query": {"match_phrase": {"text": "elixir tool"}}},
+        top_k=10).collect())
 
     # sf-dir operator benches (documents/embeddings tables); skippable
     # for build-scaling runs (BENCH_SKIP_SF=1)

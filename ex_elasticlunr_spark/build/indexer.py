@@ -272,13 +272,22 @@ class InvertedIndex:
         def _sp(name: str) -> str:
             return os.path.join(staging, name)
 
+        def _busy_jiffies():
+            # host-wide busy CPU (user+nice+system) — per-phase cpu-time
+            # instrumentation for the scaling evidence; None off-Linux
+            try:
+                with open("/proc/stat") as fh:
+                    p = fh.readline().split()[1:]
+                return int(p[0]) + int(p[1]) + int(p[2])
+            except (OSError, ValueError, IndexError):
+                return None
+
         # ---- phase 1: INGEST — the analyzer output written exactly as
-        # produced (map-only, no shuffle). This is the raw-throughput
-        # stage; positions live ONLY here (Lucene keeps positions in a
-        # separate .pos file for the same reason: the scoring hot path
-        # never reads them, and sorting/shuffling array columns is the
-        # single most expensive part of a clustered rewrite).
+        # produced (map-only, no shuffle): one analyzer pass feeding
+        # every durable table; staging-only in the v5 layout (the
+        # durable positional home is the term-clustered positions table)
         t0 = _time.perf_counter()
+        _cpu0 = _busy_jiffies()
         flat_cols = ["field", "docid", "term", "tf_raw", "doc_len"]
         if self.store_positions:
             flat_cols += ["positions", "ords"]
@@ -332,6 +341,7 @@ class InvertedIndex:
             lambda: self.docs.write.mode("overwrite").parquet(_sp("docs")),
         )
         t1 = _time.perf_counter()
+        _cpu1 = _busy_jiffies()
         raw = spark.read.parquet(_sp("flat"))
 
         # ---- phase 2 (overlapped): doc_stats (sentinel filter of flat)
@@ -442,6 +452,8 @@ class InvertedIndex:
         else:
             _overlap(_w_doc_stats, _w_ordinals)
             _overlap(_w_cluster, *pos_thunks)
+        t2 = _time.perf_counter()
+        _cpu2 = _busy_jiffies()
         ordinals = ordinals_box[0]
         doc_stats = spark.read.parquet(_sp("doc_stats"))
         postings = spark.read.parquet(_sp("postings"))
@@ -506,7 +518,6 @@ class InvertedIndex:
                 .write.mode("overwrite").parquet(_sp("segments"))
             stage_secs["segments_write_sec"] = _time.perf_counter() - s0
 
-        t2 = _time.perf_counter()
         # v5: the doc-ordered flat ingest table is a STAGING artifact
         # only (one analyzer pass feeding every durable table) — the
         # durable positional home is the term-clustered `positions`
@@ -523,6 +534,7 @@ class InvertedIndex:
         for dep in getattr(ordinals, "_persisted_deps", []):
             dep.unpersist()
         t4 = _time.perf_counter()
+        _cpu4 = _busy_jiffies()
 
         manifest = {
             "version": 5,
@@ -564,10 +576,20 @@ class InvertedIndex:
             for k in stage_secs:
                 timings[k] = round(stage_secs[k], 4)
             timings["ingest_wall_sec"] = round(t1 - t0, 4)
-            # doc_stats/ordinals + cluster shuffle
+            # doc_stats/ordinals + cluster shuffle(s)
             timings["cluster_wall_sec"] = round(t2 - t1, 4)
             # stats ∥ segments
             timings["tail_wall_sec"] = round(t4 - t2, 4)
+            if _cpu0 is not None:
+                # host-wide busy CPU seconds per serial phase (the
+                # scaling criterion needs cpu-time as well as wall: on a
+                # quiet pinned host, busy-jiffy deltas ≈ this job's CPU
+                # across the JVM + Python workers, which no in-process
+                # rusage can see)
+                hz = os.sysconf("SC_CLK_TCK")
+                timings["ingest_cpu_sec"] = round((_cpu1 - _cpu0) / hz, 2)
+                timings["cluster_cpu_sec"] = round((_cpu2 - _cpu1) / hz, 2)
+                timings["tail_cpu_sec"] = round((_cpu4 - _cpu2) / hz, 2)
 
     def _rebind_from(self, path: str, manifest: dict, spark=None) -> None:
         spark = spark or self.postings.sparkSession
