@@ -31,8 +31,17 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"ex_elasticlunr_spark-bench-{cpus}")
+        # shuffle partitions sized for TASK MEMORY, not core count: the
+        # clustering sorts carry positions arrays, and at 2M turns a
+        # cores-count partitioning puts ~1.4M array rows (hundreds of MB)
+        # in each sort task — two overlapped cluster jobs then exceed the
+        # execution-memory pool and every task spills, which measured as
+        # 3-4x CPU inflation and NEGATIVE 4->16 scaling of the cluster
+        # phase. 4x cores (>= 32) keeps per-task sort state ~tens of MB;
+        # AQE's advisory size still coalesces the small stages.
         .config("spark.sql.shuffle.partitions",
-                os.environ.get("BENCH_SHUFFLE_PARTS", str(max(cpus, 8))))
+                os.environ.get("BENCH_SHUFFLE_PARTS",
+                               str(max(cpus * 4, 32))))
         .config("spark.sql.adaptive.enabled", "true")
         # save() overlaps independent stages from multiple threads; FAIR
         # lets the small stats/ordinals jobs interleave with the wide

@@ -26,16 +26,19 @@ Dataflow (one analyzer pass over the data, MAP-ONLY postings):
     field_stats = per-field scalars (n_docs, unique terms, flnorm,
                   avgdl) — two per-field collects, assembled driver-side
 
-save() then persists the v4 layout in overlapped phases: flat ingest
-write ∥ docs scan, then the ONE term-clustering shuffle ∥ doc_stats ∥
-ordinals table, then stats ∥ compressed segments (both reading the
-clustered parquet).
+save() then persists the v5 layout in overlapped phases: flat ingest
+write (staging) ∥ docs scan, then the term-clustering shuffles (narrow
+postings ∥ positions) ∥ doc_stats ∥ ordinals table, then stats ∥
+compressed segments (both reading the clustered parquet).
 
 Scale notes (10^12 turns):
-  * the postings table itself is built without any shuffle — the build
-    is embarrassingly parallel up to the stats aggregations, whose
+  * the ingest pass itself is shuffle-free — the build is
+    embarrassingly parallel up to the stats aggregations, whose
     outputs are vocabulary- or doc-sized with map-side combine; the
-    durable layout costs exactly one wide shuffle (term clustering);
+    durable layout costs the term-clustering shuffles (narrow hot-path
+    postings, and the positional table when positions are stored —
+    overlapped, and neither carries the docid string: result docids
+    resolve through the ordinals table);
   * term-level skew appears only in clustering/segment compaction and
     is handled with ordinal-range salting (block-aligned pmod salt);
   * field_stats/term_stats are tiny relative to postings and are
@@ -58,11 +61,19 @@ from ..functions.udfs import AnalyzerConfig, analyze_postings
 class InvertedIndex:
     """A built index: five DataFrames + per-field analyzer configs.
 
-    Tables (schemas in SURVEY.md §1.2):
-      postings(field, term, docid, tf_raw, tf, positions)
-      doc_stats(field, docid, doc_len)
+    Tables (durable v5 layout; logical schemas in SURVEY.md §1.2):
+      postings(field, term, ord, tf_raw, tf, doc_len)
+                                             -- NARROW term-clustered hot
+                                                path; no docid (ordinals
+                                                resolve result rows)
+      positions(field, term, ord, tf_raw, doc_len, positions, ords)
+                                             -- term-clustered positional
+                                                table (postings_full on a
+                                                loaded index)
+      doc_stats(field, docid, doc_len[, ord])
       field_stats(field, n_docs, n_unique_terms, flnorm, avg_doc_len)
       term_stats(field, term, df, idf)       -- elasticlunr idf
+      ordinals(docid, ord)                   -- global docID assignment
       docs(docid)                            -- the docid universe (= ref
                                                 field ids, index.ex:154-159)
     """
@@ -80,9 +91,9 @@ class InvertedIndex:
     ):
         self.postings = postings
         # the positions-bearing postings view (== postings for a fresh
-        # build; the flat ingest table on a loaded v4 index). The scoring
-        # hot path uses the narrow `postings`; details/introspection use
-        # this one.
+        # build; the term-clustered positions table on a loaded v5
+        # index). The scoring hot path uses the narrow `postings`;
+        # phrase/details/introspection use this one.
         self.postings_full = postings_full if postings_full is not None else postings
         self.doc_stats = doc_stats
         self.field_stats = field_stats
@@ -203,23 +214,30 @@ class InvertedIndex:
         """Persist as a partitioned parquet warehouse (Iceberg-shaped
         layout; reference analogue: storage/disk.ex:22-31).
 
-        Durable layout (version 4), Lucene-shaped table split:
+        Durable layout (version 5), Lucene-shaped table split:
 
-        * ``flat``      — the analyzer output as produced (map-only
-          ingest write; posting rows + per-doc sentinel rows). The ONLY
-          table carrying the positions arrays — the scoring hot path
-          never reads positions, and shuffling/sorting array columns
-          was measured as the dominant CPU cost of a clustered rewrite
-          (Lucene's separate .pos file, same rationale).
-        * ``postings``  — NARROW (field, term, docid, ord, tf_raw,
-          doc_len), shuffled once on (field, term, pmod(block, salt))
-          and sorted within partitions by (field, term, ord): row
-          groups carry tight term ranges so the query path's pushed
-          ``In(term, ...)``/``StartsWith`` predicates prune on every
-          scan, the block-aligned salt bounds hot-term skew AND makes
-          every (field, term, block) complete inside one partition.
-        * ``ordinals``  — the global docID assignment (docid -> ord in
-          docid sort order, build/ordinals.py).
+        * ``postings``  — NARROW (field, term, ord, tf_raw, doc_len),
+          shuffled once on (field, term, pmod(block, salt)) and sorted
+          within partitions by (term, field, ord): row groups carry
+          tight term ranges so the query path's pushed ``In(term, ...)``
+          /``StartsWith`` predicates prune on every scan, the
+          block-aligned salt bounds hot-term skew AND makes every
+          (field, term, block) complete inside one partition. NO docid:
+          the ~17-byte docid string would be the widest column of the
+          build's wide shuffle; result rows resolve docids through
+          ``ordinals`` instead (index.key_col / executor translate).
+        * ``positions`` — the positional columns (positions char-offset
+          pairs + ords token ordinals), clustered with the SAME keys and
+          sort in an overlapped parallel shuffle — the north rule's
+          "term -> sorted (docID, tf, positions)" posting shape. The
+          phrase/snippet/highlight/details paths scan it with the same
+          pushed-predicate pruning as the hot path (Lucene's .pos
+          next-to-postings shape; the array shuffle is paid once, at
+          save). The doc-ordered ``flat`` analyzer dump is now a
+          STAGING artifact only.
+        * ``ordinals``  — the global docID assignment (docid -> ord;
+          map-only ingest stride for fresh builds, sorted zipWithIndex
+          for merges, build/ordinals.py).
         * ``segments``  — delta-gap + varint posting blocks, built as a
           pure MAP over the block-clustered postings
           (build_segments_streaming: no shuffle, no collect_list).
