@@ -101,13 +101,21 @@ lines = [
     "values, and best-of-runs are all reported.",
     "",
     f"Input: {turns:,} synthetic transcript turns (deterministic seed),",
-    "fields text+tool. Timed region = the FULL durable v4 index build:",
-    "analyze + map-only flat ingest write + docID-ordinal assignment +",
-    "term-clustered narrow postings (one shuffle-hash join + one",
-    "clustering shuffle) + stats + delta+varint WAND segments (pure map)",
-    "— exactly what scripts/build_index_job.py persists. 'postings",
-    "stage' isolates the embarrassingly-parallel ingest core (analyze +",
-    "flat write), the stage that dominates at 10^12 turns.",
+    "fields text+tool. Timed region = the FULL durable v5 index build:",
+    "analyze + map-only flat ingest write (staging) + docID-ordinal",
+    "assignment + TWO overlapped term-clustering shuffles (narrow",
+    "docid-free postings ∥ the positional table with positions+ords —",
+    "the north rule's term->sorted(docID,tf,positions) shape, which",
+    "earlier rounds deferred) + stats + delta+varint WAND segments",
+    "(pure map) — exactly what scripts/build_index_job.py persists.",
+    "'postings stage' isolates the embarrassingly-parallel ingest core",
+    "(analyze + flat write), the stage that dominates at 10^12 turns.",
+    "",
+    "Shuffle partitions are sized for TASK MEMORY (4x cores), not core",
+    "count: with cores-count partitions the array-bearing clustering",
+    "sorts spilled at 2M turns (3-4x CPU inflation, NEGATIVE 4->16",
+    "cluster scaling) — the classic fit-the-partition-in-executor-",
+    "memory rule, now pinned in bench.py.",
     "",
     "| metric | config | median turns/sec | best turns/sec | runs |",
     "|---|---|---|---|---|",
@@ -205,7 +213,10 @@ for k in qkeys:
     lines.append(f"| {k} | {qmed(rlo, k)} | {qmed(rhi, k)} |")
 # per-stage medians at each level (where the scaling lives/dies)
 stage_keys = sorted(
-    set().union(*[r["build"].get("stages", {}) for r in rlo + rhi]))
+    k for k in set().union(*[r["build"].get("stages", {}) for r in rlo + rhi])
+    # cpu-second stages have their own table above with the correct
+    # (undivided) efficiency formula — the /4 here is wall-only
+    if not k.endswith("_cpu_sec"))
 if stage_keys:
     lines += ["", "Per-stage best-of-reps seconds (same runs; min for the",
               "same one-sided-noise reason):", "",
@@ -236,11 +247,11 @@ if stage_keys:
             f"**Composite full build from per-stage bests: local[{LO}]"
             f" {turns / lo_sum:,.0f} turns/s ({lo_sum:.0f}s), local[{HI}]"
             f" {turns / hi_sum:,.0f} turns/s ({hi_sum:.0f}s) — efficiency"
-            f" {ceff:.2f}.** At 10^12 turns the ingest stage (efficiency"
-            " ~0.76 here) dominates and the ~10s fixed per-phase floor"
-            " (scheduling + parquet commit, core-count independent)"
-            " vanishes; the composite is therefore a LOWER bound on the"
-            " at-scale number.",
+            f" {ceff:.2f}.** At 10^12 turns the ingest stage dominates"
+            " and the fixed per-phase floor (scheduling + parquet"
+            " commit, core-count independent — a third of the wall at"
+            " bench scale) vanishes; the composite is therefore a LOWER"
+            " bound on the at-scale number.",
         ]
 lines += [
     "",
@@ -311,7 +322,8 @@ lines += [
     "unpruned columns into the segment encoder) — see",
     "build/indexer.py, build/segments.py, functions/literals.py.",
 ]
-open("BENCH/BASELINE.md", "w").write("\n".join(lines) + "\n")
-print("wrote BENCH/BASELINE.md")
+OUT = os.environ.get("OUT", "BENCH/BASELINE.md")
+open(OUT, "w").write("\n".join(lines) + "\n")
+print(f"wrote {OUT}")
 for label, (m, b) in effs.items():
     print(label, "median_eff", round(m, 3), "best_eff", round(b, 3))
