@@ -17,6 +17,7 @@ value-hash compares stably across engines. Top-k queries order by
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -194,6 +195,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["field_stats"] = field_stats
     q["postings_tf"] = postings_tf
 
+    def delta_add(s, d):
+        """Generational delta persistence (build/deltas.py): index HALF
+        the documents, save the base warehouse, delta-append the other
+        half WITHOUT rewriting the base, reload, and score — must equal
+        the terms oracle over the FULL table (merged idf/flnorm are
+        exact-integer arithmetic, so scores are bit-identical to a
+        single-generation build)."""
+        import shutil as _sh
+        import tempfile as _tf
+
+        key = (s.sparkContext.applicationId, d, "delta")
+        idx = _CACHE.get(key)
+        if idx is None:
+            docs = _documents(s, d)
+            wh = os.path.join(
+                _tf.gettempdir(),
+                "ex_spark_delta_gate_" + d.strip("/").replace("/", "_"))
+            _sh.rmtree(wh, ignore_errors=True)
+            half = Index(name="delta-base").add_field("text")
+            half.add_documents(docs.where(F.col("doc_id") % 2 == 0),
+                               docid_col="docid", dedupe=False)
+            half.save(wh)
+            loaded = Index.load(s, wh)
+            loaded.add_documents(docs.where(F.col("doc_id") % 2 == 1),
+                                 docid_col="docid", dedupe=False)
+            loaded.save_delta()
+            idx = Index.load(s, wh)
+            _CACHE[key] = idx
+        return _rounded(idx.search({"query": {"terms": {"text": "spark"}}}))
+
+    q["delta_add"] = delta_add
+
     # ---- dedup operators ----------------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_documents(s, d))
     q["dedup_fingerprint"] = lambda s, d: quality.fingerprint(_documents(s, d))
@@ -346,6 +379,9 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents WHERE text IS NOT NULL"
     )
     o["terms_exact"] = _score_query(terms_scores_sql(["spark"]))
+    # a delta-appended index must score exactly like a single-generation
+    # build over the full table — same oracle as terms_exact
+    o["delta_add"] = _score_query(terms_scores_sql(["spark"]))
     o["terms_boost"] = _score_query(terms_scores_sql(["spark"], boost=2.5))
     o["terms_msm"] = _score_query(
         terms_scores_sql(["spark", "merg", "window"], minimum_should_match=2))

@@ -1,0 +1,364 @@
+"""Generational delta persistence: append-only index maintenance.
+
+The reference mutates its ETS tables in place and re-serializes the
+whole index on save (storage/disk.ex:22-31); the v5 parquet warehouse
+made that a full rewrite per save. At 100 TB that is the one remaining
+maintenance anti-pattern: adding 1% of documents must not rewrite 100 TB
+of term-clustered postings. This module is the Lucene segment/commit-
+point model re-expressed over parquet:
+
+  warehouse/
+    manifest.json            <- commit point ("generations": [...])
+    postings/ positions/ ... <- generation 0 (the base, never rewritten)
+    deltas/gen-00001/        <- one full v5 layout per save_delta batch
+      postings/ ... manifest.json
+      tombstones/            <- docids REMOVED from prior generations
+    deltas/gen-00002/ ...
+
+* ``save_delta`` writes each pending fresh sub-index as its own
+  generation via the ordinary ``InvertedIndex.save`` (map-only ingest +
+  term-clustering shuffle over the NEW rows only) and the pending
+  removal docids as a tombstone table. The root manifest rewrite is the
+  atomic commit; a crash beforehand leaves an unreferenced directory
+  that the next attempt overwrites.
+* Each generation owns a disjoint ordinal range: ``ord_base`` (the
+  block-aligned high-water mark of all prior generations) is ADDED to
+  the generation's ords at load. Block alignment makes the shift pure
+  column arithmetic even for the compressed segments — payload varints
+  decode relative to ``block_id * block_size``, so shifting
+  ``block_id`` by ``ord_base // block_size`` re-bases every posting
+  without touching a byte of payload.
+* ``bind_generations`` (called by ``InvertedIndex._rebind_from``)
+  presents the union of generations as one index: postings/positions/
+  segments union with shifted ords, tombstoned docids anti-joined out
+  (gen K's tombstones kill docs of generations < K only, so an update =
+  tombstone + re-add in the same generation survives), term df partials
+  summed (each live doc lives in exactly one generation), field stats
+  from manifest integer arithmetic. Pushed term predicates prune each
+  generation's scan exactly as on a single-generation index.
+* Stats under tombstones follow Lucene's deleted-docs semantics:
+  doc-level stats (n_docs, avg_doc_len, the match_all/not universe)
+  are exact; term df/idf over-count removed docs until ``compact()``
+  (an exact per-delta df decrement would need a by-docid scan of the
+  term-clustered postings — a full corpus pass per delta save).
+  ``compact()`` = a full ``save`` back to the base, which restores
+  exact df and re-clusters everything.
+
+Scale shape: a delta save touches ONLY the new rows (the usual map-only
+ingest + one clustering shuffle over the batch) plus a tombstone-sized
+stats job; query-time overhead per extra generation is one more pruned
+parquet scan in the union + a broadcast anti-join when tombstones
+exist — which is why compact() exists for when generations accumulate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.literals import inline_rows
+
+DELTAS_DIR = "deltas"
+
+_FS_SCHEMA = ("field string, n_docs long, n_unique_terms long, "
+              "flnorm double, avg_doc_len double")
+
+
+def _read_manifest(path: str) -> dict:
+    with open(os.path.join(path, "manifest.json")) as fh:
+        return json.load(fh)
+
+
+def _write_manifest_atomic(path: str, manifest: dict) -> None:
+    tmp = os.path.join(path, "manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+
+
+def filter_pending(sub, tomb: DataFrame):
+    """Drop tombstoned docids from a PENDING (unsaved) fresh-build
+    sub-index, so a remove-after-add inside one delta batch never
+    reaches disk. Anti-joins every doc-bearing frame; the analyzer
+    output (``_flat``) is the one ``save`` actually writes."""
+    from .indexer import _finalize
+
+    out = _finalize(
+        sub.postings.join(tomb, "docid", "left_anti"),
+        sub.docs.join(tomb, "docid", "left_anti"),
+        sub.analyzers, sub.store_positions,
+        doc_stats=sub.doc_stats.join(tomb, "docid", "left_anti"),
+    )
+    if sub._flat is not None:
+        out._flat = sub._flat.join(tomb, "docid", "left_anti")
+    out._key = sub._key
+    return out
+
+
+def save_delta(inv) -> str:
+    """Append the index's pending operations as new generation(s) under
+    ``inv._path`` without touching the base tables. One generation per
+    pending add batch (each keeps its map-only ingest ordinals and its
+    own term-clustered layout); tombstones ride with the first new
+    generation. Returns the last generation directory written."""
+    path = inv._path
+    if not path:
+        raise ValueError(
+            "save_delta() needs an index previously loaded from or "
+            "saved to a warehouse path; use save(path) first")
+    adds = list(inv._delta_adds)
+    tombs = inv._delta_tombs
+    if not adds and tombs is None:
+        raise ValueError("save_delta(): no pending add/remove operations")
+    spark = inv.postings.sparkSession
+    manifest = _read_manifest(path)
+    if manifest.get("version", 0) < 5:
+        raise ValueError("delta saves need a version-5 base warehouse")
+    block_size = int(manifest.get("block_size", 4096))
+    gens = list(manifest.get("generations", []))
+
+    # global ordinal high-water mark across base + prior generations
+    if gens:
+        prev_max = int(gens[-1]["ord_base"]) + int(gens[-1]["max_ord"])
+    else:
+        prev_max = manifest.get("max_ord")
+        if prev_max is None:  # legacy base manifest: one tiny agg
+            prev_max = (spark.read.parquet(os.path.join(path, "ordinals"))
+                        .agg(F.max("ord").alias("m")).first()["m"]) or 0
+        prev_max = int(prev_max)
+
+    batches = adds or [None]  # tombstone-only delta: one table-less gen
+    last_dir = ""
+    for i, sub in enumerate(batches):
+        ord_base = ((prev_max // block_size) + 1) * block_size
+        name = "gen-%05d" % (len(gens) + 1)
+        gen_dir = os.path.join(path, DELTAS_DIR, name)
+        os.makedirs(gen_dir, exist_ok=True)
+        entry = {
+            "name": name, "ord_base": ord_base, "max_ord": 0,
+            "has_adds": sub is not None, "tombstones": False,
+        }
+        if i == 0 and tombs is not None:
+            tomb_df = (tombs.select(F.col("docid").cast("string")
+                                    .alias("docid")).distinct())
+            tomb_df.write.mode("overwrite").parquet(
+                os.path.join(gen_dir, "tombstones"))
+            entry["tombstones"] = True
+            # per-field live-stats decrements vs the PRE-PENDING durable
+            # state (tombstone-sized output; broadcast hash join)
+            committed = spark.read.parquet(
+                os.path.join(gen_dir, "tombstones"))
+            dec = (inv._delta_base.doc_stats
+                   .join(F.broadcast(committed), "docid")
+                   .groupBy("field")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("doc_len").alias("s"))
+                   .collect())
+            entry["tomb_field_stats"] = {
+                r["field"]: [int(r["n"]), int(r["s"] or 0)] for r in dec}
+        if sub is not None:
+            sub.save(gen_dir, with_segments=manifest.get("segments", True),
+                     block_size=block_size)
+            gm = _read_manifest(gen_dir)
+            entry["max_ord"] = int(gm.get("max_ord") or 0)
+            entry["field_doc_stats"] = gm.get("field_doc_stats", {})
+        gens.append(entry)
+        prev_max = ord_base + entry["max_ord"]
+        last_dir = gen_dir
+
+    manifest["generations"] = gens
+    _write_manifest_atomic(path, manifest)  # the commit point
+    inv._rebind_from(path, manifest, spark=spark)
+    return last_dir
+
+
+def _union_all(dfs):
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def bind_generations(inv, spark, path: str, manifest: dict) -> None:
+    """Rebind ``inv`` (whose base tables are already bound) as the lazy
+    union of base + generations, with ordinal shifts, tombstone
+    filtering, and merged statistics. Metadata-only: no Spark job runs
+    here (field_stats' one vocabulary-count job is deferred to first
+    access via ``_fs_thunk``)."""
+    entries = manifest["generations"]
+    block_size = int(manifest.get("block_size", 4096))
+
+    def _tf(df):
+        return df.withColumn("tf", F.sqrt(F.col("tf_raw")))
+
+    def _shift(df, base):
+        return df.withColumn("ord", F.col("ord") + F.lit(base))
+
+    # ---- per-part tables (part 0 = base, part k = generation k) -------
+    parts = [dict(
+        postings=inv.postings,
+        positions=inv.postings_full,
+        ordinals=inv._ordinals,
+        doc_stats=inv.doc_stats.select("field", "docid", "doc_len"),
+        docs=inv.docs,
+        term_stats=inv.term_stats.select("field", "term", "df"),
+        segments=inv._segments[1] if inv._segments is not None else None,
+    )]
+    tomb_dfs: list = [None]
+    for e in entries:
+        gd = os.path.join(path, DELTAS_DIR, e["name"])
+        tomb_dfs.append(
+            spark.read.parquet(os.path.join(gd, "tombstones"))
+            if e.get("tombstones") else None)
+        if not e.get("has_adds"):
+            parts.append(None)
+            continue
+        base = int(e["ord_base"])
+        post = _tf(_shift(spark.read.parquet(os.path.join(gd, "postings")),
+                          base))
+        pos = post
+        if os.path.exists(os.path.join(gd, "positions")):
+            pos = _tf(_shift(
+                spark.read.parquet(os.path.join(gd, "positions")), base))
+        seg = None
+        if os.path.exists(os.path.join(gd, "segments")):
+            # block-aligned ord_base: the payload decodes relative to
+            # block_id * block_size, so shifting block_id re-bases the
+            # whole block without touching the compressed bytes
+            seg = (spark.read.parquet(os.path.join(gd, "segments"))
+                   .withColumn("block_id",
+                               F.col("block_id") + F.lit(base // block_size))
+                   .withColumn("min_ord", F.col("min_ord") + F.lit(base))
+                   .withColumn("max_ord", F.col("max_ord") + F.lit(base)))
+        parts.append(dict(
+            postings=post, positions=pos,
+            ordinals=_shift(
+                spark.read.parquet(os.path.join(gd, "ordinals")), base),
+            doc_stats=spark.read.parquet(os.path.join(gd, "doc_stats"))
+            .select("field", "docid", "doc_len"),
+            docs=spark.read.parquet(os.path.join(gd, "docs")),
+            term_stats=spark.read.parquet(os.path.join(gd, "term_stats"))
+            .select("field", "term", "df"),
+            segments=seg,
+        ))
+
+    # ---- tombstone application ----------------------------------------
+    # generation K's tombstones kill docs of parts < K only: a doc
+    # tombstoned and re-added in the same generation (update) survives
+    def _later_tombs(k: int) -> Optional[DataFrame]:
+        ts = [t for t in tomb_dfs[k + 1:] if t is not None]
+        return _union_all(ts).distinct() if ts else None
+
+    live = []
+    tomb_ord_parts = []
+    for k, p in enumerate(parts):
+        if p is None:
+            continue
+        lt = _later_tombs(k)
+        if lt is not None:
+            p = dict(p)
+            tomb_ord_parts.append(
+                p["ordinals"].join(F.broadcast(lt), "docid").select("ord"))
+            for key in ("docs", "doc_stats", "ordinals"):
+                p[key] = p[key].join(F.broadcast(lt), "docid", "left_anti")
+        live.append(p)
+
+    tomb_ords = None
+    if tomb_ord_parts:
+        tomb_ords = _union_all(tomb_ord_parts).persist()
+
+    def _anti_ord(df):
+        if tomb_ords is None:
+            return df
+        return df.join(F.broadcast(tomb_ords), "ord", "left_anti")
+
+    def _union(key):
+        return _union_all([p[key] for p in live])
+
+    inv.postings = _anti_ord(_union("postings"))
+    inv.postings_full = _anti_ord(_union("positions"))
+    inv._ordinals = _union("ordinals")
+    inv.doc_stats = _union("doc_stats")
+    inv.docs = _union("docs")
+    inv._tomb_ords = tomb_ords
+
+    # ---- merged statistics --------------------------------------------
+    # df partials are additive (each live doc lives in exactly one
+    # generation); under tombstones df over-counts until compact()
+    ts_sum = (_union("term_stats").groupBy("field", "term")
+              .agg(F.sum("df").alias("df")))
+
+    counts = _merged_field_counts(manifest)
+    if counts is not None:
+        nd_df = inline_rows(
+            spark, [(f, n) for f, (n, _s) in sorted(counts.items())],
+            "field string, n_docs long")
+    else:  # legacy base manifest without field_doc_stats partials
+        nd_df = inv.doc_stats.groupBy("field").agg(
+            F.count(F.lit(1)).alias("n_docs"))
+    inv.term_stats = (
+        ts_sum.join(F.broadcast(nd_df), "field")
+        .withColumn("idf", F.lit(1.0) + F.log10(
+            F.col("n_docs") / (F.col("df") + F.lit(1.0))))
+        .drop("n_docs")
+    )
+
+    doc_stats = inv.doc_stats
+
+    def _fs_thunk():
+        import math
+
+        vrows = {r["field"]: r["n"] for r in ts_sum.groupBy("field").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        if counts is not None:
+            items = sorted(counts.items())
+        else:
+            items = sorted(
+                (r["field"], (int(r["n"]), int(r["s"] or 0)))
+                for r in doc_stats.groupBy("field").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("doc_len").alias("s")).collect())
+        rows = [
+            (f, n,
+             int(vrows.get(f) or 0),
+             (1.0 / math.sqrt(vrows[f])) if vrows.get(f) else 0.0,
+             (float(s) / n) if n else 0.0)
+            for f, (n, s) in items
+        ]
+        return inline_rows(spark, rows, _FS_SCHEMA)
+
+    inv._field_stats = None
+    inv._fs_thunk = _fs_thunk
+
+    # ---- segments for WAND --------------------------------------------
+    segs = [p["segments"] for p in live]
+    if segs and all(s is not None for s in segs):
+        inv._segments = (block_size, _union_all(segs), inv._ordinals)
+    else:
+        # fall back to segments() — its streaming path still works: the
+        # union preserves each generation's block-clustered partitions
+        # (broadcast anti-joins and the ord shift are map-side)
+        inv._segments = None
+
+
+def _merged_field_counts(manifest: dict) -> Optional[dict]:
+    """{field: [n_docs, sum_doc_len]} across base + generations minus
+    tombstone decrements, from manifest integer arithmetic alone (no
+    Spark job). None when the base predates the partials."""
+    base = manifest.get("field_doc_stats")
+    if not base:
+        return None
+    out = {f: [int(n), int(s)] for f, (n, s) in base.items()}
+    for e in manifest["generations"]:
+        for f, (n, s) in (e.get("field_doc_stats") or {}).items():
+            cur = out.setdefault(f, [0, 0])
+            cur[0] += int(n)
+            cur[1] += int(s)
+        for f, (n, s) in (e.get("tomb_field_stats") or {}).items():
+            cur = out.setdefault(f, [0, 0])
+            cur[0] -= int(n)
+            cur[1] -= int(s)
+    return {f: (n, s) for f, (n, s) in out.items()}

@@ -96,6 +96,7 @@ class InvertedIndex:
         # phrase/details/introspection use this one.
         self.postings_full = postings_full if postings_full is not None else postings
         self.doc_stats = doc_stats
+        self._fs_thunk = None  # lazy field_stats builder (multi-gen load)
         self.field_stats = field_stats
         self.term_stats = term_stats
         self.docs = docs
@@ -107,6 +108,29 @@ class InvertedIndex:
         self._key = None  # explicit currency override (see key_col)
         self._ord_map = None  # cached translate plan (fresh builds)
         self._ordinals_all = None  # translate incl. zero-content docs
+        # generational delta tracking (build/deltas.py): the durable
+        # warehouse this object derives from, the pending fresh
+        # sub-indexes added since, and the pending removal tombstones
+        self._path = None  # warehouse dir this index was loaded/saved from
+        self._delta_base = None  # the loaded InvertedIndex under pending ops
+        self._delta_adds: list = []  # pending fresh sub-indexes (in order)
+        self._delta_tombs = None  # pending removal docids (DataFrame)
+        self._tomb_ords = None  # live tombstoned ords on a multi-gen load
+
+    @property
+    def field_stats(self) -> DataFrame:
+        """Per-field scalars. On a multi-generation load this is
+        assembled lazily on first access (one vocabulary-sized count
+        job for n_unique_terms; n_docs/avg_doc_len come from manifest
+        arithmetic) and then cached as an inline literal relation —
+        opening the index stays a metadata-only operation."""
+        if self._field_stats is None and self._fs_thunk is not None:
+            self._field_stats = self._fs_thunk()
+        return self._field_stats
+
+    @field_stats.setter
+    def field_stats(self, df) -> None:
+        self._field_stats = df
 
     # -- query currency ---------------------------------------------------
     @property
@@ -495,7 +519,16 @@ class InvertedIndex:
                 r["field"]: r
                 for r in doc_stats.groupBy("field").agg(
                     F.count(F.lit(1)).alias("n_docs"),
-                    F.avg("doc_len").alias("avg_doc_len")).collect()
+                    F.avg("doc_len").alias("avg_doc_len"),
+                    F.sum("doc_len").alias("sum_doc_len")).collect()
+            }
+            # exact integer partials for the manifest: generational
+            # delta loads (build/deltas.py) merge per-gen field stats
+            # with pure arithmetic instead of re-aggregating doc_stats
+            fds_box["v"] = {
+                f: [int(drows[f]["n_docs"]),
+                    int(drows[f]["sum_doc_len"] or 0)]
+                for f in drows
             }
             vrows = {
                 r["field"]: r["n_unique_terms"]
@@ -543,11 +576,15 @@ class InvertedIndex:
                   "term_stats", "ordinals"]
         if self.store_positions:
             tables.append("positions")
+        fds_box: dict = {}
         if with_segments:
             tables.append("segments")
             _overlap(_write_stats, _w_segments)
         else:
             _write_stats()
+        # global ordinal high-water mark: generational delta saves place
+        # the next generation's ordinal space above it (block-aligned)
+        max_ord_row = ordinals.agg(F.max("ord").alias("m")).first()
         ordinals.unpersist()
         for dep in getattr(ordinals, "_persisted_deps", []):
             dep.unpersist()
@@ -561,6 +598,8 @@ class InvertedIndex:
             "clustered_ord": True,
             "segments": with_segments,
             "block_size": block_size,
+            "max_ord": int(max_ord_row["m"] or 0),
+            "field_doc_stats": fds_box.get("v", {}),
             "fields": {
                 f: {"stages": list(c.stages), "separator": c.separator,
                     "unicode": getattr(c, "unicode", False)}
@@ -581,6 +620,10 @@ class InvertedIndex:
             os.rename(os.path.join(staging, name), dst)
         shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
+        # a full save IS a compaction: every generation's rows were read
+        # in phase 1 and now live in the base tables (the fresh manifest
+        # carries no "generations"), so retire the delta directories
+        shutil.rmtree(os.path.join(path, "deltas"), ignore_errors=True)
 
         # repoint self at the durable layout (fresh lineage — safe to
         # keep querying/merging/saving this object)
@@ -615,6 +658,12 @@ class InvertedIndex:
         self._key = None
         self._ord_map = None
         self._ordinals_all = None
+        self._path = path
+        self._delta_base = None
+        self._delta_adds = []
+        self._delta_tombs = None
+        self._fs_thunk = None
+        self._tomb_ords = None
         version = manifest.get("version", 2)
         if version >= 5:
             # v5 layout: NARROW term-clustered postings (field, term,
@@ -668,6 +717,10 @@ class InvertedIndex:
                 spark.read.parquet(os.path.join(path, "segments")),
                 spark.read.parquet(os.path.join(path, "ordinals")),
             )
+        if manifest.get("generations"):
+            from .deltas import bind_generations
+
+            bind_generations(self, spark, path, manifest)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
@@ -701,7 +754,17 @@ class InvertedIndex:
             analyzers=self.analyzers, store_positions=self.store_positions,
             dedupe=dedupe,
         )
-        return _merge(self, new)
+        merged = _merge(self, new)
+        base = self._delta_base or (self if self._path else None)
+        if base is not None:
+            # delta tracking: the fresh sub-index is a pending
+            # generation relative to the durable warehouse (save_delta
+            # appends it without rewriting the base — build/deltas.py)
+            merged._path = self._path
+            merged._delta_base = base
+            merged._delta_adds = list(self._delta_adds) + [new]
+            merged._delta_tombs = self._delta_tombs
+        return merged
 
     def update_documents(self, source: DataFrame,
                          docid_col: str = "docid") -> "InvertedIndex":
@@ -739,7 +802,43 @@ class InvertedIndex:
                              if self._ordinals is not None else None)
             if out._ordinals is None:
                 out._ord_map = self.ordinals_df().join(t, "docid", "left_anti")
+        base = self._delta_base or (self if self._path else None)
+        if base is not None:
+            # delta tracking: the removal becomes a tombstone list for
+            # save_delta; pending adds drop the removed docids (so a
+            # remove-after-add within one batch never reaches disk)
+            from .deltas import filter_pending
+
+            out._path = self._path
+            out._delta_base = base
+            out._delta_adds = [filter_pending(a, t) for a in self._delta_adds]
+            out._delta_tombs = (t if self._delta_tombs is None
+                                else self._delta_tombs.unionByName(t))
         return out
+
+    def save_delta(self) -> str:
+        """Persist pending add/update/remove operations as an appended
+        GENERATION of the durable warehouse — no base rewrite (Lucene's
+        segment/commit-point model; build/deltas.py). At 100 TB this is
+        the only sane maintenance path: appending 1% of documents costs
+        1% of the build, not a full-warehouse rewrite. Returns the new
+        generation directory."""
+        from .deltas import save_delta as _save_delta
+
+        return _save_delta(self)
+
+    def compact(self, with_segments: bool = True,
+                block_size: int = 4096) -> None:
+        """Fold every generation (and its tombstones) back into a
+        single-generation base — a full save() to the warehouse path.
+        Restores exact term df/idf after tombstoned removals (delta
+        loads keep df stale-until-compact, Lucene's deleted-docs
+        semantics) and re-clusters all postings into one term-sorted
+        table."""
+        if not self._path:
+            raise ValueError("compact() needs an index loaded from disk")
+        self.save(self._path, with_segments=with_segments,
+                  block_size=block_size)
 
 
 def build_index(
@@ -906,8 +1005,16 @@ def _merge(old: InvertedIndex, new: InvertedIndex) -> InvertedIndex:
         _with_docid(old.postings, old).select(*core)
         .unionByName(_with_docid(new.postings, new).select(*core)))
     pf = None
+    # build the positional view whenever either side carries positions —
+    # including two FRESH builds (whose postings_full IS postings but
+    # embeds the positions columns): without this, chained in-memory
+    # add_documents would silently drop phrase/details capability
+    has_pos = old.store_positions and (
+        "positions" in old.postings_full.columns
+        or "positions" in new.postings_full.columns)
     if (old.postings_full is not old.postings
-            or new.postings_full is not new.postings):
+            or new.postings_full is not new.postings
+            or has_pos):
         full_cols = list(core)
         if old.store_positions:
             full_cols += ["positions", "ords"]

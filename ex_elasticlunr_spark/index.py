@@ -80,6 +80,19 @@ class Index:
         self.inverted.save(path)
         return self
 
+    def save_delta(self) -> "Index":
+        """Persist pending add/update/remove ops as an appended
+        GENERATION of the warehouse this index was loaded from — no
+        base rewrite (build/deltas.py, Lucene's segment model)."""
+        self.inverted.save_delta()
+        return self
+
+    def compact(self) -> "Index":
+        """Fold all generations (and tombstones) back into a single
+        base; restores exact term df/idf after delta removals."""
+        self.inverted.compact()
+        return self
+
     @classmethod
     def load(cls, spark: SparkSession, path: str, name: str = "index") -> "Index":
         idx = cls(name=name)

@@ -112,10 +112,19 @@ def wand_topk(
     cand = cand.withColumn("ub", ub)
     meta_cols = ["field", "term", "block_id", "ub"]
 
+    # multi-generation indexes (build/deltas.py) keep tombstoned docs
+    # inside segment payloads until compact(); filter them after decode
+    # in BOTH phases — an unfiltered seed could set the threshold from a
+    # removed doc's score and wrongly prune live blocks
+    tomb_ords = getattr(index, "_tomb_ords", None)
+
     def exact_scores(blocks: DataFrame) -> DataFrame:
         decoded = decode_segments(
             blocks.select("field", "term", "block_id", "payload"), block_size
-        ).withColumn("w", weight_map[F.col("term")])
+        )
+        if tomb_ords is not None:
+            decoded = decoded.join(F.broadcast(tomb_ords), "ord", "left_anti")
+        decoded = decoded.withColumn("w", weight_map[F.col("term")])
         if mode == "elasticlunr":
             entry = F.sqrt(F.col("tf_raw")) * F.col("w")
             agg = F.max(entry)

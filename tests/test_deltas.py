@@ -1,0 +1,184 @@
+"""Generational delta persistence (build/deltas.py): save_delta appends
+generations without rewriting the base; load presents the union;
+compact folds back. The reference has no incremental disk format (its
+Disk provider rewrites the serialized index per save, storage/
+disk.ex:22-31) — this is the 100-TB maintenance path layered on the
+same query semantics."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ex_elasticlunr_spark import Index
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "docid string, text string")
+
+
+@pytest.fixture()
+def corpus(spark):
+    one = [(f"d{i}", f"spark merge window fast engine doc {i} alpha")
+           for i in range(30)]
+    two = [(f"e{i}", f"merge window beta streaming shuffle doc {i}")
+           for i in range(20)]
+    return _docs(spark, one), _docs(spark, two)
+
+
+@pytest.fixture()
+def base_path(tmp_path):
+    return str(tmp_path / "idx")
+
+
+def _scores(df, digits=9):
+    return {r["docid"]: round(r["score"], digits) for r in df.collect()}
+
+
+def test_delta_add_matches_full_rebuild(spark, corpus, base_path):
+    df1, df2 = corpus
+    full = Index(name="full").add_field("text")
+    full.add_documents(df1.unionByName(df2), docid_col="docid")
+
+    Index(name="d").add_field("text") \
+        .add_documents(df1, docid_col="docid").save(base_path)
+
+    # snapshot the base postings files: save_delta must not touch them
+    def listing(table):
+        d = os.path.join(base_path, table)
+        return sorted((f, os.path.getmtime(os.path.join(d, f)))
+                      for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before = {t: listing(t) for t in ("postings", "positions", "segments")}
+
+    loaded = Index.load(spark, base_path)
+    loaded.add_documents(df2, docid_col="docid")
+    gen_dir = loaded.inverted.save_delta()
+    assert gen_dir.endswith("gen-00001")
+    assert {t: listing(t) for t in ("postings", "positions", "segments")} \
+        == before, "delta save must not rewrite base tables"
+
+    re = Index.load(spark, base_path)
+    # idf/flnorm merge from integer partials -> scores are bit-identical
+    # to a full in-memory rebuild in elasticlunr mode; bm25's avgdl is
+    # exact-int arithmetic vs Spark's double-summed avg, so compare at
+    # 9 decimals there
+    assert _scores(re.search("merge window")) \
+        == _scores(full.search("merge window"))
+    assert _scores(re.search("merge window", mode="bm25")) \
+        == _scores(full.search("merge window", mode="bm25"))
+
+
+def test_delta_wand_and_phrase_over_generations(spark, corpus, base_path):
+    df1, df2 = corpus
+    full = Index(name="full").add_field("text")
+    full.add_documents(df1.unionByName(df2), docid_col="docid")
+
+    Index(name="d").add_field("text") \
+        .add_documents(df1, docid_col="docid").save(base_path)
+    loaded = Index.load(spark, base_path)
+    loaded.add_documents(df2, docid_col="docid")
+    loaded.inverted.save_delta()
+
+    re = Index.load(spark, base_path)
+    # WAND reads the union of per-generation durable segments (shifted
+    # block ids), rank-identical to the full rebuild's exhaustive path
+    assert re.inverted._segments is not None
+    got = [(r["docid"], round(r["score"], 6))
+           for r in re.search_wand("merge window", field="text",
+                                   top_k=7).collect()]
+    want = [(r["docid"], round(r["score"], 6))
+            for r in full.search_wand("merge window", field="text",
+                                      top_k=7).collect()]
+    assert got == want
+    # positional path spans generations (docs on both sides of the cut)
+    hits = {r["docid"] for r in re.search(
+        {"query": {"match_phrase": {"text": "merge window"}}}).collect()}
+    assert hits == {f"d{i}" for i in range(30)} | {f"e{i}" for i in range(20)}
+
+
+def test_delta_remove_tombstones(spark, corpus, base_path):
+    df1, df2 = corpus
+    Index(name="d").add_field("text") \
+        .add_documents(df1.unionByName(df2), docid_col="docid") \
+        .save(base_path)
+
+    loaded = Index.load(spark, base_path)
+    loaded.remove_documents(_docs(spark, [("d5", "x"), ("e0", "x")])
+                            .select("docid"))
+    loaded.inverted.save_delta()
+
+    re = Index.load(spark, base_path)
+    got = {r["docid"] for r in re.search("merge window").collect()}
+    assert "d5" not in got and "e0" not in got and len(got) == 48
+    # doc-level stats are exact under tombstones
+    assert re.documents_size() == 48
+    fs = re.inverted.field_stats.where(F.col("field") == "text").first()
+    assert fs["n_docs"] == 48
+    # WAND must not seed its threshold from a tombstoned doc
+    wand = [r["docid"] for r in re.search_wand(
+        "merge window", field="text", top_k=100).collect()]
+    assert "d5" not in wand and "e0" not in wand
+    # match_all universe shrinks with the tombstones
+    assert re.search({"query": {"match_all": {}}}).count() == 48
+
+
+def test_delta_update_same_generation(spark, corpus, base_path):
+    df1, _ = corpus
+    Index(name="d").add_field("text") \
+        .add_documents(df1, docid_col="docid").save(base_path)
+
+    loaded = Index.load(spark, base_path)
+    loaded.update_documents(
+        _docs(spark, [("d5", "totally different zebra content")]),
+        docid_col="docid")
+    loaded.inverted.save_delta()
+
+    re = Index.load(spark, base_path)
+    assert [r["docid"] for r in re.search("zebra").collect()] == ["d5"]
+    assert re.search("alpha").where(F.col("docid") == "d5").count() == 0
+    assert re.documents_size() == 30
+
+
+def test_compact_folds_generations(spark, corpus, base_path):
+    df1, df2 = corpus
+    Index(name="d").add_field("text") \
+        .add_documents(df1, docid_col="docid").save(base_path)
+    loaded = Index.load(spark, base_path)
+    loaded.add_documents(df2, docid_col="docid")
+    loaded.inverted.save_delta()
+    loaded2 = Index.load(spark, base_path)
+    loaded2.remove_documents(_docs(spark, [("e1", "x")]).select("docid"))
+    loaded2.inverted.save_delta()
+
+    re = Index.load(spark, base_path)
+    re.compact()
+    manifest = json.load(open(os.path.join(base_path, "manifest.json")))
+    assert "generations" not in manifest
+    assert not os.path.exists(os.path.join(base_path, "deltas"))
+
+    # post-compact == full rebuild of the live docs, exact stats included
+    live = df1.unionByName(df2).where(F.col("docid") != "e1")
+    full = Index(name="full").add_field("text")
+    full.add_documents(live, docid_col="docid")
+    re2 = Index.load(spark, base_path)
+    assert _scores(re2.search("merge window"), 6) \
+        == _scores(full.search("merge window"), 6)
+    ts = re2.inverted.term_stats.where(
+        (F.col("field") == "text") & (F.col("term") == "merg")).first()
+    want = full.inverted.term_stats.where(
+        (F.col("field") == "text") & (F.col("term") == "merg")).first()
+    assert ts["df"] == want["df"] == 49
+
+
+def test_save_delta_requires_base_and_pending(spark, corpus, base_path):
+    df1, _ = corpus
+    idx = Index(name="d").add_field("text").add_documents(
+        df1, docid_col="docid")
+    with pytest.raises(ValueError):
+        idx.inverted.save_delta()  # never saved: no warehouse
+    idx.save(base_path)
+    with pytest.raises(ValueError):
+        idx.inverted.save_delta()  # freshly saved: nothing pending
