@@ -98,12 +98,15 @@ def filter_pending(sub, tomb: DataFrame):
     return out
 
 
-def save_delta(inv) -> str:
+def save_delta(inv, tag: Optional[str] = None) -> str:
     """Append the index's pending operations as new generation(s) under
     ``inv._path`` without touching the base tables. One generation per
     pending add batch (each keeps its map-only ingest ordinals and its
     own term-clustered layout); tombstones ride with the first new
-    generation. Returns the last generation directory written."""
+    generation. ``tag`` is recorded on each new manifest entry — sinks
+    replaying a micro-batch use it to skip an already-committed batch
+    (streaming/ingest.py stream_to_index). Returns the last generation
+    directory written."""
     path = inv._path
     if not path:
         raise ValueError(
@@ -141,6 +144,8 @@ def save_delta(inv) -> str:
             "name": name, "ord_base": ord_base, "max_ord": 0,
             "has_adds": sub is not None, "tombstones": False,
         }
+        if tag is not None:
+            entry["tag"] = tag
         if i == 0 and tombs is not None:
             tomb_df = (tombs.select(F.col("docid").cast("string")
                                     .alias("docid")).distinct())

@@ -816,7 +816,7 @@ class InvertedIndex:
                                 else self._delta_tombs.unionByName(t))
         return out
 
-    def save_delta(self) -> str:
+    def save_delta(self, tag: Optional[str] = None) -> str:
         """Persist pending add/update/remove operations as an appended
         GENERATION of the durable warehouse — no base rewrite (Lucene's
         segment/commit-point model; build/deltas.py). At 100 TB this is
@@ -825,7 +825,7 @@ class InvertedIndex:
         generation directory."""
         from .deltas import save_delta as _save_delta
 
-        return _save_delta(self)
+        return _save_delta(self, tag=tag)
 
     def compact(self, with_segments: bool = True,
                 block_size: int = 4096) -> None:

@@ -65,6 +65,78 @@ def ingest_stream(
     return writer.start()
 
 
+def stream_to_index(
+    stream_df: DataFrame,
+    fields,
+    warehouse: str,
+    docid_col: str = "docid",
+    checkpoint_dir: Optional[str] = None,
+    analyzers: Optional[Dict[str, AnalyzerConfig]] = None,
+    store_positions: bool = True,
+    dedupe: bool = False,
+    compact_every: int = 0,
+    trigger_available_now: bool = True,
+):
+    """Structured Streaming -> a continuously maintained DURABLE v5
+    warehouse: the first micro-batch becomes the base save, every later
+    micro-batch appends a GENERATION via ``save_delta``
+    (build/deltas.py) — per-batch cost is proportional to the batch,
+    never to the warehouse, and readers can ``InvertedIndex.load`` the
+    path at any commit point and see a consistent index.
+
+    Exactly-once: each generation is tagged ``batch-<id>``; a replayed
+    micro-batch (crash between sink commit and checkpoint advance)
+    finds its tag in the manifest and is skipped, and its docids are
+    additionally guarded by add_documents' first-write-wins anti-join
+    (reference field.ex:85). ``compact_every=N`` folds the generations
+    back into one base whenever their count reaches N (Lucene's
+    background merge, here inline with the triggering batch).
+
+    Returns the StreamingQuery (caller awaits it)."""
+    import json
+
+    from ..build.deltas import save_delta
+
+    fields = list(fields)
+    checkpoint_dir = checkpoint_dir or os.path.join(warehouse, "_checkpoint")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        tag = f"batch-{batch_id}"
+        manifest_path = os.path.join(warehouse, "manifest.json")
+        if not os.path.exists(manifest_path):
+            build_index(
+                batch_df, fields=fields, docid_col=docid_col,
+                analyzers=analyzers, store_positions=store_positions,
+                dedupe=dedupe,
+            ).save(warehouse)
+            return
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+        if any(e.get("tag") == tag
+               for e in manifest.get("generations", [])):
+            return  # replayed batch: generation already committed
+        inv = InvertedIndex.load(spark, warehouse)
+        inv = inv.add_documents(batch_df, docid_col=docid_col, dedupe=dedupe)
+        save_delta(inv, tag=tag)
+        if compact_every:
+            with open(manifest_path) as fh:
+                n_gens = len(json.load(fh).get("generations", []))
+            if n_gens >= compact_every:
+                inv.compact()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def finalize_stream_index(
     spark: SparkSession,
     out_path: str,

@@ -49,3 +49,64 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
     assert merged.docs.count() == batch.inverted.docs.count()
+
+
+def test_stream_to_index_durable_generations(spark, tmp_path):
+    """stream_to_index: base save + one generation per micro-batch,
+    batch-tag idempotence, periodic compaction — the loaded warehouse
+    matches a batch build over the same rows (first write wins)."""
+    import json
+
+    from ex_elasticlunr_spark.streaming.ingest import stream_to_index
+
+    src_dir = str(tmp_path / "in")
+    wh = str(tmp_path / "warehouse")
+    os.makedirs(src_dir)
+
+    full = with_docid(transcripts_df(spark, n_convs=18, turns_per_conv=3))
+    part1 = full.where("conv_id < 'conv-000006'")
+    part2 = full.where("conv_id >= 'conv-000006' AND conv_id < 'conv-000012'")
+    part3 = full.where("conv_id >= 'conv-000012'")
+
+    def run(compact_every=0):
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", "1").parquet(src_dir + "/*.parquet")
+        q = stream_to_index(stream, ["text", "tool"], wh,
+                            compact_every=compact_every)
+        q.awaitTermination(180)
+
+    part1.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "f1.parquet"))
+    run()
+    # batch 2 includes duplicates of batch-1 docids with different text:
+    # first write wins (field.ex:85)
+    dup = part1.limit(4).withColumn("text", part1.tool)
+    part2.unionByName(dup).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "f2.parquet"))
+    run()
+
+    manifest = json.load(open(os.path.join(wh, "manifest.json")))
+    gens = manifest.get("generations", [])
+    assert len(gens) == 1 and gens[0]["tag"].startswith("batch-")
+
+    from ex_elasticlunr_spark.build.indexer import InvertedIndex
+
+    merged = InvertedIndex.load(spark, wh)
+    batch = Index(name="batch").add_field("text").add_field("tool")
+    batch.add_documents(full.where("conv_id < 'conv-000012'"),
+                        docid_col="docid")
+    a = (merged.postings.join(merged.ordinals_df(), "ord")
+         .select("field", "term", "docid", "tf_raw", "doc_len"))
+    b = batch.inverted.postings.select(
+        "field", "term", "docid", "tf_raw", "doc_len")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+    # third batch with compact_every=2 folds generations into the base
+    part3.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "f3.parquet"))
+    run(compact_every=2)
+    manifest = json.load(open(os.path.join(wh, "manifest.json")))
+    assert not manifest.get("generations")
+    assert not os.path.exists(os.path.join(wh, "deltas"))
+    assert InvertedIndex.load(spark, wh).docs.count() == full.count()
