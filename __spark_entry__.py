@@ -256,6 +256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- text analysis --------------------------------------------------
     q["text_token_counts"] = lambda s, d: quality.token_counts(_documents(s, d))
+    q["text_chunking"] = lambda s, d: quality.chunk_documents(
+        _documents(s, d), chunk_tokens=32, overlap=8)
     q["text_quality"] = lambda s, d: quality.quality_scores(_documents(s, d))
     q["text_lang_id"] = lambda s, d: quality.lang_id(_documents(s, d))
     q["text_winnow"] = lambda s, d: quality.winnow_fingerprints(
@@ -594,6 +596,27 @@ SELECT CAST(doc_id AS VARCHAR) AS docid,
        len(regexp_extract_all({norm}, '[a-z0-9]+'))::BIGINT AS word_tokens,
        CAST(ceil(length({norm}) / 4.0) AS BIGINT) AS bpe_est
 FROM documents
+"""
+    # window starts at multiples of step=24 while start < n; trailing
+    # windows emitted only when they add an uncovered token (start +
+    # overlap < n); final chunk keeps the short tail
+    o["text_chunking"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid, string_split({norm}, ' ') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND {norm} <> ''
+),
+s AS (
+  SELECT docid, toks, UNNEST(range(0, len(toks), 24)) AS start,
+         UNNEST(generate_series(0, CAST(ceil(len(toks) / 24.0) AS BIGINT) - 1))
+           AS chunk_idx
+  FROM t
+)
+SELECT docid, chunk_idx::BIGINT AS chunk_idx,
+       least(32, len(toks) - start)::BIGINT AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk
+FROM s
+WHERE start = 0 OR start + 8 < len(toks)
 """
     stop_sql = stopword_list_sql()
     o["text_quality"] = f"""

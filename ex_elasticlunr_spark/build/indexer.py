@@ -339,8 +339,19 @@ class InvertedIndex:
         # zipWithIndex (their ingest ordinals would collide across
         # builds)
         has_ingest_ord = self._flat is not None and "ord" in self._flat.columns
-        if has_ingest_ord:
+        # compaction fast-path: a LOADED index (v5 or multi-generation
+        # union) already has a valid global ordinal space — reuse it as
+        # the "ingest" ordinal instead of restoring docids onto every
+        # posting row (a wide array-bearing shuffle join) only to
+        # reassign fresh ordinals with a second one. Posting rows carry
+        # docid NULL (nothing downstream reads it when ords ride along);
+        # only the sentinel rows need real docids — a docid-sized join.
+        reuse_ord = (self._flat is None
+                     and "docid" not in self.postings_full.columns
+                     and self._ordinals is not None)
+        if has_ingest_ord or reuse_ord:
             flat_cols.append("ord")
+            has_ingest_ord = True
         if self._flat is not None:
             flat = self._flat
             for c in flat_cols:
@@ -350,16 +361,22 @@ class InvertedIndex:
         else:
             # reconstruct the sentinel layout from postings + doc_stats
             src = self.postings_full
-            if "docid" not in src.columns:
-                # loaded v5 positional table carries no docid — restore
-                # it from the ordinals table for the re-save
+            if reuse_ord:
+                src = src.withColumn("docid", F.lit(None).cast("string"))
+            elif "docid" not in src.columns:
+                # merged index without a usable ordinal table — restore
+                # docids from ordinals for the re-save
                 src = src.join(self.ordinals_df(), "ord").drop("ord")
             sent = self.doc_stats.select(
                 "field", "docid",
                 F.lit(None).cast("string").alias("term"),
                 F.lit(0).cast("long").alias("tf_raw"),
                 F.col("doc_len").cast("long").alias("doc_len"),
+                *(["ord"] if reuse_ord and "ord" in self.doc_stats.columns
+                  else []),
             )
+            if reuse_ord and "ord" not in sent.columns:
+                sent = sent.join(self.ordinals_df(), "docid")
             if self.store_positions:
                 for c in ("positions", "ords"):
                     if c not in src.columns:

@@ -36,6 +36,50 @@ def token_counts(df: DataFrame, text_col: str = "text",
     )
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "docid") -> DataFrame:
+    """Fixed token-window chunking with overlap — the standard
+    training-data prep step (context-window packing, embedding input).
+
+    One output row per chunk: (docid, chunk_idx, n_tokens, chunk).
+    Windows start at multiples of ``chunk_tokens - overlap``; a trailing
+    window is emitted only if it contains at least one token not
+    already covered by the previous window (start + overlap < n), and
+    the final chunk keeps the short tail.
+
+    Pure column expressions, map-only (no shuffle): per-document
+    boundaries make this embarrassingly parallel at any corpus size;
+    skew is bounded by max document length, not corpus size.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    norm = normalized(F.col(text_col))
+    base = df.select(
+        F.col(id_col).cast("string").alias("docid"),
+        F.split(norm, " ").alias("toks"),
+    ).where(F.col(text_col).isNotNull() & (F.size("toks") > 0)
+            & (F.element_at("toks", 1) != ""))
+    n = F.size("toks")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(step))
+    return (
+        base.select("docid", "toks",
+                    F.posexplode(starts).alias("chunk_idx", "start"))
+        .where((F.col("start") == 0)
+               | (F.col("start") + F.lit(overlap) < F.size("toks")))
+        .select(
+            "docid",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.least(F.lit(chunk_tokens), F.size("toks") - F.col("start"))
+            .cast("long").alias("n_tokens"),
+            F.array_join(
+                F.slice("toks", F.col("start") + 1, F.lit(chunk_tokens)),
+                " ").alias("chunk"),
+        )
+    )
+
+
 def quality_scores(df: DataFrame, text_col: str = "text",
                    id_col: str = "docid") -> DataFrame:
     """Heuristic quality features + composite score in [0,1]:

@@ -41,7 +41,16 @@ class Disk:
         )
 
     def write(self, index: Index) -> "Disk":
-        index.save(self._path(index.name))
+        inv = index.inverted
+        path = self._path(index.name)
+        if (inv is not None and inv._path == path
+                and (inv._delta_adds or inv._delta_tombs is not None)):
+            # the manager round-trip (get -> add/update/remove -> save)
+            # appends a GENERATION instead of rewriting the warehouse
+            # (build/deltas.py); call index.compact() to fold back
+            inv.save_delta()
+        else:
+            index.save(path)
         return self
 
     def read(self, spark: SparkSession, name: str) -> Index:

@@ -166,3 +166,28 @@ def test_boilerplate_ngrams_golden(spark):
     assert out["3"]["boiler_grams"] == 0 and out["3"]["boiler_frac"] == 0.0
     # gram-less docs survive with zero counts
     assert out["4"]["n_grams"] == 0 and out["4"]["boiler_frac"] == 0.0
+
+
+def test_chunk_documents_windows(spark):
+    from ex_elasticlunr_spark.operators.quality import chunk_documents
+
+    toks50 = " ".join(f"t{i}" for i in range(50))
+    toks70 = " ".join(f"t{i}" for i in range(70))
+    df = spark.createDataFrame(
+        [("a", toks50), ("b", toks70), ("c", "one two"), ("d", "   "),
+         ("e", None)],
+        "docid string, text string")
+    out = chunk_documents(df, chunk_tokens=64, overlap=16)
+    rows = {(r["docid"], r["chunk_idx"]): r for r in out.collect()}
+    # 50 tokens: the start=48 window adds no uncovered token -> 1 chunk
+    assert {k for k in rows if k[0] == "a"} == {("a", 0)}
+    assert rows[("a", 0)]["n_tokens"] == 50
+    # 70 tokens: start=48 covers tokens 48..69 (new tail) -> 2 chunks
+    assert {k for k in rows if k[0] == "b"} == {("b", 0), ("b", 1)}
+    assert rows[("b", 1)]["n_tokens"] == 22
+    assert rows[("b", 1)]["chunk"].split(" ")[0] == "t48"
+    # overlap: chunk 0 ends at t63, chunk 1 starts at t48
+    assert rows[("b", 0)]["chunk"].split(" ")[-1] == "t63"
+    # short and empty docs
+    assert rows[("c", 0)]["chunk"] == "one two"
+    assert not any(k[0] in ("d", "e") for k in rows)
