@@ -140,6 +140,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, {"query": {"terms": {"text": {"value": "s", "expand": True}}}})
     q["terms_fuzzy"] = lambda s, d: _search(
         s, d, {"query": {"terms": {"text": {"value": "spak", "fuzziness": 1}}}})
+    q["terms_regex"] = lambda s, d: _search(
+        s, d, {"query": {"terms": {"text": {"value": "^sp|dow$",
+                                              "regex": True}}}})
+    q["span_near"] = lambda s, d: _search(
+        s, d, {"query": {"span_near": {"text": {"terms": ["fast", "join"],
+                                                  "slop": 4}}}})
     q["match_or"] = lambda s, d: _search(
         s, d, {"query": {"match": {"text": "spark merge window"}}})
     q["match_and"] = lambda s, d: _search(
@@ -389,6 +395,20 @@ def oracle_sql() -> dict[str, str]:
         terms_scores_sql(["spark", "merg", "window"], minimum_should_match=2))
     o["terms_expand"] = _score_query(terms_scores_sql(["s"], expand=True))
     o["terms_fuzzy"] = _score_query(terms_scores_sql(["spak"], fuzziness=1))
+    o["terms_regex"] = _score_query(
+        terms_scores_sql(["^sp|dow$"], regex=True))
+    # proximity: min token-ordinal distance between the two terms' stored
+    # occurrences; score = 1/(1+dist), rows where dist <= slop
+    o["span_near"] = _wrap(pre, """
+SELECT docid, ROUND(1.0 / (1.0 + dist), 6) AS score
+FROM (
+  SELECT a.docid, MIN(abs(a.ord - b.ord)) AS dist
+  FROM tokord a JOIN tokord b USING (docid)
+  WHERE a.term = 'fast' AND b.term = 'join'
+  GROUP BY a.docid
+) h
+WHERE dist <= 4
+""".strip())
     o["match_or"] = _score_query(terms_scores_sql(_analyze("spark merge window")))
     # operator=and => msm = token count
     and_terms = _analyze("fast join")

@@ -37,6 +37,7 @@ from .nodes import (
     MatchPhraseNode,
     NotNode,
     PhraseNode,
+    SpanNearNode,
     TermsNode,
     parse,
     rewrite_match,
@@ -112,10 +113,22 @@ class QueryExecutor:
             return scorer.terms_scores(
                 self.index, node.field, node.terms, boost=node.boost,
                 expand=node.expand, fuzziness=node.fuzziness,
+                regex=node.regex,
                 minimum_should_match=node.minimum_should_match,
                 restrict=restrict, mode=self.mode, k1=self.k1, b=self.b,
                 with_details=details,
             )
+        if isinstance(node, SpanNearNode):
+            out = scorer.proximity_scores(
+                self.index, node.field, node.terms, slop=node.slop,
+                boost=node.boost, restrict=restrict,
+            )
+            if details:
+                out = out.select(
+                    "*", F.lit(1).alias("matched"),
+                    F.create_map().cast(scorer.EMPTY_POSITIONS)
+                    .alias("positions"))
+            return out
         if isinstance(node, MatchAllNode):
             return scorer.match_all_scores(self.index, node.boost,
                                            with_details=details)

@@ -12,7 +12,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dc_field
 from typing import List, Optional, Union
 
-OPTION_KEYS = {"boost", "expand", "fuzziness", "minimum_should_match", "operator"}
+OPTION_KEYS = {"boost", "expand", "fuzziness", "minimum_should_match",
+               "operator", "regex", "slop"}
 
 
 @dataclass
@@ -22,7 +23,21 @@ class TermsNode:
     boost: float = 1.0
     expand: bool = False
     fuzziness: int = 0
+    regex: bool = False
     minimum_should_match: int = 1
+
+
+@dataclass
+class SpanNearNode:
+    """Proximity query (extension — Lucene's span_near over the stored
+    token ordinals): docs where occurrences of the two terms sit within
+    ``slop`` post-pipeline token positions; score = boost/(1+min_dist),
+    deterministic and distance-ranked."""
+
+    field: str
+    terms: List[str]  # exactly two analyzed terms
+    slop: int = 0
+    boost: float = 1.0
 
 
 @dataclass
@@ -101,7 +116,24 @@ def _parse(kind: str, options):
         return _parse_bool(options)
     if kind == "not":
         return NotNode(parse(options))
+    if kind == "span_near":
+        return _parse_span_near(options)
     raise ValueError(f"Unknown query type {kind}")
+
+
+def _parse_span_near(options):
+    fields = {k: v for k, v in options.items() if k not in OPTION_KEYS}
+    (fname, params), = fields.items()
+    if not isinstance(params, dict):
+        raise ValueError("span_near needs {field: {terms: [a, b], slop: n}}")
+    terms = [str(t) for t in params.get("terms", [])]
+    if len(terms) != 2:
+        raise ValueError("span_near takes exactly two terms")
+    return SpanNearNode(
+        field=fname, terms=terms,
+        slop=int(params.get("slop", 0)),
+        boost=params.get("boost", 1),
+    )
 
 
 def _parse_terms(options):
@@ -121,6 +153,7 @@ def _parse_terms(options):
         boost=opts.get("boost", 1),
         expand=opts.get("expand", False),
         fuzziness=opts.get("fuzziness", 0),
+        regex=opts.get("regex", False),
         minimum_should_match=opts.get("minimum_should_match", 1),
     )
 

@@ -108,12 +108,15 @@ def terms_entries(
     terms: List[str],
     expand: bool = False,
     fuzziness: int = 0,
+    regex: bool = False,
     restrict: Optional[str] = None,
 ) -> str:
     """Sub-select producing one row per (query term, matched vocab term,
     doc): docid, entry_score (elasticlunr), bm25_score, qt."""
     qts = ", ".join(f"('{t}')" for t in terms)
-    if expand:
+    if regex:
+        cond = "regexp_matches(p.term, q.qt)"
+    elif expand:
         cond = "starts_with(p.term, q.qt)"
     elif fuzziness > 0:
         cond = f"levenshtein(p.term, q.qt) <= {fuzziness}"
@@ -142,12 +145,13 @@ def terms_scores_sql(
     boost: float = 1.0,
     expand: bool = False,
     fuzziness: int = 0,
+    regex: bool = False,
     minimum_should_match: int = 1,
     restrict: Optional[str] = None,
     mode: str = "elasticlunr",
 ) -> str:
     """Full per-doc scoring select: (docid, score) before rounding."""
-    entries = terms_entries(terms, expand, fuzziness, restrict)
+    entries = terms_entries(terms, expand, fuzziness, regex, restrict)
     agg = "MAX(entry_score)" if mode == "elasticlunr" else "SUM(bm25_score)"
     having = (
         f"HAVING COUNT(*) >= {minimum_should_match}"

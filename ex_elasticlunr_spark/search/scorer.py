@@ -55,7 +55,8 @@ def _empty_schema(key: str, with_details: bool) -> str:
 
 
 def _query_terms_df(index, field: str, terms: List[str],
-                    expand: bool, fuzziness: int) -> DataFrame:
+                    expand: bool, fuzziness: int,
+                    regex: bool = False) -> DataFrame:
     """Resolve query terms against the vocabulary -> (qt, term, df, idf).
 
     One output row per (query term, matched vocab term): the unit the
@@ -67,7 +68,13 @@ def _query_terms_df(index, field: str, terms: List[str],
     qterms = inline_rows(spark, [(t,) for t in terms], "qt string")
     vocab = index.term_stats.where(F.col("field") == field)
 
-    if expand:
+    if regex:
+        # unanchored regex search over the VOCABULARY (term_stats — one
+        # row per distinct term, never the postings): same shape as
+        # fuzzy's edit-distance ball
+        matched = vocab.join(F.broadcast(qterms),
+                             F.rlike(vocab.term, qterms.qt))
+    elif expand:
         cond = vocab.term.startswith(qterms.qt) | (vocab.term == qterms.qt)
         # ^term.* regex == startswith; exact term trivially included
         matched = vocab.join(F.broadcast(qterms), cond)
@@ -88,6 +95,7 @@ def terms_scores(
     boost: float = 1.0,
     expand: bool = False,
     fuzziness: int = 0,
+    regex: bool = False,
     minimum_should_match: int = 1,
     restrict: Optional[DataFrame] = None,
     mode: str = "elasticlunr",
@@ -113,7 +121,8 @@ def terms_scores(
         spark = index.postings.sparkSession
         return spark.createDataFrame([], empty_schema)
 
-    matched_terms = _query_terms_df(index, field, terms, expand, fuzziness)
+    matched_terms = _query_terms_df(index, field, terms, expand, fuzziness,
+                                    regex=regex)
 
     # hot path scans the narrow clustered postings; the details path
     # needs the positions column, which lives in the flat ingest table
@@ -124,7 +133,7 @@ def terms_scores(
     # resolved vocab can't reach the parquet reader; this can — shows up
     # as PushedFilters: In(term, ...) / StringStartsWith, pruning row
     # groups before any join)
-    if fuzziness <= 0:
+    if fuzziness <= 0 and not regex:
         if expand:
             cond = None
             for t in terms:
@@ -134,8 +143,8 @@ def terms_scores(
         else:
             post = post.where(F.col("term").isin(terms))
     else:
-        # fuzzy: the matched vocab set is tiny (edit-distance ball around
-        # the query terms) — resolve it against term_stats (vocabulary-
+        # fuzzy/regex: the matched vocab set is tiny (edit-distance ball
+        # / regex hits) — resolve it against term_stats (vocabulary-
         # sized, cheap) and push the literal In(term, ...) into the
         # postings scan; without it the fuzzy path is a full postings
         # scan that anti-scales with data size
@@ -345,6 +354,55 @@ def phrase_scores(
             F.create_map(F.lit(field), F.col("pos_arr")).alias("positions"),
         ]
     return scored.select(*out_cols)
+
+
+def proximity_scores(
+    index,
+    field: str,
+    terms: List[str],
+    slop: int = 0,
+    boost: float = 1.0,
+    restrict: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Two-term proximity (Lucene span_near, an extension like
+    match_phrase — the reference stores positions but has no proximity
+    operator): docs where some occurrence of each term sits within
+    ``slop`` post-pipeline token ordinals; score = boost/(1+min_dist),
+    so closer co-occurrences rank first, deterministically.
+
+    Plan shape (100 TB rationale): the positions-table scan is pruned
+    by the pushed ``In(term, ...)`` (two terms), each side collapses to
+    one row per (doc, term) carrying its ordinal ARRAY, and the min
+    distance is a JVM-side nested array transform — no per-occurrence
+    explode, no self-join on an exploded table, no Python.
+    """
+    key = index.key_col
+    spark = index.postings.sparkSession
+    if len(terms) != 2:
+        raise ValueError("proximity_scores takes exactly two terms")
+    src = index.postings_full
+    if "ords" not in src.columns:
+        raise ValueError(
+            "span_near needs the 'ords' column: this index was built "
+            "without positions (store_positions=False)")
+    t1, t2 = terms
+    post = src.where(F.col("field") == field) \
+              .where(F.col("term").isin([t1, t2])) \
+              .where(F.col("ords").isNotNull())
+    a = post.where(F.col("term") == t1).select(F.col(key), F.col("ords").alias("o1"))
+    b = post.where(F.col("term") == t2).select(F.col(key), F.col("ords").alias("o2"))
+    pairs = a.join(b, key)
+    if restrict is not None:
+        pairs = pairs.join(restrict.select(key), key, "left_semi")
+    min_dist = F.array_min(F.flatten(F.transform(
+        "o1", lambda x: F.transform("o2", lambda y: F.abs(x - y)))))
+    return (
+        pairs.select(F.col(key), min_dist.alias("dist"))
+        .where(F.col("dist") <= F.lit(int(slop)))
+        .select(key,
+                (F.lit(float(boost)) / (F.lit(1.0) + F.col("dist")))
+                .alias("score"))
+    )
 
 
 EMPTY_POSITIONS = 'map<string,array<int>>'

@@ -1,0 +1,74 @@
+"""Regex term expansion + span_near proximity (extensions over the
+stored vocabulary / token ordinals; oracle-checked in the gate)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ex_elasticlunr_spark import Index
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    rows = [
+        ("a", "spark shuffles the fast join quickly today"),
+        ("b", "fast code and a join tomorrow window"),
+        ("c", "sparkling sparse parks"),
+        ("d", "join the fast lane"),
+    ]
+    df = spark.createDataFrame(rows, "docid string, text string")
+    i = Index(name="sr").add_field("text")
+    i.add_documents(df, docid_col="docid")
+    # exercise the LOADED (term-clustered, ord-keyed) path
+    path = str(tmp_path_factory.mktemp("sridx") / "wh")
+    i.save(path)
+    loaded = Index.load(spark, path)
+    loaded.analyzers = loaded.inverted.analyzers
+    return loaded
+
+
+def test_terms_regex_matches_vocab_subset(idx):
+    got = {r["docid"] for r in idx.search(
+        {"query": {"terms": {"text": {"value": "^spark", "regex": True}}}}
+    ).collect()}
+    # stems: spark (a), sparkl (c); NOT spars/park (no ^spark prefix)
+    assert got == {"a", "c"}
+
+
+def test_terms_regex_pushes_literal_terms(idx):
+    df = idx.search(
+        {"query": {"terms": {"text": {"value": "^spark", "regex": True}}}})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the regex resolved against the vocabulary, then a LITERAL In(term)
+    # pushed into the postings scan — never a regex over postings
+    assert "In(term" in plan or "term IN" in plan
+
+
+def test_span_near_distance_and_score(idx):
+    rows = {r["docid"]: r["score"] for r in idx.search(
+        {"query": {"span_near": {"text": {"terms": ["fast", "join"],
+                                            "slop": 1}}}}).collect()}
+    # post-pipeline ordinals (stopwords dropped): a: fast@2 join@3 ->
+    # dist 1; d: join@0 fast@1 -> dist 1; b: fast@0 join@2 -> dist 2
+    # (excluded at slop 1)
+    assert set(rows) == {"a", "d"}
+    assert rows["a"] == pytest.approx(0.5)
+    assert rows["d"] == pytest.approx(0.5)
+
+
+def test_span_near_slop_widens_and_boost(idx):
+    rows = {r["docid"]: r["score"] for r in idx.search(
+        {"query": {"span_near": {"text": {"terms": ["fast", "join"],
+                                            "slop": 2, "boost": 2.0}}}}
+    ).collect()}
+    assert set(rows) == {"a", "b", "d"}
+    assert rows["b"] == pytest.approx(2.0 / 3.0)
+
+
+def test_span_near_in_bool_filter(idx):
+    got = {r["docid"] for r in idx.search(
+        {"query": {"bool": {
+            "filter": [{"terms": {"text": "window"}}],
+            "should": [{"span_near": {"text": {"terms": ["fast", "join"],
+                                                 "slop": 5}}}],
+        }}}).collect()}
+    assert got == {"b"}
