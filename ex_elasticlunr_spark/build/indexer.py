@@ -76,6 +76,12 @@ class InvertedIndex:
       ordinals(docid, ord)                   -- global docID assignment
       docs(docid)                            -- the docid universe (= ref
                                                 field ids, index.ex:154-159)
+
+    A saved warehouse may additionally carry delta GENERATIONS
+    (deltas/gen-NNNNN/ with the same table set + tombstones; manifest
+    "generations" lists them) — append-only maintenance via
+    ``save_delta``/``compact`` (build/deltas.py); ``load`` presents the
+    union transparently.
     """
 
     def __init__(
@@ -228,9 +234,12 @@ class InvertedIndex:
         return self
 
     def unpersist(self) -> None:
-        for df in (self.postings, self.doc_stats, self.field_stats,
+        # _field_stats directly: unpersisting must not trigger the lazy
+        # multi-generation field-stats job just to unpersist its result
+        for df in (self.postings, self.doc_stats, self._field_stats,
                    self.term_stats, self.docs):
-            df.unpersist()
+            if df is not None:
+                df.unpersist()
 
     def save(self, path: str, timings: Optional[dict] = None,
              with_segments: bool = True, block_size: int = 4096,

@@ -100,6 +100,41 @@ class Index:
         idx.analyzers = idx.inverted.analyzers
         return idx
 
+    def describe(self) -> dict:
+        """Warehouse summary: layout version, generations (delta
+        maintenance state), per-field vocabulary sizes, document count.
+        Driver-side manifest metadata plus two small jobs (doc count +
+        vocabulary-sized count)."""
+        import json
+        import os
+
+        from pyspark.sql import functions as F
+
+        inv = self.inverted
+        out = {
+            "name": self.name,
+            "fields": list(self.analyzers),
+            "store_positions": inv.store_positions,
+            "documents": self.documents_size(),
+            "vocabulary": {
+                r["field"]: r["n"]
+                for r in inv.term_stats.groupBy("field")
+                .agg(F.count(F.lit(1)).alias("n")).collect()
+            },
+        }
+        if inv._path:
+            with open(os.path.join(inv._path, "manifest.json")) as fh:
+                m = json.load(fh)
+            out["path"] = inv._path
+            out["version"] = m.get("version")
+            out["generations"] = [
+                {"name": e["name"], "adds": e.get("has_adds", False),
+                 "tombstones": e.get("tombstones", False),
+                 "tag": e.get("tag")}
+                for e in m.get("generations", [])
+            ]
+        return out
+
     def documents_size(self) -> int:
         """Max over fields of the per-field id-count (B6, reference
         core/index.ex:161-175 ``update_documents_size``): the ref/id

@@ -182,3 +182,23 @@ def test_save_delta_requires_base_and_pending(spark, corpus, base_path):
     idx.save(base_path)
     with pytest.raises(ValueError):
         idx.inverted.save_delta()  # freshly saved: nothing pending
+
+
+def test_delta_union_pushes_term_predicates(spark, corpus, base_path):
+    """The generation union must keep predicate pushdown: a terms query
+    on a 2-generation index shows a pushed In(term, ...) on BOTH the
+    base scan and the delta scan (the property that keeps multi-gen
+    reads pruned at 100x)."""
+    df1, df2 = corpus
+    Index(name="d").add_field("text") \
+        .add_documents(df1, docid_col="docid").save(base_path)
+    loaded = Index.load(spark, base_path)
+    loaded.add_documents(df2, docid_col="docid")
+    loaded.inverted.save_delta()
+
+    re = Index.load(spark, base_path)
+    re.analyzers = re.inverted.analyzers
+    plan = (re.search({"query": {"terms": {"text": {
+                "value": ["merg", "window"]}}}})
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("In(term") >= 2, plan[:2000]

@@ -72,3 +72,19 @@ def test_span_near_in_bool_filter(idx):
                                                  "slop": 5}}}],
         }}}).collect()}
     assert got == {"b"}
+
+
+def test_describe_reports_layout(spark, idx, tmp_path):
+    d = idx.describe()
+    assert d["fields"] == ["text"]
+    assert d["version"] == 5 and d["generations"] == []
+    assert d["documents"] == 4 and d["vocabulary"]["text"] > 0
+    # after a delta append, the generation shows up
+    idx.add_documents(
+        spark.createDataFrame([("z", "brand new words")],
+                              "docid string, text string"),
+        docid_col="docid")
+    idx.save_delta()
+    d2 = idx.describe()
+    assert [g["name"] for g in d2["generations"]] == ["gen-00001"]
+    assert d2["documents"] == 5
