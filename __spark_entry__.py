@@ -264,6 +264,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_token_counts"] = lambda s, d: quality.token_counts(_documents(s, d))
     q["text_chunking"] = lambda s, d: quality.chunk_documents(
         _documents(s, d), chunk_tokens=32, overlap=8)
+    q["data_split"] = lambda s, d: quality.data_split(
+        _documents(s, d), val_frac=0.1)
+    q["text_unigram_logprob"] = lambda s, d: quality.unigram_logprob(
+        _documents(s, d))
+    q["pack_chunks"] = lambda s, d: quality.pack_chunks(
+        quality.chunk_documents(_documents(s, d), chunk_tokens=32,
+                                overlap=8),
+        window_tokens=128, n_buckets=16)
     q["text_quality"] = lambda s, d: quality.quality_scores(_documents(s, d))
     q["text_lang_id"] = lambda s, d: quality.lang_id(_documents(s, d))
     q["text_winnow"] = lambda s, d: quality.winnow_fingerprints(
@@ -637,6 +645,44 @@ SELECT docid, chunk_idx::BIGINT AS chunk_idx,
        array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk
 FROM s
 WHERE start = 0 OR start + 8 < len(toks)
+"""
+    o["data_split"] = f"""
+SELECT CAST(doc_id AS VARCHAR) AS docid,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 8))
+            AS BIGINT) % 1000000 AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 8))
+                      AS BIGINT) % 1000000 < 100000
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+    o["text_unigram_logprob"] = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid,
+         unnest(string_split({norm}, ' ')) AS tok
+  FROM documents
+), t AS (SELECT docid, tok FROM toks WHERE tok <> ''),
+freq AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+tot AS (SELECT SUM(c) AS s FROM freq),
+lp AS (SELECT tok, log10(c / (SELECT s FROM tot)) AS logp FROM freq)
+SELECT docid, ROUND(AVG(logp), 6) AS avg_logprob,
+       COUNT(*)::BIGINT AS n_tokens
+FROM t JOIN lp USING (tok)
+GROUP BY docid
+"""
+    chunk_cte = o["text_chunking"].strip()
+    o["pack_chunks"] = f"""
+WITH chunks AS ({chunk_cte}),
+b AS (
+  SELECT docid, chunk_idx, n_tokens,
+         CAST(('0x' || substr(md5(docid), 1, 8)) AS BIGINT) % 16 AS bucket
+  FROM chunks
+)
+SELECT docid, chunk_idx, n_tokens, bucket,
+       CAST(floor((SUM(n_tokens) OVER (PARTITION BY bucket
+                     ORDER BY docid, chunk_idx
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) / 128.0)
+            AS BIGINT) AS pack_id
+FROM b
 """
     stop_sql = stopword_list_sql()
     o["text_quality"] = f"""

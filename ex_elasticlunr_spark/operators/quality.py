@@ -7,7 +7,7 @@ operator has an exact ANSI-SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..analysis.stop_words import STOP_WORDS
 from .dedup import normalized
@@ -76,6 +76,95 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
             F.array_join(
                 F.slice("toks", F.col("start") + 1, F.lit(chunk_tokens)),
                 " ").alias("chunk"),
+        )
+    )
+
+
+def data_split(df: DataFrame, val_frac: float = 0.1,
+               seed: str = "split-v1", id_col: str = "docid") -> DataFrame:
+    """Deterministic train/validation assignment by id hash — the
+    reproducible alternative to random sampling for dataset curation:
+    the same (docid, seed) always lands in the same split, regardless
+    of partitioning, cluster size, or row order.
+
+    split = 'val' iff md5(docid || seed)[:8] as int mod 10^6 is below
+    val_frac * 10^6. Map-only (no shuffle); exact SQL oracle via the
+    same hash.
+    """
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))),
+        1, 8), 16, 10).cast("long") % F.lit(1000000)
+    return df.select(
+        F.col(id_col).cast("string").alias("docid"),
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < F.lit(int(val_frac * 1000000)), F.lit("val"))
+        .otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "docid") -> DataFrame:
+    """Corpus-unigram language-model score — the distributed stand-in
+    for the perplexity filter of LLM data pipelines (CCNet/Gopher use a
+    KenLM; with no model artifact available, the corpus's own unigram
+    distribution is the deterministic, self-contained equivalent).
+
+    P(w) = count(w) / total_tokens over the WHOLE corpus;
+    avg_logprob = mean over the doc's tokens of log10 P(w);
+    lower (more negative) = more surprising under the corpus unigram
+    model. Docs with no tokens are dropped.
+
+    Shape: one vocabulary-sized aggregation (map-side combined) + one
+    token->vocab join keyed on the token string. Hot tokens skew the
+    join input but Spark's hash join over a (term, logp) table that is
+    MUCH smaller than the exploded tokens handles it; at 100 TB the
+    vocab side can be broadcast when it fits, else it is a standard
+    large-large hash join.
+    """
+    norm = normalized(F.col(text_col))
+    toks = df.select(
+        F.col(id_col).cast("string").alias("docid"),
+        F.explode(F.split(norm, " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    lp = freq.crossJoin(F.broadcast(total)).select(
+        "tok", F.log10(F.col("c") / F.col("t")).alias("logp"))
+    return (
+        toks.join(lp, "tok")
+        .groupBy("docid")
+        .agg(F.round(F.avg("logp"), 6).alias("avg_logprob"),
+             F.count(F.lit(1)).alias("n_tokens"))
+    )
+
+
+def pack_chunks(chunks: DataFrame, window_tokens: int = 128,
+                n_buckets: int = 64) -> DataFrame:
+    """Sequence packing: assign chunks to fixed-token-budget packs (the
+    training step that concatenates short sequences into full context
+    windows). Deterministic cumulative-sum packing within hash buckets:
+
+      bucket  = md5(docid)[:8] as int mod n_buckets (parallelism unit)
+      order   = (docid, chunk_idx) within bucket    (stable)
+      pack_id = floor((cumsum(n_tokens) - n_tokens) / window_tokens)
+
+    A pack may overflow window_tokens by at most one chunk (the
+    standard greedy packing tolerance — exact bin packing is NP-hard
+    and order-dependent); packs never cross buckets, so the job scales
+    by adding buckets. One shuffle (the window partition), exact SQL
+    oracle via SUM() OVER.
+    """
+    w = Window.partitionBy("bucket").orderBy("docid", "chunk_idx")
+    return (
+        chunks.withColumn(
+            "bucket",
+            (F.conv(F.substring(F.md5("docid"), 1, 8), 16, 10)
+             .cast("long") % n_buckets).cast("long"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "docid", "chunk_idx", "n_tokens", "bucket",
+            F.floor((F.col("cum") - F.col("n_tokens"))
+                    / F.lit(window_tokens)).cast("long").alias("pack_id"),
         )
     )
 

@@ -191,3 +191,64 @@ def test_chunk_documents_windows(spark):
     # short and empty docs
     assert rows[("c", 0)]["chunk"] == "one two"
     assert not any(k[0] in ("d", "e") for k in rows)
+
+
+def test_data_split_deterministic_fraction(spark):
+    from ex_elasticlunr_spark.operators.quality import data_split
+
+    df = spark.createDataFrame([(f"d{i}",) for i in range(2000)],
+                               "docid string")
+    a = data_split(df, val_frac=0.1)
+    b = data_split(df.repartition(7), val_frac=0.1)
+    # deterministic under repartitioning
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    frac = a.where("split = 'val'").count() / 2000
+    assert 0.06 < frac < 0.14
+    # a different seed reshuffles the assignment
+    c = data_split(df, val_frac=0.1, seed="other")
+    moved = a.join(c, "docid").where(a["split"] != c["split"]).count()
+    assert moved > 0
+
+
+def test_unigram_logprob_orders_surprise(spark):
+    from ex_elasticlunr_spark.operators.quality import unigram_logprob
+
+    rows = [("common", "the the the the"),
+            ("rare", "zzz qqq www vvv"),
+            ("empty", "   ")]
+    out = {r["docid"]: r for r in
+           unigram_logprob(spark.createDataFrame(
+               rows, "docid string, text string")).collect()}
+    assert "empty" not in out
+    # 'the' appears 4/8 tokens -> logp -0.30103; rare tokens 1/8 each
+    assert out["common"]["avg_logprob"] > out["rare"]["avg_logprob"]
+    assert out["common"]["n_tokens"] == 4
+    assert abs(out["common"]["avg_logprob"] + 0.30103) < 1e-5
+
+
+def test_pack_chunks_budget_property(spark):
+    from ex_elasticlunr_spark.operators.quality import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", " ".join(f"w{j}" for j in range(5 + (i * 7) % 90)))
+         for i in range(80)],
+        "docid string, text string")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    packs = pack_chunks(chunks, window_tokens=64, n_buckets=4)
+    # every chunk assigned exactly once
+    assert packs.count() == chunks.count()
+    # per (bucket, pack): total tokens < window + max chunk (greedy
+    # overflow tolerance) and packs are dense from 0 within a bucket
+    from pyspark.sql import functions as F
+
+    agg = packs.groupBy("bucket", "pack_id").agg(
+        F.sum("n_tokens").alias("tot")).collect()
+    assert all(r["tot"] < 64 + 32 for r in agg)
+    by_bucket = {}
+    for r in agg:
+        by_bucket.setdefault(r["bucket"], []).append(r["pack_id"])
+    for ids in by_bucket.values():
+        assert sorted(ids) == list(range(len(ids)))
