@@ -272,6 +272,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         quality.chunk_documents(_documents(s, d), chunk_tokens=32,
                                 overlap=8),
         window_tokens=128, n_buckets=16)
+
+    from ex_elasticlunr_spark.operators import conversations
+
+    q["conv_documents"] = lambda s, d: conversations.conversation_documents(
+        transcripts_view(s, d).where(F.col("text").isNotNull()))
+    q["sft_pairs"] = lambda s, d: conversations.sft_pairs(
+        transcripts_view(s, d).where(F.col("text").isNotNull()))
     q["text_quality"] = lambda s, d: quality.quality_scores(_documents(s, d))
     q["text_lang_id"] = lambda s, d: quality.lang_id(_documents(s, d))
     q["text_winnow"] = lambda s, d: quality.winnow_fingerprints(
@@ -683,6 +690,34 @@ SELECT docid, chunk_idx, n_tokens, bucket,
                      ROWS UNBOUNDED PRECEDING) - n_tokens) / 128.0)
             AS BIGINT) AS pack_id
 FROM b
+"""
+    # the transcripts-shaped derivation of documents (transcripts_view)
+    # re-derived in SQL: conv groups of doc_id%50, deterministic roles
+    tx_cte = """
+tx AS (
+  SELECT printf('conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
+         CAST(floor(doc_id / 50.0) AS BIGINT) AS turn_idx,
+         (['user', 'assistant', 'tool'])[CAST(doc_id % 3 AS INT) + 1] AS role,
+         text
+  FROM documents
+  WHERE text IS NOT NULL
+)""".strip()
+    o["conv_documents"] = f"""
+WITH {tx_cte}
+SELECT conv_id, COUNT(*)::BIGINT AS n_turns,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+FROM tx GROUP BY conv_id
+"""
+    o["sft_pairs"] = f"""
+WITH {tx_cte}
+SELECT conv_id, turn_idx,
+       COALESCE(string_agg(role || ': ' || text, chr(10))
+                  OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                '') AS prompt,
+       text AS completion
+FROM tx
+QUALIFY role = 'assistant'
 """
     stop_sql = stopword_list_sql()
     o["text_quality"] = f"""
