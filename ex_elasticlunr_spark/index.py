@@ -259,13 +259,19 @@ class Index:
 
     def search_wand(self, text: str, field: str, top_k: int = 10,
                     mode: str = "bm25", k1: float = 1.2, b: float = 0.75,
-                    block_size: int = 4096) -> DataFrame:
+                    block_size: int = 4096, expand: bool = False,
+                    fuzziness: int = 0, regex: bool = False) -> DataFrame:
         """Block-max WAND fast path (search/wand.py): analyze ``text``
         with the field's pipeline, top-k via block-max pruning over the
         compressed segments. Rank-identical to search()/search_bm25()
-        for single-field msm<=1 queries."""
+        for single-field msm<=1 queries, including prefix (``expand``),
+        ``fuzziness`` and ``regex`` expansion (resolved against the
+        vocabulary first, then pruned like exact terms)."""
         from .search.wand import wand_topk
 
         terms = self.analyzers[field].to_query_pipeline().run_terms(text)
+        if regex:
+            terms = [text]  # patterns must not go through the analyzer
         return wand_topk(self.inverted, field, terms, k=top_k, mode=mode,
-                         k1=k1, b=b, block_size=block_size)
+                         k1=k1, b=b, block_size=block_size, expand=expand,
+                         fuzziness=fuzziness, regex=regex)

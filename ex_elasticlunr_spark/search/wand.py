@@ -81,16 +81,45 @@ def wand_topk(
     b: float = 0.75,
     boost: float = 1.0,
     block_size: int = DEFAULT_BLOCK_SIZE,
+    expand: bool = False,
+    fuzziness: int = 0,
+    regex: bool = False,
 ) -> DataFrame:
     """Top-k (docid, score) — rank-identical to the exhaustive scorer
-    for msm<=1 exact-term queries."""
+    for msm<=1 queries (exact terms, or prefix/fuzzy/regex expansion).
+
+    Expansion resolves against the VOCABULARY first (term_stats — the
+    same edit-ball/prefix/regex resolve as the exhaustive path), then
+    WAND prunes over the expanded term set. A vocab term matched by
+    multiple query terms contributes once per match in the exhaustive
+    BM25 sum, so its WAND weight is scaled by that multiplicity (max
+    mode is multiplicity-invariant)."""
     spark = index.postings.sparkSession
     segments, ordinals = index.segments(block_size)
     # decode must use the block size the segments were actually built
     # with (segments() may reuse an earlier build)
     block_size = index._segments[0]
 
+    mult: Dict[str, int] = {}
+    if expand or fuzziness > 0 or regex:
+        from .scorer import _query_terms_df
+
+        m = _query_terms_df(index, field, list(dict.fromkeys(terms)),
+                            expand, fuzziness, regex=regex)
+        mult = {
+            r["term"]: r["n"]
+            for r in m.groupBy("term").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+        }
+        terms = sorted(mult)
+        if not terms:
+            return spark.createDataFrame([], "docid string, score double")
+
     stats = _term_weights(index, field, list(dict.fromkeys(terms)), mode, k1, b)
+    if mode != "elasticlunr":
+        for t, n in mult.items():
+            if n > 1 and t in stats:
+                stats[t]["weight"] *= n
     if not stats:
         return spark.createDataFrame([], "docid string, score double")
     terms = [t for t in terms if t in stats]

@@ -88,3 +88,32 @@ def test_describe_reports_layout(spark, idx, tmp_path):
     d2 = idx.describe()
     assert [g["name"] for g in d2["generations"]] == ["gen-00001"]
     assert d2["documents"] == 5
+
+
+def test_wand_expand_fuzzy_regex_rank_identical(spark, idx):
+    """WAND with vocabulary expansion must rank identically to the
+    exhaustive BM25 plan for prefix, fuzzy, and regex queries."""
+    def exhaustive(query_dict, k=10):
+        df = idx.search(query_dict, mode="bm25")
+        return [(r["docid"], round(r["score"], 9)) for r in
+                df.orderBy(F.desc("score"), F.asc("docid")).limit(k).collect()]
+
+    cases = [
+        ({"query": {"terms": {"text": {"value": "sp", "expand": True}}}},
+         dict(expand=True), "sp"),
+        ({"query": {"terms": {"text": {"value": "spark", "fuzziness": 1}}}},
+         dict(fuzziness=1), "spark"),
+        ({"query": {"terms": {"text": {"value": "^spar", "regex": True}}}},
+         dict(regex=True), "^spar"),
+        # multiplicity: both query terms fuzzy-match the same vocab
+        # terms -> each vocab term's WAND weight scales by its match
+        # count (the exhaustive sum counts one entry per (qt, term))
+        ({"query": {"terms": {"text": {"value": ["spark", "spars"],
+                                         "fuzziness": 1}}}},
+         dict(fuzziness=1), "spark spars"),
+    ]
+    for query_dict, kw, text in cases:
+        want = exhaustive(query_dict)
+        got = [(r["docid"], round(r["score"], 9)) for r in
+               idx.search_wand(text, "text", top_k=10, **kw).collect()]
+        assert got == want, (kw, got, want)
