@@ -49,6 +49,14 @@ ingest + one clustering shuffle over the batch) plus a tombstone-sized
 stats job; query-time overhead per extra generation is one more pruned
 parquet scan in the union + a broadcast anti-join when tombstones
 exist — which is why compact() exists for when generations accumulate.
+
+Concurrency model: SINGLE WRITER, many readers — the same contract as
+Lucene's write.lock. Readers are safe at any time (the manifest
+rewrite is the atomic commit; an in-flight generation directory is
+invisible until committed), but two concurrent writers could both
+claim the same generation name and the last manifest write would
+orphan the other's directory. Serialize writers externally (the
+streaming sink is naturally serial per query).
 """
 
 from __future__ import annotations
