@@ -275,6 +275,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     from ex_elasticlunr_spark.operators import conversations
 
+    def code_blocks(s, d):
+        # plant deterministic fenced blocks (the synthetic corpus has
+        # none): one python block from the text head, one bare block
+        docs = _documents(s, d).withColumn(
+            "text",
+            F.concat(
+                F.lit("intro ```py\n"), F.substring("text", 1, 40),
+                F.lit("\n``` middle ```\nplain("),
+                F.col("doc_id").cast("string"), F.lit(")\n``` tail"),
+            ),
+        )
+        return quality.extract_code_blocks(docs)
+
+    q["text_code_blocks"] = code_blocks
+
     q["conv_documents"] = lambda s, d: conversations.conversation_documents(
         transcripts_view(s, d).where(F.col("text").isNotNull()))
     q["sft_pairs"] = lambda s, d: conversations.sft_pairs(
@@ -690,6 +705,28 @@ SELECT docid, chunk_idx, n_tokens, bucket,
                      ROWS UNBOUNDED PRECEDING) - n_tokens) / 128.0)
             AS BIGINT) AS pack_id
 FROM b
+"""
+    o["text_code_blocks"] = r"""
+WITH planted AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid,
+         'intro ```py' || chr(10) || substr(text, 1, 40) || chr(10) ||
+         '``` middle ```' || chr(10) || 'plain(' ||
+         CAST(doc_id AS VARCHAR) || ')' || chr(10) || '``` tail' AS t
+  FROM documents
+),
+blocks AS (
+  SELECT docid,
+         unnest(regexp_extract_all(t, '(?s)```([a-zA-Z0-9_+-]*)\n(.*?)```'))
+           AS block,
+         generate_subscripts(
+           regexp_extract_all(t, '(?s)```([a-zA-Z0-9_+-]*)\n(.*?)```'), 1
+         ) - 1 AS block_idx
+  FROM planted
+)
+SELECT docid, block_idx::BIGINT AS block_idx,
+       regexp_extract(block, '(?s)```([a-zA-Z0-9_+-]*)\n(.*?)```', 1) AS lang,
+       regexp_extract(block, '(?s)```([a-zA-Z0-9_+-]*)\n(.*?)```', 2) AS code
+FROM blocks
 """
     # the transcripts-shaped derivation of documents (transcripts_view)
     # re-derived in SQL: conv groups of doc_id%50, deterministic roles

@@ -169,6 +169,28 @@ def pack_chunks(chunks: DataFrame, window_tokens: int = 128,
     )
 
 
+def extract_code_blocks(df: DataFrame, text_col: str = "text",
+                        id_col: str = "docid") -> DataFrame:
+    """Fenced code-block extraction (``` lang ... ```) — the
+    code/markdown separation step of transcript curation. One output
+    row per block: (docid, block_idx, lang, code); documents without
+    fences produce no rows. Map-only regexp scan, no shuffle; the
+    pattern is RE2-compatible so the DuckDB oracle runs it verbatim.
+    """
+    pat = r"(?s)```([a-zA-Z0-9_+-]*)\n(.*?)```"
+    blocks = F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+    return (
+        df.select(F.col(id_col).cast("string").alias("docid"),
+                  F.posexplode(blocks).alias("block_idx", "block"))
+        .select(
+            "docid",
+            F.col("block_idx").cast("long").alias("block_idx"),
+            F.regexp_extract("block", pat, 1).alias("lang"),
+            F.regexp_extract("block", pat, 2).alias("code"),
+        )
+    )
+
+
 def quality_scores(df: DataFrame, text_col: str = "text",
                    id_col: str = "docid") -> DataFrame:
     """Heuristic quality features + composite score in [0,1]:

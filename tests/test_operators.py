@@ -282,3 +282,20 @@ def test_conversation_documents_and_sft_pairs(spark):
         "user: hi\nassistant: hello\nuser: how"
     # conversation-opening assistant turn: empty prompt survives
     assert pairs[("c2", 0)]["prompt"] == ""
+
+
+def test_extract_code_blocks(spark):
+    from ex_elasticlunr_spark.operators.quality import extract_code_blocks
+
+    text = ("before ```python\ndef f():\n    return 1\n``` middle "
+            "```\nplain text block\n``` after")
+    df = spark.createDataFrame(
+        [("a", text), ("b", "no fences here"), ("c", None)],
+        "docid string, text string")
+    rows = {(r["docid"], r["block_idx"]): r
+            for r in extract_code_blocks(df).collect()}
+    assert set(rows) == {("a", 0), ("a", 1)}
+    assert rows[("a", 0)]["lang"] == "python"
+    assert rows[("a", 0)]["code"] == "def f():\n    return 1\n"
+    assert rows[("a", 1)]["lang"] == ""
+    assert rows[("a", 1)]["code"] == "plain text block\n"
