@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, {"query": {"terms": {"text": {"value": "s", "expand": True}}}})
     q["terms_fuzzy"] = lambda s, d: _search(
         s, d, {"query": {"terms": {"text": {"value": "spak", "fuzziness": 1}}}})
+    q["more_like_this"] = lambda s, d: _rounded(_index(s, d).more_like_this(
+        "spark merge window fast join sort", "text", max_query_terms=4))
     q["terms_regex"] = lambda s, d: _search(
         s, d, {"query": {"terms": {"text": {"value": "^sp|dow$",
                                               "regex": True}}}})
@@ -427,6 +429,29 @@ def oracle_sql() -> dict[str, str]:
     o["terms_fuzzy"] = _score_query(terms_scores_sql(["spak"], fuzziness=1))
     o["terms_regex"] = _score_query(
         terms_scores_sql(["^sp|dow$"], regex=True))
+    # MoreLikeThis: seed terms + tf computed at oracle-build time by the
+    # same Python pipeline; top-4 tf*idf selection happens in-engine on
+    # both sides (idf is corpus-dependent), ties broken on the term
+    mlt_toks = _analyze("spark merge window fast join sort")
+    mlt_tf: dict = {}
+    for t in mlt_toks:
+        mlt_tf[t] = mlt_tf.get(t, 0) + 1
+    mlt_vals = ", ".join(f"('{t}', {n})" for t, n in sorted(mlt_tf.items()))
+    o["more_like_this"] = f"""
+WITH {pre},
+seed AS (SELECT * FROM (VALUES {mlt_vals}) s(term, tf)),
+picked AS (
+  SELECT s.term FROM seed s JOIN tstats t USING (term)
+  ORDER BY s.tf * t.idf DESC, s.term ASC LIMIT 4
+),
+entries AS (
+  SELECT p.docid, sqrt(p.tf_raw) * t.idf * t.idf * f.flnorm AS entry_score
+  FROM postings p JOIN tstats t USING (term)
+  JOIN picked q ON p.term = q.term
+  CROSS JOIN fstats f
+)
+SELECT docid, ROUND(MAX(entry_score), 6) AS score FROM entries GROUP BY docid
+"""
     # proximity: min token-ordinal distance between the two terms' stored
     # occurrences; score = 1/(1+dist), rows where dist <= slop
     o["span_near"] = _wrap(pre, """

@@ -84,6 +84,8 @@ def _decode_varints(buf: bytes) -> np.ndarray:
     a = np.frombuffer(buf, dtype=np.uint8)
     ends = np.flatnonzero(a < 128)
     n = len(ends)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
     starts = np.empty(n, dtype=np.int64)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1

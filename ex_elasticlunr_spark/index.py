@@ -100,6 +100,55 @@ class Index:
         idx.analyzers = idx.inverted.analyzers
         return idx
 
+    def more_like_this(self, text: str, field: str,
+                       max_query_terms: int = 10,
+                       top_k: Optional[int] = None,
+                       mode: str = "elasticlunr") -> DataFrame:
+        """Lucene/Elasticsearch MoreLikeThis: rank documents by
+        similarity to ``text`` — analyze it, keep the
+        ``max_query_terms`` highest tf*idf terms (ties broken on the
+        term string), and run them as a terms query.
+
+        Takes the seed TEXT, not a docid: a by-docid lookup against the
+        term-clustered postings would be a full scan at scale, and the
+        caller's source-of-truth store has the text anyway. The seed
+        analysis and term selection are driver-side (seed-sized); only
+        the final terms query touches the cluster, with the usual
+        pushed In(term, ...) pruning.
+        """
+        from pyspark.sql import functions as F
+
+        from .functions.literals import inline_rows
+
+        pipe = self.analyzers[field].to_query_pipeline()
+        spark = self.inverted.postings.sparkSession
+        empty = spark.createDataFrame([], "docid string, score double")
+        toks = pipe.run_terms(str(text))
+        if not toks:
+            return empty
+        tf: Dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        seed = inline_rows(spark, sorted(tf.items()), "term string, tf long")
+        picked = [
+            r["term"]
+            for r in (
+                self.inverted.term_stats
+                .where((F.col("field") == field)
+                       & F.col("term").isin(list(tf)))
+                .join(F.broadcast(seed), "term")
+                .orderBy(F.desc(F.col("tf") * F.col("idf")), F.asc("term"))
+                .limit(max_query_terms)
+                .select("term")
+                .collect()
+            )
+        ]
+        if not picked:
+            return empty
+        return self.search(
+            {"query": {"terms": {field: {"value": picked}}}},
+            top_k=top_k, mode=mode)
+
     def describe(self) -> dict:
         """Warehouse summary: layout version, generations (delta
         maintenance state), per-field vocabulary sizes, document count.

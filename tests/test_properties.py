@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis): the posting-block codec and the
+pure-Python analysis pipeline hold their invariants on arbitrary
+inputs, not just the fixed cases."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ex_elasticlunr_spark.analysis.pipeline import Pipeline
+from ex_elasticlunr_spark.analysis.stop_words import STOP_WORDS
+from ex_elasticlunr_spark.build.codec import (
+    _decode_varints,
+    _encode_varints,
+    decode_block,
+    decode_varint,
+    encode_block,
+    encode_varint,
+)
+
+posting_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2**40),   # ord gap
+        st.integers(min_value=0, max_value=2**20),   # tf_raw
+        st.integers(min_value=0, max_value=2**20),   # doc_len
+    ),
+    min_size=0, max_size=200,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(posting_lists, st.integers(min_value=0, max_value=2**40))
+def test_block_codec_roundtrip(entries, base):
+    # build strictly increasing ords from non-negative gaps
+    ords, tfs, dls = [], [], []
+    cur = base
+    for gap, tf, dl in entries:
+        cur += gap
+        ords.append(cur)
+        tfs.append(tf)
+        dls.append(dl)
+    buf = encode_block(ords, tfs, dls, base_ord=base)
+    assert decode_block(bytes(buf), base) == (ords, tfs, dls)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=0, max_size=300))
+def test_vectorized_varints_match_scalar(vals):
+    vec = bytes(_encode_varints(np.array(vals, dtype=np.uint64)))
+    ref = bytearray()
+    for v in vals:
+        encode_varint(v, ref)
+    assert vec == bytes(ref)
+    assert list(_decode_varints(vec)) == vals
+    pos = 0
+    for v in vals:
+        got, pos = decode_varint(vec, pos)
+        assert got == v
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=127),
+               max_size=120))
+def test_pipeline_invariants(text):
+    toks = Pipeline.default().run_terms(text)
+    for t in toks:
+        # stages can emit empty strings (reference parity) but never
+        # None, never uppercase, never a surviving stopword, and never
+        # leading/trailing non-word chars (the trimmer ran)
+        assert t is not None
+        assert t == t.lower()
+        assert t not in STOP_WORDS
+        if t:
+            assert not __import__("re").match(r"^\W|\W$", t, __import__("re").ASCII) or t.strip() == ""

@@ -117,3 +117,17 @@ def test_wand_expand_fuzzy_regex_rank_identical(spark, idx):
         got = [(r["docid"], round(r["score"], 9)) for r in
                idx.search_wand(text, "text", top_k=10, **kw).collect()]
         assert got == want, (kw, got, want)
+
+
+def test_more_like_this_ranks_seed_doc_first(spark, idx):
+    # seed with doc a's own text: a must rank first; docs sharing terms
+    # follow; unrelated docs score nothing
+    out = [(r["docid"], r["score"]) for r in idx.more_like_this(
+        "spark shuffles the fast join quickly today", "text",
+        max_query_terms=5).collect()]
+    assert out and out[0][0] == "a"
+    docs = [d for d, _ in out]
+    assert "d" in docs  # shares fast/join
+    # empty seed -> empty result with the standard schema
+    empty = idx.more_like_this("", "text")
+    assert empty.columns == ["docid", "score"] and empty.count() == 0
