@@ -202,3 +202,35 @@ def test_delta_union_pushes_term_predicates(spark, corpus, base_path):
                 "value": ["merg", "window"]}}}})
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("In(term") >= 2, plan[:2000]
+
+
+def test_chained_pending_ops_one_delta_save(spark, corpus, base_path):
+    """add -> add -> remove (hitting base docs AND a pending add) ->
+    save_delta: two generations land, the removed pending doc never
+    reaches disk, and the loaded state matches the in-memory one."""
+    df1, df2 = corpus
+    Index(name="d").add_field("text") \
+        .add_documents(df1, docid_col="docid").save(base_path)
+
+    loaded = Index.load(spark, base_path)
+    loaded.add_documents(_docs(spark, [("x1", "pending alpha doc"),
+                                       ("x2", "pending beta doc")]),
+                         docid_col="docid")
+    loaded.add_documents(df2, docid_col="docid")
+    loaded.remove_documents(
+        _docs(spark, [("x2", ""), ("d3", "")]).select("docid"))
+    loaded.inverted.save_delta()
+
+    re = Index.load(spark, base_path)
+    manifest = json.load(open(os.path.join(base_path, "manifest.json")))
+    assert len(manifest["generations"]) == 2  # one per pending add batch
+    got = {r["docid"] for r in re.search(
+        {"query": {"match_all": {}}}).collect()}
+    assert "x1" in got and "e5" in got
+    assert "x2" not in got and "d3" not in got
+    assert re.documents_size() == 30 + 2 + 20 - 2
+    # the tombstoned pending doc was filtered before disk, not stored
+    gen1 = os.path.join(base_path, "deltas", "gen-00001")
+    docs1 = {r["docid"] for r in spark.read.parquet(
+        os.path.join(gen1, "docs")).collect()}
+    assert docs1 == {"x1"}
