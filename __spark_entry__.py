@@ -391,6 +391,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "frame_idx",
             F.lower(F.hex("frame")).alias("frame_hex"))
 
+    # ---- event log (operators/events.py) --------------------------------
+    # timestamps project as fixed-width wall-clock strings on both
+    # engines: events.parquet reads as TIMESTAMP_NTZ in Spark, and
+    # string projection avoids every session-timezone / tz-format
+    # divergence an epoch or raw-timestamp column would risk
+    from ex_elasticlunr_spark.operators import events as ev_ops
+
+    def event_sessions(s, d):
+        st = ev_ops.session_stats(
+            s.read.parquet(f"{d}/events.parquet"), gap_minutes=30)
+        return st.select(
+            "user_id", "session_idx", "session_id",
+            F.date_format("session_start",
+                          "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("start_s"),
+            F.date_format("session_end",
+                          "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("end_s"),
+            "n_events", "n_event_types", "sum_value")
+
+    q["event_sessions"] = event_sessions
+    q["event_windowed"] = lambda s, d: ev_ops.windowed_counts(
+        s.read.parquet(f"{d}/events.parquet"), window="1 hour").select(
+            F.date_format("window_start",
+                          "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
+            "event_type", "n_events", "sum_value")
+
     return q
 
 
@@ -1183,5 +1208,38 @@ WITH {_media_cte('video', 16)}
 SELECT media_id, CAST(fi AS INT) AS frame_idx,
        md5(ph || printf('%08x', fi)) AS frame_hex
 FROM media, (SELECT unnest([0, 10, 20]) AS fi) f
+"""
+    o["event_sessions"] = """
+WITH e AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_ts
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e
+), s2 AS (
+  SELECT *, (SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx,
+       CAST(user_id AS VARCHAR) || '-' || CAST(session_idx AS VARCHAR)
+         AS session_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_s,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_s,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(DISTINCT event_type)::BIGINT AS n_event_types,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s2 GROUP BY user_id, session_idx
+"""
+    o["event_windowed"] = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                '%Y-%m-%d %H:%M:%S') AS window_start_s,
+       event_type,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
 """
     return o

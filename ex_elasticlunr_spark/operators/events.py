@@ -1,0 +1,280 @@
+"""Event-stream operators: sessionization + windowed aggregation.
+
+The reference engine indexes static documents; a transcripts/telemetry
+pipeline at 100 TB also carries an append-only event log (the testdata
+``events`` table: event_id, ts, user_id, event_type, value, props).
+These operators give that log the two canonical time-series shapes:
+
+* ``sessionize`` / ``session_stats`` — gap-based sessions per user
+  (a 30-min silence starts a new session), the standard clickstream /
+  conversation-boundary primitive;
+* ``windowed_counts`` — tumbling event-time windows per event type.
+
+Batch and streaming variants share semantics: the streaming
+sessionizer (``sessionize_stream``) is an ``applyInPandasWithState``
+custom stateful operator and the streaming window aggregation
+(``windowed_counts_stream``) is a watermarked built-in windowed agg —
+both tested for parity against the batch plans over the same rows
+(tests/test_events.py).
+
+Scale notes (100 TB event log, 1000 executors):
+  * sessionize shuffles ONCE on user_id — high-cardinality,
+    hash-uniform keys, so no skew mitigation needed; the per-user sort
+    inside the window is bounded by one user's history (and Spark
+    sorts partitions, not the globe);
+  * session_stats aggregates on (user_id, session_idx) — same
+    partitioning as the window, so AQE coalesces without a second
+    shuffle;
+  * windowed_counts is a plain groupBy with map-side partial
+    aggregation: output is #windows x #event_types, tiny;
+  * the streaming sessionizer keeps O(1) state per user (running
+    aggregates only, never the event list) and expires idle users via
+    processing-time timeout, so state size is bounded by the active
+    user set, not the log.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+SESSION_GAP_MIN = 30.0
+
+
+def _epoch_s(col):
+    """Epoch seconds for TIMESTAMP or TIMESTAMP_NTZ columns (Spark 4
+    forbids a direct NTZ->double cast; NTZ->LTZ->double is legal and
+    gap/duration arithmetic is timezone-invariant)."""
+    return col.cast("timestamp_ltz").cast("double")
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: float = SESSION_GAP_MIN,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assign a gap-based session to every event.
+
+    A new session starts when the user's inter-event silence exceeds
+    ``gap_minutes``. Adds ``session_idx`` (0-based per user, in time
+    order) and ``session_id`` ("<user>-<idx>").
+
+    One shuffle (hash on user_col for the window sort); everything else
+    is narrow. Ties on ts break by event_id so the assignment is
+    deterministic.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col("event_id")] if "event_id" in events.columns else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap_s = float(gap_minutes) * 60.0
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (_epoch_s(F.col(ts_col)) - _epoch_s(prev) > gap_s),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        events.withColumn("_new_s", new_session)
+        .withColumn("session_idx",
+                    (F.sum("_new_s").over(w) - F.lit(1)).cast("long"))
+        .drop("_new_s")
+        .withColumn(
+            "session_id",
+            F.concat_ws("-", F.col(user_col).cast("string"),
+                        F.col("session_idx").cast("string")),
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_minutes: float = SESSION_GAP_MIN,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: Optional[str] = "value",
+) -> DataFrame:
+    """Per-session aggregates: start/end, event count, distinct event
+    types, value sum, duration. The groupBy keys on (user, session_idx)
+    — the same partitioning the sessionize window produced, so the agg
+    adds no second wide shuffle under AQE."""
+    s = sessionize(events, gap_minutes, user_col, ts_col)
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    ]
+    if value_col is not None and value_col in events.columns:
+        aggs.append(F.round(F.sum(value_col), 6).alias("sum_value"))
+    out = s.groupBy(F.col(user_col), F.col("session_idx"), F.col("session_id")) \
+        .agg(*aggs)
+    return out.withColumn(
+        "duration_sec",
+        F.round(_epoch_s(F.col("session_end"))
+                - _epoch_s(F.col("session_start")), 6),
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    by: str = "event_type",
+    ts_col: str = "ts",
+    value_col: Optional[str] = "value",
+) -> DataFrame:
+    """Tumbling event-time windows per ``by`` key: n_events + value sum.
+
+    Pure groupBy with map-side partial aggregation; output cardinality
+    is #windows x #keys. The identical expression works under
+    Structured Streaming once a watermark is attached
+    (``windowed_counts_stream``)."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None and value_col in events.columns:
+        aggs.append(F.round(F.sum(value_col), 6).alias("sum_value"))
+    return (
+        events.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(by))
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            by,
+            *[c for c in ("n_events", "sum_value")
+              if value_col is not None or c == "n_events"],
+        )
+    )
+
+
+def windowed_counts_stream(
+    stream_df: DataFrame,
+    window: str = "1 hour",
+    by: str = "event_type",
+    ts_col: str = "ts",
+    value_col: Optional[str] = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``windowed_counts``: watermarked tumbling
+    windows. Late events inside the watermark update their window;
+    events later than it are dropped and the window finalizes (append
+    mode emits exactly-once per closed window)."""
+    return windowed_counts(
+        stream_df.withWatermark(ts_col, watermark),
+        window=window, by=by, ts_col=ts_col, value_col=value_col,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionizer: applyInPandasWithState custom stateful operator
+# ---------------------------------------------------------------------------
+
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_idx bigint, session_id string, "
+    "session_start timestamp, session_end timestamp, n_events bigint, "
+    "sum_value double"
+)
+# per-user running state: next session ordinal + the OPEN session's
+# aggregates (O(1) per user — never the event list)
+_SESSION_STATE_SCHEMA = (
+    "next_idx bigint, start_us bigint, end_us bigint, n bigint, sv double"
+)
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    gap_minutes: float = SESSION_GAP_MIN,
+    idle_timeout_ms: int = 60_000,
+):
+    """Custom stateful streaming operator: gap-based sessions per user
+    via ``applyInPandasWithState``.
+
+    Emits, in UPDATE mode, the current aggregates of every session a
+    micro-batch touches or closes — the LAST emission per session_id is
+    its final row, and equals the batch ``session_stats`` output for
+    the same events (parity pinned in tests/test_events.py). Idle users
+    expire from the state store after ``idle_timeout_ms`` of
+    processing-time silence, flushing their open session; state per
+    user is a 5-field scalar tuple.
+
+    Input must carry (user_id, ts, value); shuffles once on user_id —
+    the same key/skew shape as the batch window.
+    """
+    import pandas as pd  # noqa: F401 (arrow batches arrive as pandas)
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    gap_us = int(gap_minutes * 60.0 * 1e6)
+
+    def fn(
+        key: Tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user,) = key
+        if state.hasTimedOut:
+            # idle user: flush the open session and drop the state
+            nxt, start_us, end_us, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user], "session_idx": [nxt - 1],
+                 "session_id": [f"{user}-{nxt - 1}"],
+                 "session_start": [pd.Timestamp(start_us, unit="us")],
+                 "session_end": [pd.Timestamp(end_us, unit="us")],
+                 "n_events": [n], "sum_value": [round(sv, 6)]})
+            return
+
+        if state.exists:
+            nxt, start_us, end_us, n, sv = state.get
+            open_idx = nxt - 1
+        else:
+            nxt, start_us, end_us, n, sv = 0, None, None, 0, 0.0
+            open_idx = None
+
+        rows = []  # emitted (closed or updated) session rows
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"]
+                                  if "event_id" in pdf.columns else ["ts"])
+            if pdf["ts"].dtype.kind == "M":
+                # unit-safe: datetime64 may arrive as ns or us off Arrow
+                ts_us = pd.Series(
+                    pdf["ts"].values.astype("datetime64[us]").astype("int64"),
+                    index=pdf.index)
+            else:
+                ts_us = pdf["ts"].astype("int64")
+            vals = pdf["value"].fillna(0.0) if "value" in pdf.columns \
+                else pd.Series(0.0, index=pdf.index)
+            for t, v in zip(ts_us.tolist(), vals.tolist()):
+                if open_idx is None or t - end_us > gap_us:
+                    if open_idx is not None:
+                        rows.append((user, open_idx, start_us, end_us, n, sv))
+                    open_idx, nxt = nxt, nxt + 1
+                    start_us, end_us, n, sv = t, t, 1, float(v)
+                else:
+                    end_us, n, sv = max(end_us, t), n + 1, sv + float(v)
+        if open_idx is not None:
+            # update-mode emission of the still-open session
+            rows.append((user, open_idx, start_us, end_us, n, sv))
+            state.update((nxt, start_us, end_us, n, sv))
+            state.setTimeoutDuration(idle_timeout_ms)
+        if rows:
+            yield pd.DataFrame(
+                {"user_id": [r[0] for r in rows],
+                 "session_idx": [r[1] for r in rows],
+                 "session_id": [f"{r[0]}-{r[1]}" for r in rows],
+                 "session_start": [pd.Timestamp(r[2], unit="us") for r in rows],
+                 "session_end": [pd.Timestamp(r[3], unit="us") for r in rows],
+                 "n_events": [r[4] for r in rows],
+                 "sum_value": [round(r[5], 6) for r in rows]})
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
