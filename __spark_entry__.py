@@ -391,6 +391,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "frame_idx",
             F.lower(F.hex("frame")).alias("frame_hex"))
 
+    # benchmark decontamination: docs with doc_id % 17 == 0 stand in for
+    # the eval set; 4-grams over the tiny synthetic vocabulary give a
+    # non-trivial hit distribution
+    def contamination(s, d):
+        docs = _documents(s, d)
+        return quality.contamination(
+            docs.where(F.col("doc_id") % 17 != 0),
+            docs.where(F.col("doc_id") % 17 == 0),
+            n=4, id_col="doc_id", threshold=0.5,
+        ).select("docid", F.col("n_grams").cast("long").alias("n_grams"),
+                 F.col("n_hits").cast("long").alias("n_hits"),
+                 "frac", "contaminated")
+
+    q["text_contamination"] = contamination
+
     # ---- event log (operators/events.py) --------------------------------
     # timestamps project as fixed-width wall-clock strings on both
     # engines: events.parquet reads as TIMESTAMP_NTZ in Spark, and
@@ -1208,6 +1223,32 @@ WITH {_media_cte('video', 16)}
 SELECT media_id, CAST(fi AS INT) AS frame_idx,
        md5(ph || printf('%08x', fi)) AS frame_hex
 FROM media, (SELECT unnest([0, 10, 20]) AS fi) f
+"""
+    o["text_contamination"] = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(greatest(len(string_split({norm}, ' ')) - 3, 0)),
+           i -> array_to_string(string_split({norm}, ' ')[(i+1):(i+4)], ' ')
+         )) AS gs
+  FROM documents
+),
+ev AS (
+  SELECT list(DISTINCT eg) AS egs
+  FROM (SELECT unnest(gs) AS eg FROM g WHERE doc_id % 17 = 0)
+),
+x AS (
+  SELECT CAST(g.doc_id AS VARCHAR) AS docid,
+         len(gs) AS n_grams,
+         len(list_intersect(gs, ev.egs)) AS n_hits
+  FROM g CROSS JOIN ev WHERE doc_id % 17 <> 0
+)
+SELECT docid, n_grams::BIGINT AS n_grams, n_hits::BIGINT AS n_hits,
+       CASE WHEN n_grams > 0 THEN ROUND(n_hits / n_grams::DOUBLE, 6)
+            ELSE 0.0 END AS frac,
+       (CASE WHEN n_grams > 0 THEN ROUND(n_hits / n_grams::DOUBLE, 6)
+             ELSE 0.0 END) > 0.5 AS contaminated
+FROM x
 """
     o["event_sessions"] = """
 WITH e AS (

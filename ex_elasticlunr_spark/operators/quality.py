@@ -499,3 +499,64 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
         scrubbed.alias("scrubbed"),
         *counts,
     )
+
+
+def word_ngrams(col, n: int):
+    """Distinct word n-grams of a normalized text column (array<string>;
+    empty when the doc has fewer than n words). Pure Column expression."""
+    words = F.split(normalized(col), " ")
+    k = F.size(words) - F.lit(n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(words, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def contamination(df: DataFrame, eval_df: DataFrame, n: int = 8,
+                  text_col: str = "text", eval_text_col: str = "text",
+                  id_col: str = "docid",
+                  threshold: float = 0.1) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    n-grams overlap an evaluation set (the standard 8-13-gram overlap
+    check LLM pipelines run before training, e.g. GPT-3 appendix C /
+    PaLM's 'data contamination' audit — public methodology).
+
+    Per document: ``n_grams`` (distinct n-grams), ``n_hits`` (of those,
+    how many appear anywhere in the eval set), ``frac`` = hits/grams,
+    and ``contaminated`` = frac > threshold. Documents with fewer than
+    ``n`` words carry 0 grams and are never contaminated.
+
+    Scale shape (100 TB corpus, benchmark-sized eval set): the eval
+    n-gram dictionary is DISTINCT'd then BROADCAST, so the corpus pass
+    is map-only — explode distinct grams, hash-probe the broadcast set,
+    one per-doc re-aggregation keyed on the already-partitioned docid.
+    No corpus-sized shuffle. If the eval set outgrows broadcast
+    (hundreds of millions of grams), drop the broadcast hint and the
+    same plan becomes a standard large-large hash join.
+    """
+    ev = (eval_df.select(
+            F.explode(word_ngrams(F.col(eval_text_col), n)).alias("g"))
+          .distinct())
+    grams = df.select(
+        F.col(id_col).cast("string").alias("docid"),
+        word_ngrams(F.col(text_col), n).alias("gs"),
+    )
+    exploded = grams.select(
+        "docid", F.explode_outer("gs").alias("g"),
+        F.size("gs").alias("n_grams"))
+    hit = exploded.join(
+        F.broadcast(ev.withColumn("_hit", F.lit(1))), "g", "left")
+    return (
+        hit.groupBy("docid")
+        .agg(F.first("n_grams").alias("n_grams"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"))
+        .withColumn(
+            "frac",
+            F.when(F.col("n_grams") > 0,
+                   F.round(F.col("n_hits") / F.col("n_grams"), 6))
+            .otherwise(F.lit(0.0)))
+        .withColumn("contaminated", F.col("frac") > F.lit(threshold))
+    )

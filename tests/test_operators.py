@@ -299,3 +299,32 @@ def test_extract_code_blocks(spark):
     assert rows[("a", 0)]["code"] == "def f():\n    return 1\n"
     assert rows[("a", 1)]["lang"] == ""
     assert rows[("a", 1)]["code"] == "plain text block\n"
+
+
+def test_contamination_overlap(spark):
+    from ex_elasticlunr_spark.operators.quality import contamination
+
+    eval_df = spark.createDataFrame(
+        [("e1", "the quick brown fox jumps over the lazy dog")],
+        "docid string, text string")
+    train = spark.createDataFrame(
+        [
+            # verbatim copy: every 4-gram hits
+            ("t1", "the quick brown fox jumps over the lazy dog"),
+            # partial: shares exactly one 4-gram window
+            ("t2", "xx quick brown fox jumps yy zz aa"),
+            # disjoint vocabulary
+            ("t3", "alpha beta gamma delta epsilon zeta"),
+            # too short for any 4-gram
+            ("t4", "one two three"),
+        ],
+        "docid string, text string")
+    rows = {r["docid"]: r
+            for r in contamination(train, eval_df, n=4,
+                                   threshold=0.5).collect()}
+    assert rows["t1"]["n_hits"] == rows["t1"]["n_grams"] == 6
+    assert rows["t1"]["contaminated"]
+    assert rows["t2"]["n_grams"] == 5 and rows["t2"]["n_hits"] == 1
+    assert not rows["t2"]["contaminated"]
+    assert rows["t3"]["n_hits"] == 0 and not rows["t3"]["contaminated"]
+    assert rows["t4"]["n_grams"] == 0 and rows["t4"]["frac"] == 0.0
