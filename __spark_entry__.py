@@ -406,6 +406,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_contamination"] = contamination
 
+    # domain mixing: keep 50% of src0, 25% of src1, all other sources
+    q["sample_sources"] = lambda s, d: quality.sample_sources(
+        _documents(s, d), {"src0": 0.5, "src1": 0.25}).select(
+            "docid", "source")
+
+    # near-dup retention: LSH candidates -> verified pairs -> clusters
+    # -> keep each cluster's min docid + all unclustered docs
+    def dedup_keep(s, d):
+        docs = _documents(s, d)
+        cands = dedup.lsh_candidate_pairs(docs, num_hashes=16, bands=4,
+                                          k=8).select("docid_a", "docid_b")
+        pairs = dedup.ngram_jaccard_pairs(docs, cands, n=8, threshold=0.5)
+        return quality.keep_canonical(
+            docs, dedup.duplicate_clusters(pairs)).select("docid", "source")
+
+    q["dedup_keep_canonical"] = dedup_keep
+
     # ---- event log (operators/events.py) --------------------------------
     # timestamps project as fixed-width wall-clock strings on both
     # engines: events.parquet reads as TIMESTAMP_NTZ in Spark, and
@@ -685,6 +702,39 @@ reach AS (
   SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON e.src = r.b
 )
 SELECT a AS docid, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+    o["sample_sources"] = """
+SELECT CAST(doc_id AS VARCHAR) AS docid, source
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix-v1'), 1, 8))
+           AS BIGINT) % 1000000
+      < CAST((CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+              ELSE 1.0 END) * 1000000 AS BIGINT)
+"""
+    o["dedup_keep_canonical"] = f"""
+WITH RECURSIVE pairs AS ({o["dedup_ngram_jaccard"]}),
+edges AS (
+  SELECT docid_a AS src, docid_b AS dst FROM pairs
+  UNION
+  SELECT docid_b AS src, docid_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS a, src AS b FROM edges
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON e.src = r.b
+),
+clusters AS (
+  SELECT a AS docid, MIN(b) AS cluster_id FROM reach GROUP BY a
+),
+canon AS (
+  SELECT cluster_id, MIN(docid) AS docid FROM clusters GROUP BY cluster_id
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS docid, d.source
+FROM documents d
+WHERE CAST(d.doc_id AS VARCHAR) NOT IN (
+  SELECT c.docid FROM clusters c
+  WHERE c.docid NOT IN (SELECT docid FROM canon))
 """
 
     pii_text = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"

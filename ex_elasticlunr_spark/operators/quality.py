@@ -560,3 +560,43 @@ def contamination(df: DataFrame, eval_df: DataFrame, n: int = 8,
             .otherwise(F.lit(0.0)))
         .withColumn("contaminated", F.col("frac") > F.lit(threshold))
     )
+
+
+def sample_sources(df: DataFrame, rates: dict, source_col: str = "source",
+                   default_rate: float = 1.0, seed: str = "mix-v1",
+                   id_col: str = "docid") -> DataFrame:
+    """Deterministic per-source downsampling — the domain-mixing step of
+    training-data curation (keep x% of crawl, 100% of curated sources).
+
+    Keep iff md5(docid || seed)[:8] mod 10^6 < rate(source) * 10^6 —
+    the same id-hash discipline as ``data_split``: reproducible across
+    partitioning, cluster size, and row order, and SQL-expressible for
+    the oracle. Map-only (the rate table rides along as a literal
+    when-chain; no join, no shuffle) — at 100 TB this is a pure scan.
+    """
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))),
+        1, 8), 16, 10).cast("long") % F.lit(1000000)
+    rate = F.lit(float(default_rate))
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(float(r))) \
+            .otherwise(rate)
+    return df.where(bucket < (rate * F.lit(1000000)).cast("long"))
+
+
+def keep_canonical(df: DataFrame, clusters: DataFrame,
+                   id_col: str = "docid") -> DataFrame:
+    """Duplicate-retention policy: given ``duplicate_clusters`` output
+    (docid, cluster_id), keep each cluster's canonical member (min
+    docid) plus every unclustered doc — the filter step that turns
+    near-dup detection into an actual deduplicated corpus.
+
+    Two cluster-sized joins (clusters is pair-bounded, far smaller than
+    the corpus): an anti-join dropping clustered non-canonicals. The
+    corpus itself is never shuffled.
+    """
+    canon = clusters.groupBy("cluster_id").agg(
+        F.min("docid").alias("docid"))
+    drop = clusters.select("docid").exceptAll(canon.select("docid"))
+    return df.join(
+        drop.withColumnRenamed("docid", id_col), id_col, "left_anti")

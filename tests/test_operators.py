@@ -328,3 +328,35 @@ def test_contamination_overlap(spark):
     assert not rows["t2"]["contaminated"]
     assert rows["t3"]["n_hits"] == 0 and not rows["t3"]["contaminated"]
     assert rows["t4"]["n_grams"] == 0 and rows["t4"]["frac"] == 0.0
+
+
+def test_sample_sources_deterministic(spark):
+    from ex_elasticlunr_spark.operators.quality import sample_sources
+
+    df = spark.createDataFrame(
+        [(str(i), "a" if i < 200 else "b") for i in range(400)],
+        "docid string, source string")
+    kept = sample_sources(df, {"a": 0.5}, default_rate=1.0)
+    n_a = kept.where("source = 'a'").count()
+    # md5 split: ~50% of 'a', binomial 3-sigma band
+    assert 70 <= n_a <= 130
+    assert kept.where("source = 'b'").count() == 200
+    # deterministic: identical on re-run and independent of partitioning
+    again = sample_sources(df.repartition(7), {"a": 0.5})
+    assert kept.exceptAll(again).count() == 0
+    assert again.exceptAll(kept).count() == 0
+    # rate 0 drops everything; rate 1 keeps everything
+    assert sample_sources(df, {"a": 0.0}).where("source='a'").count() == 0
+
+
+def test_keep_canonical(spark):
+    from ex_elasticlunr_spark.operators.quality import keep_canonical
+
+    docs = spark.createDataFrame(
+        [("d1", "x"), ("d2", "x"), ("d3", "x"), ("d9", "y")],
+        "docid string, text string")
+    clusters = spark.createDataFrame(
+        [("d1", "d1"), ("d2", "d1"), ("d3", "d1")],
+        "docid string, cluster_id string")
+    kept = sorted(r["docid"] for r in keep_canonical(docs, clusters).collect())
+    assert kept == ["d1", "d9"]
