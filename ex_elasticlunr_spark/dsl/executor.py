@@ -69,12 +69,17 @@ class QueryExecutor:
         node = parse(query.get("query", query) if isinstance(query, dict) else query)
         df = self.compile(node, details=include_details)
         if self.index.key_col == "ord":
-            # one ord->docid translation per query (full map: universe
-            # clauses can emit the synthetic negative ordinals of
-            # zero-content docs); join BEFORE the ordering — the
-            # deterministic tie-break is on docid
+            # one ord->docid translation per query, joined BEFORE the
+            # ordering (the deterministic tie-break is on docid). Only
+            # universe clauses (match_all / not) can emit the synthetic
+            # NEGATIVE ordinals of zero-content docs — scoring-only
+            # trees join the plain parquet-backed ordinals table (small
+            # scan Catalyst auto-broadcasts) instead of the full map,
+            # whose zero-content extension re-runs an anti-join +
+            # range-partitioned ordinal assignment in every query plan
             rest = [c for c in df.columns if c != "ord"]
-            df = (df.join(self.index.ordinals_df(full=True), "ord")
+            full = self._has_universe(node)
+            df = (df.join(self.index.ordinals_df(full=full), "ord")
                   .select("docid", *rest))
         out = df.orderBy(F.desc("score"), F.asc("docid"))
         return out.limit(top_k) if top_k else out
@@ -93,6 +98,26 @@ class QueryExecutor:
         else:
             should = [{"match": {f: text}} for f in self.index.analyzers]
         return self.execute({"query": {"bool": {"should": should}}}, top_k=top_k)
+
+    def _has_universe(self, node) -> bool:
+        """True when the tree can emit docs with NO postings (match_all /
+        not — including the bool must_not rewrite and a match whose query
+        analyzes to zero tokens, which rewrite_match turns into
+        match_all): those need the FULL ordinal map with synthetic
+        negative ordinals for zero-content docs; everything else scores
+        posting-bearing docs only."""
+        if isinstance(node, (MatchAllNode, NotNode)):
+            return True
+        if isinstance(node, (MatchNode, MatchPhraseNode)):
+            pipeline = self.index.analyzers[node.field].to_query_pipeline()
+            return len(pipeline.run(node.query)) == 0
+        if isinstance(node, BoolNode):
+            kids = list(node.should) + list(node.filter)
+            kids += [node.must] if node.must is not None else []
+            if node.must_not is not None:
+                return True
+            return any(self._has_universe(k) for k in kids)
+        return False
 
     # -- compilation -----------------------------------------------------
     def compile(self, node, restrict: Optional[DataFrame] = None,

@@ -233,3 +233,31 @@ def test_search_details_bool_merge(golden):
         got_pos = {f: p for f, p in got_pos.items() if p}
         assert got_pos == want_pos, docid
         assert r["score"] == pytest.approx(w["score"])
+
+
+def test_all_stopword_match_rewrites_to_universe(spark):
+    """A match whose query string analyzes to ZERO tokens rewrites to
+    match_all (match_query.ex:34-44) and must therefore emit docs that
+    hold no postings at all (null field -> synthetic negative ordinal).
+    Pins QueryExecutor._has_universe seeing through the rewrite: the
+    ord->docid translate join must use the FULL ordinal map here, while
+    scoring-only queries take the cheap parquet-backed table."""
+    from ex_elasticlunr_spark import Index
+
+    sdf = spark.createDataFrame(
+        [("1", "quick fox"), ("2", None)], "id string, text string")
+    idx = Index(name="msw").add_field("text")
+    idx.add_documents(sdf, docid_col="id")
+    idx.materialize()
+
+    # all-stopword query -> match_all -> both docs, incl the null one
+    got = sorted(r["docid"]
+                 for r in idx.search(
+                     {"query": {"match": {"text": "the of and"}}}).collect())
+    assert got == ["1", "2"]
+
+    # scoring query: posting-bearing docs only (cheap ordinals path)
+    got = [r["docid"]
+           for r in idx.search(
+               {"query": {"match": {"text": "quick fox"}}}).collect()]
+    assert got == ["1"]
