@@ -294,6 +294,9 @@ def bind_generations(inv, spark, path: str, manifest: dict) -> None:
     inv.postings = _anti_ord(_union("postings"))
     inv.postings_full = _anti_ord(_union("positions"))
     inv._ordinals = _union("ordinals")
+    # the durable base-gen ordinals_extra no longer covers the merged
+    # docs universe — recompute lazily on demand
+    inv._ordinals_all = None
     inv.doc_stats = _union("doc_stats")
     inv.docs = _union("docs")
     inv._tomb_ords = tomb_ords

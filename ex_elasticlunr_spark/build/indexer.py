@@ -439,6 +439,18 @@ class InvertedIndex:
                 docs = spark.read.parquet(_sp("docs"))
                 o = assign_doc_ordinals(docs).persist()
             o.write.mode("overwrite").parquet(_sp("ordinals"))
+            # zero-content docs (no non-null field -> no sentinel row)
+            # get their synthetic NEGATIVE ordinals assigned ONCE here,
+            # so a loaded index serves the match_all/not universe
+            # (ordinals_df full=True) from a pure parquet union instead
+            # of re-running this anti-join + range-partitioned
+            # assignment inside every universe query plan
+            extras = spark.read.parquet(_sp("docs")) \
+                .join(o, "docid", "left_anti")
+            assign_doc_ordinals(extras).select(
+                "docid",
+                (-F.col("ord") - F.lit(2)).cast("long").alias("ord"),
+            ).write.mode("overwrite").parquet(_sp("ordinals_extra"))
             ordinals_box.append(o)
 
         # ---- phase 3: TERM-CLUSTERED narrow postings --------------------
@@ -599,7 +611,7 @@ class InvertedIndex:
         # only (one analyzer pass feeding every durable table) — the
         # durable positional home is the term-clustered `positions`
         tables = ["postings", "docs", "doc_stats", "field_stats",
-                  "term_stats", "ordinals"]
+                  "term_stats", "ordinals", "ordinals_extra"]
         if self.store_positions:
             tables.append("positions")
         fds_box: dict = {}
@@ -622,6 +634,7 @@ class InvertedIndex:
             "store_positions": self.store_positions,
             "clustered_positions": self.store_positions,
             "clustered_ord": True,
+            "ordinals_extra": True,
             "segments": with_segments,
             "block_size": block_size,
             "max_ord": int(max_ord_row["m"] or 0),
@@ -707,6 +720,16 @@ class InvertedIndex:
             else:
                 self.postings_full = self.postings
             self._ordinals = spark.read.parquet(os.path.join(path, "ordinals"))
+            extra_p = os.path.join(path, "ordinals_extra")
+            if (manifest.get("ordinals_extra")
+                    and not manifest.get("generations")
+                    and os.path.exists(extra_p)):
+                # universe translate = pure union of two parquet scans
+                # (generational binds fall back to the lazy anti-join —
+                # bind_generations resets this)
+                self._ordinals_all = self._ordinals.select(
+                    "docid", F.col("ord").cast("long").alias("ord")
+                ).unionByName(spark.read.parquet(extra_p))
         elif version == 4:
             # v4 split layout: narrow clustered postings (hot path),
             # positions in the doc-ordered flat ingest table (cold path)

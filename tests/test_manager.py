@@ -203,3 +203,37 @@ def test_update_documents_on_loaded_v4(spark, tmp_path):
     assert row["positions"]["text"] == [6, 3]
     # dog doc untouched
     assert back.search({"query": {"terms": {"text": "dog"}}}).count() == 1
+
+
+def test_saved_universe_ordinals_are_durable(spark, tmp_path):
+    """save() persists the zero-content ordinal extension
+    (ordinals_extra) so a LOADED index answers match_all/not without
+    re-running the docs-vs-ordinals anti-join in every query plan; the
+    synthetic negative ordinals still surface the null-field docs
+    (index_test.exs:151-172 counts them in the universe)."""
+    from ex_elasticlunr_spark import Index, IndexManager
+
+    sdf = spark.createDataFrame(
+        [("1", "quick fox", "run"), ("2", "lazy dog", None),
+         ("3", None, None)],
+        "id string, text string, tool string")
+    idx = Index(name="ordx").add_field("text").add_field("tool")
+    idx.add_documents(sdf, docid_col="id")
+    mgr = IndexManager(spark, str(tmp_path / "wh"))
+    mgr.save(idx)
+
+    assert (tmp_path / "wh" / "ordx" / "ordinals_extra").exists()
+    idx2 = mgr.get("ordx")
+    # load bound the durable union (no lazy anti-join pending)
+    assert idx2.inverted._ordinals_all is not None
+    full = {r["docid"]: r["ord"]
+            for r in idx2.inverted.ordinals_df(full=True).collect()}
+    assert full["3"] < 0 and full["1"] >= 0 and full["2"] >= 0
+
+    got = sorted(r["docid"] for r in
+                 idx2.search({"query": {"match_all": {}}}).collect())
+    assert got == ["1", "2", "3"]
+    got = sorted(r["docid"] for r in
+                 idx2.search({"query": {"not": {"terms":
+                                                {"text": "quick"}}}}).collect())
+    assert got == ["2", "3"]
