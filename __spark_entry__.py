@@ -142,6 +142,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, {"query": {"terms": {"text": {"value": "spak", "fuzziness": 1}}}})
     q["more_like_this"] = lambda s, d: _rounded(_index(s, d).more_like_this(
         "spark merge window fast join sort", "text", max_query_terms=4))
+    # term facet: top terms by doc count among the docs matching a
+    # match query (search/facets.py; aggregation layer beyond the
+    # reference's flat hit list)
+    q["facet_terms"] = lambda s, d: _index(s, d).facet(
+        {"query": {"match": {"text": "spark merge window"}}},
+        "text", top_n=15)
     q["terms_regex"] = lambda s, d: _search(
         s, d, {"query": {"terms": {"text": {"value": "^sp|dow$",
                                               "regex": True}}}})
@@ -411,6 +417,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _documents(s, d), {"src0": 0.5, "src1": 0.25}).select(
             "docid", "source")
 
+    # deterministic training-order shuffle: shard + in-shard sort key
+    # as a pure function of the doc id (operators/quality.py)
+    q["corpus_shuffle"] = lambda s, d: quality.shuffle_shards(
+        _documents(s, d), n_shards=8).select("docid", "shard", "sort_key")
+
     # near-dup retention: LSH candidates -> verified pairs -> clusters
     # -> keep each cluster's min docid + all unclustered docs
     def dedup_keep(s, d):
@@ -522,6 +533,19 @@ FROM (
 WHERE dist <= 4
 """.strip())
     o["match_or"] = _score_query(terms_scores_sql(_analyze("spark merge window")))
+    # facet: per-term doc counts over the match's doc set; postings are
+    # unique per (term, doc) so COUNT(*) is the doc count
+    o["facet_terms"] = _wrap(pre, f"""
+, base AS (
+  SELECT DISTINCT docid
+  FROM ({terms_scores_sql(_analyze("spark merge window"))}) m
+)
+SELECT p.term, COUNT(*) AS doc_count
+FROM postings p JOIN base USING (docid)
+GROUP BY p.term
+ORDER BY doc_count DESC, p.term ASC
+LIMIT 15
+""")
     # operator=and => msm = token count
     and_terms = _analyze("fast join")
     o["match_and"] = _score_query(
@@ -711,6 +735,14 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix-v1'), 1, 8))
            AS BIGINT) % 1000000
       < CAST((CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
               ELSE 1.0 END) * 1000000 AS BIGINT)
+"""
+    o["corpus_shuffle"] = """
+SELECT CAST(doc_id AS VARCHAR) AS docid,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuffle-v1'),
+                            1, 8)) AS BIGINT) % 8 AS shard,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuffle-v1'),
+                            9, 12)) AS BIGINT) AS sort_key
+FROM documents
 """
     o["dedup_keep_canonical"] = f"""
 WITH RECURSIVE pairs AS ({o["dedup_ngram_jaccard"]}),

@@ -302,6 +302,26 @@ class Index:
             return ex.execute({"query": {"bool": {"should": should}}}, top_k=top_k)
         raise ValueError("Root object must have a query element")
 
+    def facet(self, query, field: str, top_n: int = 10,
+              min_count: int = 1) -> DataFrame:
+        """Term facet over the docs matching ``query``: the ``top_n``
+        most frequent terms of ``field`` among the matched docs as
+        DataFrame(term, doc_count), ties broken on the term.
+
+        An aggregation layer the reference lacks (its result shape is
+        the flat hit list, core/index.ex:258-266) — implemented over
+        the compiled query subtree pre-docid-translation, so the facet
+        join runs on the narrow ord key (search/facets.py)."""
+        from .dsl.nodes import parse
+        from .search.facets import facet_terms
+
+        ex = self.executor()
+        node = parse(query.get("query", query)
+                     if isinstance(query, dict) else query)
+        matches = ex.compile(node)
+        return facet_terms(self.inverted, matches, field, top_n=top_n,
+                           min_count=min_count)
+
     def search_bm25(self, query, top_k: Optional[int] = None,
                     k1: float = 1.2, b: float = 0.75) -> DataFrame:
         return self.search(query, top_k=top_k, mode="bm25", k1=k1, b=b)

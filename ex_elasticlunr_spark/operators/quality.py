@@ -600,3 +600,28 @@ def keep_canonical(df: DataFrame, clusters: DataFrame,
     drop = clusters.select("docid").exceptAll(canon.select("docid"))
     return df.join(
         drop.withColumnRenamed("docid", id_col), id_col, "left_anti")
+
+
+def shuffle_shards(df: DataFrame, n_shards: int, seed: str = "shuffle-v1",
+                   id_col: str = "docid") -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``shard`` and an in-shard ``sort_key`` derived from md5(id || seed),
+    decorrelating training order from ingest/source order (adjacent
+    crawl pages, same-conversation turns) the way a host-side corpus
+    shuffle would, but reproducibly: the permutation is a pure function
+    of ids, independent of partitioning, cluster size, and row order.
+
+    Map-only (two substrings of one md5); the caller materializes the
+    order with ``.repartition(n, "shard").sortWithinPartitions
+    ("sort_key")`` or a partitioned write — one range-free shuffle whose
+    keys are hash-uniform by construction, so shards stay balanced at
+    any scale (no skew, no sampling pass, unlike repartitionByRange).
+    Same id-hash discipline as ``data_split``/``sample_sources``.
+    """
+    hx = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed)))
+    return df.withColumn(
+        "shard",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        % F.lit(int(n_shards)),
+    ).withColumn(
+        "sort_key", F.conv(F.substring(hx, 9, 12), 16, 10).cast("long"))

@@ -360,3 +360,53 @@ def test_keep_canonical(spark):
         "docid string, cluster_id string")
     kept = sorted(r["docid"] for r in keep_canonical(docs, clusters).collect())
     assert kept == ["d1", "d9"]
+
+
+def test_facet_terms_counts_and_tiebreak(spark):
+    """Facet over a query's matched docs: per-term doc counts with the
+    deterministic (count desc, term asc) top-n, min_count floor."""
+    from ex_elasticlunr_spark import AnalyzerConfig, Index
+
+    sdf = spark.createDataFrame(
+        [("1", "fox dog"), ("2", "fox cat"), ("3", "fox dog bird"),
+         ("4", "whale")],
+        "id string, text string")
+    idx = Index(name="fct", pipeline=AnalyzerConfig(stages=())) \
+        .add_field("text")
+    idx.add_documents(sdf, docid_col="id")
+    idx.materialize()
+
+    got = idx.facet({"query": {"terms": {"text": "fox"}}}, "text",
+                    top_n=10).collect()
+    # matched docs 1,2,3 -> fox:3, dog:2, then bird/cat tie on 1
+    assert [(r["term"], r["doc_count"]) for r in got] == [
+        ("fox", 3), ("dog", 2), ("bird", 1), ("cat", 1)]
+
+    got = idx.facet({"query": {"terms": {"text": "fox"}}}, "text",
+                    top_n=10, min_count=2).collect()
+    assert [(r["term"], r["doc_count"]) for r in got] == [
+        ("fox", 3), ("dog", 2)]
+
+
+def test_shuffle_shards_deterministic_and_balanced(spark):
+    """The training-order shuffle is a pure function of ids: identical
+    assignment under different partitioning/row order, shards within a
+    sane balance envelope, sort_key collision-free on distinct ids."""
+    from ex_elasticlunr_spark.operators.quality import shuffle_shards
+
+    df = spark.range(2000).select(
+        F.col("id").cast("string").alias("docid"))
+    a = {r["docid"]: (r["shard"], r["sort_key"])
+         for r in shuffle_shards(df, 8).collect()}
+    b = {r["docid"]: (r["shard"], r["sort_key"])
+         for r in shuffle_shards(
+             df.repartition(13).orderBy(F.rand(seed=7)), 8).collect()}
+    assert a == b
+    sizes = {}
+    for shard, _ in a.values():
+        assert 0 <= shard < 8
+        sizes[shard] = sizes.get(shard, 0) + 1
+    assert len(sizes) == 8
+    assert max(sizes.values()) < 2 * (2000 / 8)   # hash-uniform, no skew
+    keys = [k for _, k in a.values()]
+    assert len(set(keys)) == len(keys)            # 48-bit keys, no ties
