@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_terms"] = lambda s, d: _index(s, d).facet(
         {"query": {"match": {"text": "spark merge window"}}},
         "text", top_n=15)
+    # prefix autocomplete from term_stats alone (Index.suggest)
+    q["suggest_prefix"] = lambda s, d: _index(s, d).suggest(
+        "sp", "text", top_n=10)
     q["terms_regex"] = lambda s, d: _search(
         s, d, {"query": {"terms": {"text": {"value": "^sp|dow$",
                                               "regex": True}}}})
@@ -618,6 +621,10 @@ ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10
     o["doc_stats"] = _wrap(pre, "SELECT docid, doc_len FROM dstats")
     o["term_stats"] = _wrap(
         pre, "SELECT term, df, ROUND(idf, 6) AS idf FROM tstats")
+    o["suggest_prefix"] = _wrap(pre, """
+SELECT term, df FROM tstats WHERE term LIKE 'sp%'
+ORDER BY df DESC, term ASC LIMIT 10
+""")
     o["field_stats"] = _wrap(pre, """
 SELECT n_docs, n_unique_terms, ROUND(flnorm, 6) AS flnorm,
        ROUND(avg_doc_len, 6) AS avg_doc_len

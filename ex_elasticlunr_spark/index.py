@@ -322,6 +322,22 @@ class Index:
         return facet_terms(self.inverted, matches, field, top_n=top_n,
                            min_count=min_count)
 
+    def suggest(self, prefix: str, field: str, top_n: int = 10) -> DataFrame:
+        """Prefix autocomplete over the vocabulary: DataFrame(term, df)
+        of the ``top_n`` terms of ``field`` starting with ``prefix``,
+        most-frequent first, ties broken on the term.
+
+        The typeahead companion of ``expand`` terms queries
+        (terms_query.ex prefix expansion) served from vocabulary-sized
+        ``term_stats`` alone — a pushed StartsWith over the stats scan
+        plus a TakeOrdered; postings are never touched."""
+        from pyspark.sql import functions as F
+
+        t = self.inverted.term_stats.where(
+            (F.col("field") == field) & F.col("term").startswith(prefix))
+        return (t.select("term", "df")
+                .orderBy(F.desc("df"), F.asc("term")).limit(top_n))
+
     def search_bm25(self, query, top_k: Optional[int] = None,
                     k1: float = 1.2, b: float = 0.75) -> DataFrame:
         return self.search(query, top_k=top_k, mode="bm25", k1=k1, b=b)

@@ -302,3 +302,27 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             break
     edges.unpersist()
     return labels.select("docid", "cluster_id")
+
+
+def dedup_exact_stream(stream_df: DataFrame, text_col: str = "text",
+                       ts_col: str = "ts",
+                       watermark_delay: str = "10 minutes") -> DataFrame:
+    """Streaming twin of exact dedup: emit only the FIRST arrival of
+    every normalized-content hash, dropping later duplicates, for
+    dedup-at-ingest pipelines where the corpus arrives as a stream.
+
+    Built on ``dropDuplicatesWithinWatermark`` keyed on the md5 of the
+    normalized text: the state store holds one entry per distinct hash
+    and expires entries once the event-time watermark passes
+    ``watermark_delay``, so state is bounded by (distinct docs within
+    the watermark window), not by stream length — the property that
+    keeps this runnable forever at ingest scale. Contract differences
+    from the batch ``exact_duplicates``: the survivor is the first
+    ARRIVAL (batch keeps min docid), and duplicates separated by more
+    than the watermark delay are NOT caught — re-dedup the landed
+    corpus with the batch operator for a global guarantee.
+    """
+    hashed = stream_df.withColumn(
+        "text_hash", F.md5(normalized(F.col(text_col))))
+    return (hashed.withWatermark(ts_col, watermark_delay)
+            .dropDuplicatesWithinWatermark(["text_hash"]))
