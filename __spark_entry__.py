@@ -70,6 +70,15 @@ def _analyze(text: str) -> list:
     return Pipeline.default().run_terms(text)
 
 
+# bulk-search gate battery (search_many): analyzed with the same default
+# pipeline on both engines
+SM_QUERIES = {
+    "q_spark": "spark merge window fast",
+    "q_join": "fast join sort",
+    "q_stream": "stream batch query data",
+}
+
+
 def _rounded(df: DataFrame) -> DataFrame:
     return df.select("docid", F.round("score", 6).alias("score"))
 
@@ -188,6 +197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   top_k=10, mode="bm25"), 10)
     q["bm25_full"] = lambda s, d: _search(
         s, d, {"query": {"match": {"text": "spark merge window"}}}, mode="bm25")
+    # bulk multi-query top-k: all SM_QUERIES scored in ONE postings
+    # scan + one per-(query, doc) aggregation (search/batch.py)
+    q["search_many"] = lambda s, d: _index(s, d).search_many(
+        SM_QUERIES, "text", top_k=10, mode="bm25")
 
     # ---- index bookkeeping (SURVEY.md §2.2) ---------------------------
     def doc_stats(s, d):
@@ -377,6 +390,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kmeans_iters=1)
     q["emb_near_dups"] = lambda s, d: ann.pairwise_near_duplicates(
         _embeddings(s, d), threshold=0.99, n_planes=8, n_bands=4)
+    # SemDeDup-shaped retention: keep=false iff a smaller-id near-dup
+    # exists (greedy pairwise policy over the banded-LSH pair list)
+    q["semantic_dedup"] = lambda s, d: ann.semantic_dedup(
+        _embeddings(s, d), threshold=0.99, n_planes=8, n_bands=4).select(
+        "vec_id", F.col("keep").cast("long").alias("keep"))
+
+    # hybrid lexical+vector retrieval: RRF over the BM25 top-50 and the
+    # cosine top-50 (operators/hybrid.py) — rank fusion, no calibration
+    def _hybrid(s, d):
+        from ex_elasticlunr_spark.operators.hybrid import rrf_fusion
+
+        bm = _topk(_index(s, d).search_bm25("spark merge window fast"), 50)
+        vec = ann.brute_force_topk(_embeddings(s, d), _qvec(s, d), k=50) \
+            .select(F.col("vec_id").alias("docid"),
+                    F.col("cos_sim").alias("score"))
+        return rrf_fusion([bm, vec], k=60, top_n=20)
+
+    q["hybrid_rrf"] = _hybrid
 
     # ---- multimodal plumbing (stubbed decode; hash-comparable gate
     # projections: per-dim feature bytes / hex of the stub outputs so the
@@ -1210,6 +1241,58 @@ JOIN buckets bb ON ba.band = bb.band AND ba.bucket = bb.bucket
 JOIN embeddings ea ON ea.vec_id = ba.vec_id
 JOIN embeddings eb ON eb.vec_id = bb.vec_id
 WHERE {cos_ab} >= 0.99
+"""
+    # SemDeDup retention over the same near-dup pair list: keep=0 iff a
+    # smaller-id near-dup exists (greedy pairwise min-id policy)
+    o["semantic_dedup"] = f"""
+WITH pairs AS ({o["emb_near_dups"]}),
+dropped AS (SELECT DISTINCT vec_id_b AS vec_id FROM pairs)
+SELECT CAST(e.vec_id AS VARCHAR) AS vec_id,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM embeddings e
+LEFT JOIN dropped d ON CAST(e.vec_id AS VARCHAR) = d.vec_id
+"""
+
+    # bulk multi-query top-k: same analyzed term multisets as SM_QUERIES
+    from ex_elasticlunr_spark.plans.oracle_sql import search_many_sql
+
+    sm_terms: dict = {}
+    for qid, text in SM_QUERIES.items():
+        counts: dict = {}
+        for t in _analyze(text):
+            counts[t] = counts.get(t, 0) + 1
+        sm_terms[qid] = counts
+    o["search_many"] = search_many_sql(sm_terms, top_k=10, mode="bm25")
+
+    # hybrid RRF: BM25 top-50 + cosine top-50, 1/(60+rank) fusion.
+    # Rounded scores order both lists (the operator's determinism
+    # contract); two-addend double sums are order-independent in IEEE.
+    hy_terms = _analyze("spark merge window fast")
+    o["hybrid_rrf"] = f"""
+WITH {pre},
+bm AS (
+  SELECT docid, ROUND(score, 6) AS score
+  FROM ({terms_scores_sql(hy_terms, mode="bm25")}) r
+  ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 50
+),
+bmr AS (
+  SELECT docid, row_number() OVER (ORDER BY score DESC, docid ASC) AS rank
+  FROM bm
+),
+vec AS (
+  SELECT CAST(e.vec_id AS VARCHAR) AS docid, ROUND({cos}, 6) AS score
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  ORDER BY score DESC, docid ASC LIMIT 50
+),
+vecr AS (
+  SELECT docid, row_number() OVER (ORDER BY score DESC, docid ASC) AS rank
+  FROM vec
+),
+u AS (SELECT * FROM bmr UNION ALL SELECT * FROM vecr)
+SELECT docid, ROUND(SUM(1.0 / (60 + rank)), 6) AS rrf_score,
+       COUNT(*) AS n_lists
+FROM u GROUP BY docid
+ORDER BY rrf_score DESC, docid ASC LIMIT 20
 """
     # IVF-style coarse search: deterministic pseudo-random centroids
     # (md5-ordered vec ids), argmax assignment, probe the 3 nearest cells

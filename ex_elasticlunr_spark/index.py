@@ -342,6 +342,19 @@ class Index:
                     k1: float = 1.2, b: float = 0.75) -> DataFrame:
         return self.search(query, top_k=top_k, mode="bm25", k1=k1, b=b)
 
+    def search_many(self, queries, field: str, top_k: int = 10,
+                    mode: str = "bm25", k1: float = 1.2,
+                    b: float = 0.75) -> DataFrame:
+        """Bulk multi-query top-k in ONE Spark job: ``queries`` is
+        {query_id: text} (driver-side, union-of-terms pushed into the
+        postings scan) or a DataFrame(query_id, query_text) for
+        corpus-sized query sets. Returns DataFrame(query_id, docid,
+        score, rank) — see search/batch.py for the plan shape."""
+        from .search.batch import search_many as _sm
+
+        return _sm(self.inverted, queries, field, top_k=top_k, mode=mode,
+                   k1=k1, b=b)
+
     def search_wand(self, text: str, field: str, top_k: int = 10,
                     mode: str = "bm25", k1: float = 1.2, b: float = 0.75,
                     block_size: int = 4096, expand: bool = False,

@@ -182,6 +182,44 @@ def pairwise_near_duplicates(df: DataFrame, threshold: float = 0.95,
     )
 
 
+def semantic_dedup(df: DataFrame, threshold: float = 0.99,
+                   n_planes: int = 8, n_bands: int = 4,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   dim: Optional[int] = None) -> DataFrame:
+    """SemDeDup-shaped embedding dedup (Abbas et al., 2023: drop all but
+    one of each group of semantically near-identical documents): returns
+    DataFrame(vec_id, keep) over EVERY input row, where ``keep`` is
+    false iff the vector has a near-duplicate (cosine >= threshold)
+    with a LEXICOGRAPHICALLY SMALLER id.
+
+    Retention policy: greedy pairwise min-id — deterministic, one
+    anti-join over the near-dup pair list, no iterative clustering.
+    (The published SemDeDup keeps one doc per within-cluster group;
+    the greedy rule agrees except on chains where a doc's only smaller
+    near-dups are themselves dropped — at a 0.99 threshold those chains
+    are vanishingly rare, and the greedy rule errs on dropping, which
+    is the conservative direction for training-data dedup. For
+    connected-component retention compose ``pairwise_near_duplicates``
+    with ``dedup.duplicate_clusters`` instead.)
+
+    Scale shape: inherits pairwise_near_duplicates' banded-LSH candidate
+    generation (never all-pairs, id-width candidate shuffle); the keep
+    flag is one left-anti-shaped join of the corpus ids against the
+    distinct dropped-id set.
+    """
+    pairs = pairwise_near_duplicates(
+        df, threshold=threshold, n_planes=n_planes, n_bands=n_bands,
+        id_col=id_col, vec_col=vec_col, dim=dim)
+    dropped = pairs.select(
+        F.col("vec_id_b").alias("vec_id")).distinct().withColumn(
+        "dropped", F.lit(True))
+    ids = df.select(F.col(id_col).cast("string").alias("vec_id"))
+    return (ids.join(dropped, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep")))
+
+
 def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """argmax-cosine cell assignment via one broadcast cross join."""
     return (

@@ -165,6 +165,55 @@ def terms_scores_sql(
 """.strip()
 
 
+def search_many_sql(query_terms: dict, top_k: int = 10,
+                    mode: str = "bm25") -> str:
+    """Bulk multi-query top-k (search/batch.py search_many): one row per
+    (query_id, docid) in some query's top-k, plus the rank.
+
+    ``query_terms``: {query_id: {term: multiplicity}} — the analyzed
+    queries, produced driver-side with the SAME pipeline the Spark
+    operator uses. Scores round to 6 decimals BEFORE ranking, ties on
+    docid asc (the operator's cross-engine determinism contract).
+    """
+    qvals = ", ".join(
+        f"('{qid}', '{t}', {w})"
+        for qid in sorted(query_terms)
+        for t, w in sorted(query_terms[qid].items())
+    )
+    if mode == "elasticlunr":
+        agg = "MAX(entry_score)"
+    else:
+        agg = "SUM(bm25_score)"
+    return f"""
+WITH {index_prefix()},
+q AS (SELECT * FROM (VALUES {qvals}) t(query_id, qt, qw)),
+entries AS (
+  SELECT q.query_id, p.docid,
+         sqrt(p.tf_raw) * t.idf * t.idf * f.flnorm AS entry_score,
+         ln(1.0 + (f.n_docs - t.df + 0.5) / (t.df + 0.5))
+           * (p.tf_raw * 2.2)
+           / (p.tf_raw + 1.2 * (0.25 + 0.75 * d.doc_len / f.avg_doc_len))
+           * q.qw AS bm25_score
+  FROM postings p
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (docid)
+  CROSS JOIN fstats f
+  JOIN q ON p.term = q.qt
+),
+scored AS (
+  SELECT query_id, docid, ROUND({agg}, 6) AS score
+  FROM entries GROUP BY query_id, docid
+)
+SELECT query_id, docid, score, rank FROM (
+  SELECT query_id, docid, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, docid ASC) AS rank
+  FROM scored
+) r
+WHERE rank <= {top_k}
+""".strip()
+
+
 def phrase_scores_sql(terms: List[str], boost: float = 1.0,
                       mode: str = "elasticlunr") -> str:
     """Exact-phrase per-doc scoring select: (docid, score).

@@ -1,0 +1,148 @@
+"""Bulk multi-query scoring: Q queries against the index in ONE job.
+
+The reference serves one query per call (core/index.ex:262-265); at
+training-data-mining scale the workload is the transpose — thousands to
+millions of queries (e.g. every eval prompt, every seed document of a
+retrieval sweep) scored against the same corpus. Running Q single-query
+jobs pays Q× (scan + agg + driver round-trip). The Spark-first shape is
+query-data-parallel:
+
+    queries(query_id, text)
+      -> analyze                      [driver-side for a dict, the same
+                                       Arrow-batched analyzer otherwise]
+      -> qterms(query_id, qt, qw)     qw = term multiplicity in query
+      -> broadcast-join term_stats    (vocabulary-sized idf lookup)
+      -> ONE postings scan, term-pruned by the UNION of all query terms
+         (pushed In(term, ...) over the term-clustered table — row-group
+         pruning works for a thousand-query batch exactly like for one)
+      -> per-(query_id, doc) aggregation             [the one wide op]
+      -> ord->docid translation, then per-query top-k via row_number
+         over a (query_id)-partitioned window
+
+Cost is ~one query's scan + a fan-out proportional to total matched
+postings — not Q full passes. The per-(query, doc) aggregation keys on
+(query_id, ord): fixed-width, hash-uniform, skew bounded by the hottest
+(query, term) posting list.
+
+Scores are rounded to 6 decimals BEFORE ranking (ties broken on docid
+asc) so ranks are reproducible bit-for-bit across engines — the same
+contract as the single-query gate queries.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Union
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.literals import inline_rows
+
+
+def search_many(
+    index,
+    queries: Union[Dict[str, str], DataFrame],
+    field: str,
+    top_k: int = 10,
+    mode: str = "bm25",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every query in ``queries`` against ``field``, returning
+    DataFrame(query_id, docid, score, rank) with ``rank`` 1..top_k per
+    query (rounded-score desc, docid asc).
+
+    ``queries``: a driver-side mapping {query_id: query_text} — each
+    text is analyzed with the field's query pipeline and the union of
+    all terms is PUSHED into the postings scan as a literal
+    ``In(term, ...)`` — or a DataFrame(query_id, query_text) for
+    corpus-sized query sets, analyzed with the same Arrow-batched
+    analyzer as ingest (no literal pushdown possible: the term set is
+    not driver-resident; the scan is still single-pass).
+
+    Semantics per query match the single-query ``match`` path
+    (dsl/nodes.rewrite_match): duplicate query terms contribute
+    multiplicatively in bm25 sum mode (qw), and not at all in
+    elasticlunr max mode. Queries analyzing to zero tokens return no
+    rows (a match_all per stray query would swamp a bulk result).
+    """
+    spark = index.postings.sparkSession
+    key = index.key_col
+    cfg = index.analyzers[field]
+
+    literal_terms: Optional[list] = None
+    if isinstance(queries, dict):
+        pipeline = cfg.to_query_pipeline()
+        rows = []
+        for qid, text in sorted(queries.items()):
+            counts: Dict[str, int] = {}
+            for t in pipeline.run_terms(text):
+                counts[t] = counts.get(t, 0) + 1
+            for t, n in sorted(counts.items()):
+                rows.append((str(qid), t, n))
+        if not rows:
+            return spark.createDataFrame(
+                [], "query_id string, docid string, score double, rank long")
+        qterms = inline_rows(
+            spark, rows, "query_id string, qt string, qw long")
+        literal_terms = sorted({t for _, t, _ in rows})
+    else:
+        from ..functions.udfs import analyze_postings
+
+        stacked = queries.select(
+            F.col("query_id").cast("string").alias("docid"),
+            F.lit(field).alias("field"),
+            F.col("query_text").cast("string").alias("content"),
+        )
+        analyzed = analyze_postings(stacked, {field: cfg}, positions=False)
+        qterms = analyzed.where(F.col("term").isNotNull()).select(
+            F.col("docid").alias("query_id"),
+            F.col("term").alias("qt"),
+            F.col("tf_raw").cast("long").alias("qw"),
+        )
+
+    vocab = index.term_stats.where(F.col("field") == field).select(
+        "term", F.col("df").alias("term_df"), F.col("idf").alias("term_idf"))
+    matched = vocab.join(
+        qterms.withColumnRenamed("qt", "term"), "term")
+
+    post = index.postings.where(F.col("field") == field)
+    if literal_terms is not None:
+        # the pushdown that makes a bulk batch ~one query's scan: the
+        # union of all query terms prunes row groups of the
+        # term-clustered postings before any join
+        post = post.where(F.col("term").isin(literal_terms))
+
+    entries = post.join(F.broadcast(matched) if literal_terms is not None
+                        else matched, "term")
+    fstats = F.broadcast(
+        index.field_stats.where(F.col("field") == field)
+        .select("field", "flnorm", "n_docs", "avg_doc_len"))
+    entries = entries.join(fstats, "field")
+
+    if mode == "elasticlunr":
+        entry_score = F.col("tf") * F.col("term_idf") ** 2 * F.col("flnorm")
+        agg_score = F.max(entry_score)
+    elif mode == "bm25":
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("term_df") + F.lit(0.5))
+            / (F.col("term_df") + F.lit(0.5)))
+        tf_part = (F.col("tf_raw") * (k1 + 1.0)) / (
+            F.col("tf_raw") + F.lit(k1) * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("doc_len") / F.col("avg_doc_len")))
+        entry_score = idf * tf_part * F.col("qw")
+        agg_score = F.sum(entry_score)
+    else:
+        raise ValueError(f"unknown scoring mode {mode!r}")
+
+    per_doc = (entries.groupBy("query_id", key)
+               .agg(F.round(agg_score, 6).alias("score")))
+    if key == "ord":
+        per_doc = (per_doc.join(index.ordinals_df(), "ord")
+                   .select("query_id", "docid", "score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("docid"))
+    return (per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= top_k)
+            .select("query_id", "docid", "score", "rank"))

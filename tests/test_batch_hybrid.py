@@ -1,0 +1,102 @@
+"""search_many (bulk multi-query), RRF fusion, and semantic_dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ex_elasticlunr_spark import Index
+from ex_elasticlunr_spark.operators.ann import semantic_dedup
+from ex_elasticlunr_spark.operators.hybrid import rrf_fusion
+
+
+DOCS = [
+    ("d1", "spark merges sorted runs fast"),
+    ("d2", "the window function sorts rows"),
+    ("d3", "fast join on a sorted key"),
+    ("d4", "spark window spark window spark"),
+    ("d5", "slow scan of a big table"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    df = spark.createDataFrame(DOCS, "docid string, text string")
+    return Index(name="batch").add_field("text").add_documents(
+        df, docid_col="docid")
+
+
+def test_search_many_matches_per_query_search(idx):
+    """Each query's bulk rows equal its single-query bm25 top-k
+    (rounded-score ranking, docid tie-break)."""
+    queries = {"qa": "spark window", "qb": "fast join", "qc": "sorted runs"}
+    bulk = idx.search_many(queries, "text", top_k=3, mode="bm25")
+    rows = {(r["query_id"], r["rank"]): (r["docid"], r["score"])
+            for r in bulk.collect()}
+    for qid, text in queries.items():
+        single = [
+            (r["docid"], round(r["score"], 6))
+            for r in idx.search_bm25(text).collect()
+        ]
+        single = sorted(single, key=lambda t: (-t[1], t[0]))[:3]
+        got = [rows[(qid, k + 1)] for k in range(len(single))]
+        assert got == single, f"{qid}: {got} != {single}"
+
+
+def test_search_many_duplicate_terms_weighted(idx):
+    """A duplicated query term contributes multiplicatively in bm25 sum
+    mode — same as the single-query path scoring the term list twice."""
+    once = {r["docid"]: r["score"]
+            for r in idx.search_many({"q": "spark"}, "text").collect()}
+    twice = {r["docid"]: r["score"]
+             for r in idx.search_many({"q": "spark spark"}, "text").collect()}
+    assert set(once) == set(twice)
+    for d in once:
+        assert twice[d] == pytest.approx(2 * once[d], abs=2e-6)
+
+
+def test_search_many_dataframe_queries(idx, spark):
+    """The DataFrame query-set path (distributed analysis) agrees with
+    the driver-dict path."""
+    queries = {"qa": "spark window", "qb": "fast join"}
+    qdf = spark.createDataFrame(
+        list(queries.items()), "query_id string, query_text string")
+    a = sorted(map(tuple, idx.search_many(queries, "text").collect()))
+    b = sorted(map(tuple, idx.search_many(qdf, "text").collect()))
+    assert a == b
+
+
+def test_search_many_empty_and_unknown(idx):
+    """Stopword-only queries emit no rows (no match_all explosion);
+    unknown-term queries emit no rows."""
+    out = idx.search_many({"q1": "the", "q2": "zzznope"}, "text")
+    assert out.count() == 0
+
+
+def test_rrf_fusion_ranks_and_counts(spark):
+    a = spark.createDataFrame(
+        [("x", 3.0), ("y", 2.0), ("z", 1.0)], "docid string, score double")
+    b = spark.createDataFrame(
+        [("y", 9.9), ("w", 5.0)], "docid string, score double")
+    got = {r["docid"]: (r["rrf_score"], r["n_lists"])
+           for r in rrf_fusion([a, b], k=60).collect()}
+    # list a ranks: x=1, y=2, z=3; list b ranks: y=1, w=2
+    assert got["y"] == (round(1 / 62 + 1 / 61, 6), 2)
+    assert got["x"] == (round(1 / 61, 6), 1)
+    assert got["w"] == (round(1 / 62, 6), 1)
+    assert got["z"] == (round(1 / 63, 6), 1)
+    ordered = [r["docid"] for r in rrf_fusion([a, b], k=60).collect()]
+    assert ordered == ["y", "x", "w", "z"]
+
+
+def test_semantic_dedup_greedy_min_id(spark):
+    """Identical vectors dedup to the smallest id; distinct vectors
+    survive."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [1.0, 1e-4, 0.0, 0.0]),  # near-dup of 1/2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["keep"]
+           for r in semantic_dedup(df, threshold=0.999).collect()}
+    assert got == {"1": True, "2": False, "3": True, "4": False}
