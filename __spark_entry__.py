@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prefix autocomplete from term_stats alone (Index.suggest)
     q["suggest_prefix"] = lambda s, d: _index(s, d).suggest(
         "sp", "text", top_n=10)
+    # per-doc tf-idf keyword extraction (one window over the postings)
+    q["keywords_tfidf"] = lambda s, d: _index(s, d).keywords("text", top_n=3)
     q["terms_regex"] = lambda s, d: _search(
         s, d, {"query": {"terms": {"text": {"value": "^sp|dow$",
                                               "regex": True}}}})
@@ -379,6 +381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return [float(x) for x in row["embedding"]]
 
     q["ann_brute_topk"] = lambda s, d: ann.brute_force_topk(
+        _embeddings(s, d), _qvec(s, d), k=10)
+    # exact top-k over the int8-quantized store (quantized query too)
+    q["ann_quantized_topk"] = lambda s, d: ann.quantized_topk(
         _embeddings(s, d), _qvec(s, d), k=10)
     q["ann_lsh_topk"] = lambda s, d: ann.lsh_topk(
         _embeddings(s, d), _qvec(s, d), k=10, n_planes=4)
@@ -655,6 +660,20 @@ ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10
     o["suggest_prefix"] = _wrap(pre, """
 SELECT term, df FROM tstats WHERE term LIKE 'sp%'
 ORDER BY df DESC, term ASC LIMIT 10
+""")
+    # per-doc tf-idf keywords: one window over postings x vocabulary
+    o["keywords_tfidf"] = _wrap(pre, """
+, scored AS (
+  SELECT p.docid, p.term, ROUND(p.tf_raw * t.idf, 6) AS score
+  FROM postings p JOIN tstats t USING (term)
+)
+SELECT docid, term, score, rank FROM (
+  SELECT docid, term, score,
+         row_number() OVER (PARTITION BY docid
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) r
+WHERE rank <= 3
 """)
     o["field_stats"] = _wrap(pre, """
 SELECT n_docs, n_unique_terms, ROUND(flnorm, 6) AS flnorm,
@@ -1162,6 +1181,34 @@ ORDER BY ROUND({cos}, 6) DESC, CAST(e.vec_id AS VARCHAR) ASC
 LIMIT 10
 """
     o["wand_bm25_topk"] = o["bm25_topk"]
+
+    # int8 quantize-dequantize on both sides (floor(x/s + 0.5) — same
+    # IEEE ops in every engine), then exact cosine top-k
+    o["ann_quantized_topk"] = """
+WITH deq AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> floor(x / s + 0.5) * s) AS dv
+  FROM (
+    SELECT vec_id, embedding,
+           CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS s
+    FROM (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding::DOUBLE[],
+                                     x -> abs(x))) AS m
+      FROM embeddings
+    ) t0
+  ) t1
+),
+q AS (SELECT dv AS dq FROM deq WHERE vec_id = 0)
+SELECT CAST(d.vec_id AS VARCHAR) AS vec_id,
+       ROUND(list_dot_product(d.dv, q.dq) /
+             (sqrt(list_dot_product(d.dv, d.dv)) *
+              sqrt(list_dot_product(q.dq, q.dq))), 6) AS cos_sim
+FROM deq d, q
+ORDER BY cos_sim DESC, CAST(d.vec_id AS VARCHAR) ASC
+LIMIT 10
+"""
 
     # hyperplane-LSH ANN: same md5-derived hyperplanes as operators/ann.py
     from ex_elasticlunr_spark.operators.ann import _hyperplane

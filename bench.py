@@ -209,8 +209,8 @@ def main() -> None:
         # one-time build+materialize as ITS OWN line so the first sf
         # query measures the query, not the cache fill
         timed("sf_index_build", lambda: entry_mod._index(spark, sf_dir))
-        for name in ("match_or", "bm25_topk", "dedup_minhash_lsh",
-                     "ann_brute_topk", "text_quality"):
+        for name in ("match_or", "bm25_topk", "search_many",
+                     "dedup_minhash_lsh", "ann_brute_topk", "text_quality"):
             timed(f"sf_{name}", lambda n=name: q[n](spark, sf_dir).collect())
 
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -322,6 +322,14 @@ class Index:
         return facet_terms(self.inverted, matches, field, top_n=top_n,
                            min_count=min_count)
 
+    def keywords(self, field: str, top_n: int = 5) -> DataFrame:
+        """Per-document tf-idf keywords: DataFrame(docid, term, score,
+        rank) with the ``top_n`` highest tf-idf terms of every doc
+        (search/facets.py keywords_tfidf)."""
+        from .search.facets import keywords_tfidf
+
+        return keywords_tfidf(self.inverted, field, top_n=top_n)
+
     def suggest(self, prefix: str, field: str, top_n: int = 10) -> DataFrame:
         """Prefix autocomplete over the vocabulary: DataFrame(term, df)
         of the ``top_n`` terms of ``field`` starting with ``prefix``,

@@ -182,6 +182,68 @@ def pairwise_near_duplicates(df: DataFrame, threshold: float = 0.95,
     )
 
 
+def _dequantized(vec, digits: int = 8):
+    """Symmetric per-vector int8 quantize-then-dequantize of an
+    array<double> column: scale = max(|x|)/127, q = floor(x/scale+0.5),
+    back to q*scale. Written as one JVM-side transform (the int array
+    never materializes; ``quantize_embeddings`` materializes it when the
+    caller wants the compact form). floor(x+0.5) instead of round():
+    identical IEEE semantics in every engine — SQL ROUND's half-away
+    vs banker's rounding would diverge on exact .5 quotients."""
+    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = F.when(max_abs == 0.0, F.lit(1.0)).otherwise(max_abs / 127.0)
+    return F.transform(vec, lambda x: F.floor(x / scale + 0.5) * scale)
+
+
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization: DataFrame(vec_id, scale,
+    qvec array<int>) with x ≈ qvec[i] * scale.
+
+    The standard 100 TB embedding-store lever: 4× less storage and —
+    the part that matters for brute-force scoring — 4× less memory
+    bandwidth per scan, at <1% cosine error for unit-norm-ish vectors.
+    Map-only, no shuffle."""
+    vec = F.col(vec_col).cast("array<double>")
+    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = F.when(max_abs == 0.0, F.lit(1.0)).otherwise(max_abs / 127.0)
+    return df.select(
+        F.col(id_col).cast("string").alias("vec_id"),
+        scale.alias("scale"),
+        F.transform(vec, lambda x: F.floor(x / scale + 0.5).cast("int"))
+        .alias("qvec"),
+    )
+
+
+def quantized_topk(df: DataFrame, query_vec: List[float], k: int = 10,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k over the int8-QUANTIZED corpus (and quantized query):
+    the fidelity check for serving brute-force ANN from a quantized
+    store — rank quality vs ``brute_force_topk`` is the recall metric
+    (tests pin recall@10).
+
+    Deterministic across engines: quantization uses floor(x/s + 0.5)
+    (see _dequantized) and the query is quantized driver-side with the
+    same IEEE-double arithmetic."""
+    # driver-side quantize-dequantize of the query (same formula)
+    import math
+
+    m = max(abs(float(x)) for x in query_vec)
+    s = (m / 127.0) if m != 0.0 else 1.0
+    dq_query = [math.floor(float(x) / s + 0.5) * s for x in query_vec]
+    q = F.array(*[F.lit(v) for v in dq_query])
+    dv = _dequantized(F.col(vec_col).cast("array<double>"))
+    return (
+        df.select(
+            F.col(id_col).cast("string").alias("vec_id"),
+            F.round(cosine(dv, q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def semantic_dedup(df: DataFrame, threshold: float = 0.99,
                    n_planes: int = 8, n_bands: int = 4,
                    id_col: str = "vec_id",

@@ -52,3 +52,37 @@ def facet_terms(inv, matches: DataFrame, field: str, top_n: int = 10,
         counts = counts.where(F.col("doc_count") >= min_count)
     return counts.orderBy(
         F.desc("doc_count"), F.asc("term")).limit(top_n)
+
+
+def keywords_tfidf(inv, field: str, top_n: int = 5) -> DataFrame:
+    """Per-document keyword extraction: for every doc, the ``top_n``
+    terms of ``field`` by tf-idf (tf_raw * elasticlunr idf), as
+    DataFrame(docid, term, score, rank) — rank 1..top_n per doc,
+    rounded-score desc, term asc tie-break.
+
+    The batch shape of "characterize every document" (tag clouds,
+    weak topic labels, routing features for a training mix). Plan:
+    the narrow postings scan joins the broadcast vocabulary for idf,
+    then ONE window partitioned by the doc key ranks terms per doc —
+    partitions are doc-sized (bounded by doc length), so the window
+    never concentrates load; the docid string joins in only for the
+    final rows.
+    """
+    from pyspark.sql import Window
+
+    key = "ord" if "ord" in inv.postings.columns else "docid"
+    vocab = F.broadcast(
+        inv.term_stats.where(F.col("field") == field).select("term", "idf"))
+    scored = (
+        inv.postings.where(F.col("field") == field)
+        .select(key, "term", "tf_raw")
+        .join(vocab, "term")
+        .select(key, "term",
+                F.round(F.col("tf_raw") * F.col("idf"), 6).alias("score"))
+    )
+    w = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("term"))
+    ranked = (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+              .where(F.col("rank") <= top_n))
+    if key == "ord":
+        ranked = ranked.join(inv.ordinals_df(), "ord")
+    return ranked.select("docid", "term", "score", "rank")

@@ -100,3 +100,46 @@ def test_semantic_dedup_greedy_min_id(spark):
     got = {r["vec_id"]: r["keep"]
            for r in semantic_dedup(df, threshold=0.999).collect()}
     assert got == {"1": True, "2": False, "3": True, "4": False}
+
+
+def test_quantized_topk_recall(spark):
+    """int8 quantization keeps recall@10 vs exact brute force high on
+    the real embeddings table."""
+    from ex_elasticlunr_spark.operators.ann import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in
+          df.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(df, qv, k=10).collect()}
+    quant = {r["vec_id"] for r in quantized_topk(df, qv, k=10).collect()}
+    assert len(exact & quant) >= 8
+
+
+def test_quantize_embeddings_reconstruction(spark):
+    """qvec * scale reconstructs each component within scale/2."""
+    from ex_elasticlunr_spark.operators.ann import quantize_embeddings
+
+    rows = [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    q1, s1 = got["1"]["qvec"], got["1"]["scale"]
+    orig = rows[0][1]
+    assert all(abs(q * s1 - x) <= s1 / 2 + 1e-12 for q, x in zip(q1, orig))
+    assert max(abs(q) for q in q1) == 127
+    assert got["2"]["qvec"] == [0, 0, 0, 0]  # zero vector: scale guard
+
+
+def test_keywords_tfidf_ranks(idx):
+    """Every doc gets <= top_n keywords; d4's dominant term is spark
+    or window (tf 3 and 2)."""
+    kw = idx.keywords("text", top_n=2)
+    rows = kw.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["docid"], []).append((r["rank"], r["term"]))
+    assert all(len(v) <= 2 for v in per_doc.values())
+    d4 = sorted(per_doc["d4"])
+    assert d4[0][1] in ("spark", "window")
