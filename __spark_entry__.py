@@ -414,6 +414,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_rrf"] = _hybrid
 
+    # retrieve -> rerank: BM25 top-20 re-scored by the Arrow-batched
+    # pairwise scorer (deterministic token-overlap stub standing in for
+    # a cross-encoder; operators/rerank.py)
+    def _rerank(s, d):
+        from ex_elasticlunr_spark.operators.rerank import rerank_pairs
+
+        hits = (_topk(_index(s, d).search_bm25("spark merge window fast"),
+                      20)
+                .withColumn("query_id", F.lit("q0"))
+                .select("query_id", "docid"))
+        return rerank_pairs(hits, _documents(s, d),
+                            {"q0": "spark merge window fast"}, top_n=10)
+
+    q["rerank_overlap"] = _rerank
+
     # ---- multimodal plumbing (stubbed decode; hash-comparable gate
     # projections: per-dim feature bytes / hex of the stub outputs so the
     # driver canonicalizer never sees raw array/binary columns) ----------
@@ -1340,6 +1355,42 @@ SELECT docid, ROUND(SUM(1.0 / (60 + rank)), 6) AS rrf_score,
        COUNT(*) AS n_lists
 FROM u GROUP BY docid
 ORDER BY rrf_score DESC, docid ASC LIMIT 20
+"""
+
+    # retrieve -> rerank: token-set Jaccard vs the query, floor-
+    # truncated to 6 decimals (tie-free across engines)
+    rq_toks = ", ".join(
+        f"'{t}'" for t in sorted(set("spark merge window fast".split())))
+    o["rerank_overlap"] = f"""
+WITH {pre},
+bm AS (
+  SELECT docid, ROUND(score, 6) AS score
+  FROM ({terms_scores_sql(hy_terms, mode="bm25")}) r
+  ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 20
+),
+dt AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid,
+         list_distinct(list_filter(
+             string_split_regex(lower(coalesce(text, '')), '\\s+'),
+             x -> x <> '')) AS toks
+  FROM documents
+),
+qt AS (SELECT [{rq_toks}] AS toks),
+scored AS (
+  SELECT b.docid,
+         floor(CAST(len(list_filter(dt.toks,
+                                    x -> list_contains(qt.toks, x)))
+                    AS DOUBLE)
+               / len(list_distinct(list_concat(dt.toks, qt.toks)))
+               * 1000000) / 1000000 AS rerank_score
+  FROM bm b JOIN dt USING (docid), qt
+)
+SELECT 'q0' AS query_id, docid, rerank_score, rank FROM (
+  SELECT docid, rerank_score,
+         row_number() OVER (ORDER BY rerank_score DESC, docid ASC) AS rank
+  FROM scored
+) r
+WHERE rank <= 10
 """
     # IVF-style coarse search: deterministic pseudo-random centroids
     # (md5-ordered vec ids), argmax assignment, probe the 3 nearest cells

@@ -143,3 +143,30 @@ def test_keywords_tfidf_ranks(idx):
     assert all(len(v) <= 2 for v in per_doc.values())
     d4 = sorted(per_doc["d4"])
     assert d4[0][1] in ("spark", "window")
+
+
+def test_rerank_pairs_stub_and_plugin(spark):
+    """Token-overlap stub ranks the exact-match doc first; a custom
+    scorer callable plugs into the same Arrow-batched boundary."""
+    from ex_elasticlunr_spark.operators.rerank import rerank_pairs
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma"), ("d2", "alpha beta"),
+         ("d3", "delta epsilon")],
+        "docid string, text string")
+    pairs = spark.createDataFrame(
+        [("q0", "d1"), ("q0", "d2"), ("q0", "d3")],
+        "query_id string, docid string")
+    out = rerank_pairs(pairs, docs, {"q0": "alpha beta"})
+    got = [(r["docid"], r["rerank_score"], r["rank"]) for r in
+           out.orderBy("rank").collect()]
+    assert got[0][0] == "d2" and got[0][1] == 1.0
+    assert got[1][0] == "d1" and abs(got[1][1] - 2 / 3) < 1e-5
+    assert got[2][0] == "d3" and got[2][1] == 0.0
+
+    def longest_first(qt, texts):
+        return texts.str.len().astype("float64")
+
+    out2 = rerank_pairs(pairs, docs, {"q0": "alpha beta"},
+                        scorer=longest_first)
+    assert out2.orderBy("rank").first()["docid"] == "d1"
