@@ -162,6 +162,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp", "text", top_n=10)
     # per-doc tf-idf keyword extraction (one window over the postings)
     q["keywords_tfidf"] = lambda s, d: _index(s, d).keywords("text", top_n=3)
+    # count-only serving path: the compiled subtree aggregated, never
+    # translated or sorted (Index.matches/count)
+    q["query_count"] = lambda s, d: _index(s, d).matches(
+        {"query": {"match": {"text": "spark merge window"}}}).agg(
+        F.count(F.lit(1)).alias("n_docs"))
     q["terms_regex"] = lambda s, d: _search(
         s, d, {"query": {"terms": {"text": {"value": "^sp|dow$",
                                               "regex": True}}}})
@@ -470,6 +475,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_sources"] = lambda s, d: quality.sample_sources(
         _documents(s, d), {"src0": 0.5, "src1": 0.25}).select(
             "docid", "source")
+
+    # quality-weighted Bernoulli resampling (deterministic id-hash coin);
+    # weight = a simple length prior here
+    q["importance_sample"] = lambda s, d: quality.importance_sample(
+        _documents(s, d).withColumn(
+            "w", F.least(F.col("n_chars") / F.lit(1000.0), F.lit(1.0))),
+        "w").select("docid")
 
     # deterministic training-order shuffle: shard + in-shard sort key
     # as a pure function of the doc id (operators/quality.py)
@@ -800,6 +812,21 @@ reach AS (
 SELECT a AS docid, MIN(b) AS cluster_id FROM reach GROUP BY a
 """
 
+    # agg-only count of the match_or matched set
+    o["query_count"] = _wrap(pre, f"""
+SELECT COUNT(*) AS n_docs
+FROM ({terms_scores_sql(_analyze("spark merge window"))}) r
+""")
+    # weighted Bernoulli keep: same md5 coin, floor() mirrors Spark's
+    # truncating double->long cast (bare CAST in DuckDB would round)
+    o["importance_sample"] = """
+SELECT CAST(doc_id AS VARCHAR) AS docid
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'imp-v1'), 1, 8))
+           AS BIGINT) % 1000000
+      < CAST(floor(least(greatest(n_chars / 1000.0, 0.0), 1.0) * 1000000)
+             AS BIGINT)
+"""
     o["sample_sources"] = """
 SELECT CAST(doc_id AS VARCHAR) AS docid, source
 FROM documents

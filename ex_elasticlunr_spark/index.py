@@ -322,6 +322,25 @@ class Index:
         return facet_terms(self.inverted, matches, field, top_n=top_n,
                            min_count=min_count)
 
+    def matches(self, query, mode: str = "elasticlunr") -> DataFrame:
+        """The UNSORTED matched set of ``query`` — DataFrame(<doc key>,
+        score) straight from the compiled subtree, before the ord->docid
+        translation join, global sort, and limit that ``search`` adds.
+        The right input for aggregation-only consumers (counts, facets,
+        set operations between queries)."""
+        from .dsl.nodes import parse
+
+        ex = self.executor(mode=mode)
+        node = parse(query.get("query", query)
+                     if isinstance(query, dict) else query)
+        return ex.compile(node)
+
+    def count(self, query, mode: str = "elasticlunr") -> int:
+        """Matching-doc count for ``query`` — the hits.total of the
+        serving API, as an agg-only job (no translation, no sort, no
+        top-k)."""
+        return self.matches(query, mode=mode).count()
+
     def keywords(self, field: str, top_n: int = 5) -> DataFrame:
         """Per-document tf-idf keywords: DataFrame(docid, term, score,
         rank) with the ``top_n`` highest tf-idf terms of every doc

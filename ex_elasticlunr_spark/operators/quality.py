@@ -584,6 +584,28 @@ def sample_sources(df: DataFrame, rates: dict, source_col: str = "source",
     return df.where(bucket < (rate * F.lit(1000000)).cast("long"))
 
 
+def importance_sample(df: DataFrame, weight_col: str,
+                      seed: str = "imp-v1",
+                      id_col: str = "docid") -> DataFrame:
+    """Quality-weighted Bernoulli sampling: keep each row with
+    probability ``clamp(weight, 0, 1)`` — the importance-resampling
+    step that upsamples high-quality documents into a training mix
+    (pair with ``quality_scores``: weight = the quality column).
+
+    Deterministic: the coin is md5(docid || seed), NOT rand() — the
+    same id-hash discipline as data_split/sample_sources, so the
+    sampled corpus is reproducible across partitioning, cluster size,
+    retries, and engines (the SQL oracle draws identical coins).
+    Map-only: a pure scan at any scale.
+    """
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))),
+        1, 8), 16, 10).cast("long") % F.lit(1000000)
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)),
+                F.lit(1.0))
+    return df.where(bucket < (w * F.lit(1000000)).cast("long"))
+
+
 def keep_canonical(df: DataFrame, clusters: DataFrame,
                    id_col: str = "docid") -> DataFrame:
     """Duplicate-retention policy: given ``duplicate_clusters`` output

@@ -170,3 +170,29 @@ def test_rerank_pairs_stub_and_plugin(spark):
     out2 = rerank_pairs(pairs, docs, {"q0": "alpha beta"},
                         scorer=longest_first)
     assert out2.orderBy("rank").first()["docid"] == "d1"
+
+
+def test_count_and_matches(idx):
+    """Index.count equals the searched row count; matches() stays in
+    the doc-key currency (no docid translation)."""
+    q = {"query": {"match": {"text": "spark window"}}}
+    assert idx.count(q) == idx.search(q).count()
+    m = idx.matches(q)
+    assert "score" in m.columns and "docid" not in m.columns
+
+
+def test_importance_sample_deterministic_and_monotone(spark):
+    """Same seed -> same sample; weight 1.0 keeps everything, 0 keeps
+    nothing."""
+    from ex_elasticlunr_spark.operators.quality import importance_sample
+
+    df = spark.createDataFrame(
+        [(str(i), 0.5) for i in range(200)], "docid string, w double")
+    a = {r["docid"] for r in importance_sample(df, "w").collect()}
+    b = {r["docid"] for r in importance_sample(df, "w").collect()}
+    assert a == b
+    assert 40 <= len(a) <= 160  # ~Binomial(200, .5)
+    full = df.withColumn("w", F.lit(1.0))
+    assert importance_sample(full, "w").count() == 200
+    none = df.withColumn("w", F.lit(0.0))
+    assert importance_sample(none, "w").count() == 0
