@@ -193,6 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bool_filter_should"] = lambda s, d: _search(
         s, d, {"query": {"bool": {"filter": [{"terms": {"text": "fast"}}],
                                     "should": [{"terms": {"text": "join"}}]}}})
+    # phrase clause composed under bool/should (sum with a terms clause)
+    q["bool_phrase_should"] = lambda s, d: _search(
+        s, d, {"query": {"bool": {"should": [
+            {"match_phrase": {"text": "fast join"}},
+            {"terms": {"text": "spark"}}]}}})
     q["not_query"] = lambda s, d: _search(
         s, d, {"query": {"not": {"match": {"text": "spark"}}}})
     q["bm25_topk"] = lambda s, d: _topk(
@@ -636,6 +641,18 @@ SELECT b.docid, ROUND(b.score + coalesce(sh.should_score, 0), 6) AS score
 FROM base b LEFT JOIN sh USING (docid)
 WHERE coalesce(sh.matched, 0) >= 1
   AND b.score + coalesce(sh.should_score, 0) > 0
+""")
+    # phrase clause under bool/should: clause scores sum per doc
+    o["bool_phrase_should"] = _wrap(pre, f"""
+, sh AS (
+  SELECT docid, SUM(score) AS score, COUNT(*) AS matched FROM (
+    {phrase_scores_sql(_analyze("fast join"))}
+    UNION ALL
+    {terms_scores_sql(["spark"])}
+  ) u GROUP BY docid
+)
+SELECT docid, ROUND(score, 6) AS score FROM sh
+WHERE matched >= 1 AND score > 0
 """)
     # must_not window: filter = NOT(window) -> survivors score 1, then must
     o["bool_must_not"] = _wrap(pre, f"""
