@@ -214,6 +214,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["search_many"] = lambda s, d: _index(s, d).search_many(
         SM_QUERIES, "text", top_k=10, mode="bm25")
 
+    # item-item related docs: MoreLikeThis seeded by docid, batched —
+    # seed top tf-idf terms per doc, bulk-score, per-doc top-k
+    def _related(s, d):
+        from ex_elasticlunr_spark.search.batch import related_documents
+
+        return related_documents(_index(s, d).inverted, "text",
+                                 docids=["0", "1", "2"],
+                                 seed_terms=8, top_k=10)
+
+    q["related_docs"] = _related
+
     # ---- index bookkeeping (SURVEY.md §2.2) ---------------------------
     def doc_stats(s, d):
         return _index(s, d).inverted.doc_stats.select("docid", "doc_len")
@@ -829,6 +840,40 @@ reach AS (
 SELECT a AS docid, MIN(b) AS cluster_id FROM reach GROUP BY a
 """
 
+    # item-item related docs: seed top-8 tf-idf terms per seed doc, max
+    # entry score per candidate, self excluded, per-seed top-10
+    o["related_docs"] = _wrap(pre, """
+, seeds AS (
+  SELECT docid AS qid, term FROM (
+    SELECT p.docid, p.term,
+           row_number() OVER (PARTITION BY p.docid
+                              ORDER BY p.tf_raw * t.idf DESC,
+                                       p.term ASC) AS rn
+    FROM postings p JOIN tstats t USING (term)
+    WHERE p.docid IN ('0', '1', '2')
+  ) s WHERE rn <= 8
+),
+entries AS (
+  SELECT s.qid, p.docid,
+         sqrt(p.tf_raw) * t.idf * t.idf * f.flnorm AS entry_score
+  FROM seeds s
+  JOIN postings p ON p.term = s.term
+  JOIN tstats t ON t.term = p.term
+  CROSS JOIN fstats f
+  WHERE p.docid <> s.qid
+),
+scored AS (
+  SELECT qid, docid, ROUND(MAX(entry_score), 6) AS score
+  FROM entries GROUP BY qid, docid
+)
+SELECT qid, docid, score, rank FROM (
+  SELECT qid, docid, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, docid ASC) AS rank
+  FROM scored
+) r
+WHERE rank <= 10
+""")
     # agg-only count of the match_or matched set
     o["query_count"] = _wrap(pre, f"""
 SELECT COUNT(*) AS n_docs

@@ -38,6 +38,90 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.literals import inline_rows
 
 
+def related_documents(
+    index,
+    field: str,
+    docids: Optional[list] = None,
+    seed_terms: int = 8,
+    top_k: int = 10,
+) -> DataFrame:
+    """Item-item similarity over the index: for each seed document, the
+    ``top_k`` most similar OTHER documents, scored by the seed's top
+    ``seed_terms`` tf-idf terms (MoreLikeThis seeded by a docid instead
+    of free text — and batched: every seed is scored in ONE job).
+    Returns DataFrame(qid, docid, score, rank).
+
+    ``docids``: driver-side list of seed docids; ``None`` runs the FULL
+    item-item job (related docs for every document — the offline
+    "recommendations table" build).
+
+    Plan shape (100 TB rationale): seed-term extraction is one postings
+    scan (semi-joined down to the seed set when given) + a per-doc
+    window bounded by doc length; candidate scoring joins the seed
+    terms back to postings ON TERM — cost proportional to the seeds'
+    posting lists, not the corpus product. tf-idf seed selection
+    downweights stopword-ish terms, which is also what bounds the
+    hot-term skew of the scoring join (the highest-df terms never
+    become seeds). Scores round to 6 decimals before ranking, ties on
+    docid — the cross-engine determinism contract.
+    """
+    from pyspark.sql import Window
+
+    key = index.key_col
+    post = index.postings.where(F.col("field") == field)
+    vocab = index.term_stats.where(F.col("field") == field).select(
+        "term", F.col("idf").alias("term_idf"))
+
+    seed_post = post
+    seed_keys = None
+    if docids is not None:
+        ids = [str(d) for d in docids]
+        if key == "ord":
+            seed_keys = index.ordinals_df().where(
+                F.col("docid").isin(ids))  # (docid, ord) — seed-sized
+            seed_post = post.join(
+                F.broadcast(seed_keys.select("ord")), "ord")
+        else:
+            seed_post = post.where(F.col("docid").isin(ids))
+
+    w_seed = Window.partitionBy(key).orderBy(
+        F.desc(F.col("tf_raw") * F.col("term_idf")), F.asc("term"))
+    seeds = (
+        seed_post.join(vocab, "term")
+        .withColumn("rn", F.row_number().over(w_seed))
+        .where(F.col("rn") <= seed_terms)
+        .select(F.col(key).alias("qid_key"), "term")
+    )
+
+    entries = (
+        seeds.join(post, "term")
+        .where(F.col(key) != F.col("qid_key"))
+        .join(vocab, "term")
+    )
+    fstats = F.broadcast(
+        index.field_stats.where(F.col("field") == field).select("flnorm"))
+    entry_score = (F.col("tf") * F.col("term_idf") ** 2 * F.col("flnorm"))
+    per_doc = (
+        entries.crossJoin(fstats)
+        .groupBy("qid_key", key)
+        .agg(F.round(F.max(entry_score), 6).alias("score"))
+    )
+    if key == "ord":
+        ords = index.ordinals_df()
+        qmap = (F.broadcast(seed_keys) if seed_keys is not None else ords) \
+            .select(F.col("ord").alias("qid_key"),
+                    F.col("docid").alias("qid"))
+        per_doc = (per_doc.join(ords, "ord")
+                   .join(qmap, "qid_key"))
+    else:
+        per_doc = per_doc.withColumnRenamed("qid_key", "qid")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (per_doc.select("qid", "docid", "score")
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= top_k)
+            .select("qid", "docid", "score", "rank"))
+
+
 def search_many(
     index,
     queries: Union[Dict[str, str], DataFrame],

@@ -196,3 +196,22 @@ def test_importance_sample_deterministic_and_monotone(spark):
     assert importance_sample(full, "w").count() == 200
     none = df.withColumn("w", F.lit(0.0))
     assert importance_sample(none, "w").count() == 0
+
+
+def test_related_documents_excludes_self(idx):
+    """Each seed's related list never contains the seed; the doc
+    sharing the most distinctive terms ranks first."""
+    from ex_elasticlunr_spark.search.batch import related_documents
+
+    out = related_documents(idx.inverted, "text", docids=["d1", "d3"],
+                            seed_terms=4, top_k=3)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        assert r["docid"] != r["qid"]
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["docid"]))
+    # d1's best match is d4: they share "spark", and d4's tf=3 beats
+    # d3's single-occurrence overlaps under max-entry scoring; d3's
+    # best is d1 via "fast" (df=2 — rarer than "sort", df=3)
+    assert sorted(by_q["d1"])[0][1] == "d4"
+    assert sorted(by_q["d3"])[0][1] == "d1"
