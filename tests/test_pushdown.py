@@ -126,3 +126,18 @@ def test_details_scan_pushes_in_filter_to_positions_table(loaded):
     plan = _scan_plan(res)
     assert ("In(term, [spark])" in plan or "EqualTo(term,spark)" in plan)
     assert "/positions" in plan
+
+
+def test_search_many_pushes_union_of_terms(loaded):
+    """The bulk path pushes the UNION of all query terms as one literal
+    In(term, ...) into the narrow postings scan — a thousand-query batch
+    still costs ~one pruned scan."""
+    from ex_elasticlunr_spark.search.batch import search_many
+
+    res = search_many(loaded.inverted,
+                      {"qa": "spark merge", "qb": "window merge"},
+                      "text", top_k=5)
+    plan = _scan_plan(res)
+    assert "PushedFilters" in plan
+    assert "In(term, [merg,spark,window])" in plan
+    assert "positions" not in plan  # narrow scan only
