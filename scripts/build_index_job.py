@@ -11,8 +11,9 @@ Usage (multi-executor cluster):
         --docid-expr "concat(conv_id, ':', turn_idx)" \
         --buckets 256 [--assume-unique]
 
-The final merge persists the full v4 layout (flat ingest table, narrow
-block-clustered postings, ordinals, stats, compressed posting segments).
+The final merge persists the full v5 layout (narrow docid-free
+term-clustered postings, the positional table, ordinals, stats,
+compressed posting segments).
 
 The job is the checkpointed build (per-bucket lineage + metrics,
 resumable: re-submitting with the same --output skips completed
@@ -68,7 +69,7 @@ def main() -> None:
         print("partial build: re-submit to resume")
         return
     # the final merge's save() already wrote the clustered postings,
-    # ordinals and compressed posting segments (v4 layout)
+    # ordinals and compressed posting segments (v5 layout)
     print("build complete:", args.output)
 
 
