@@ -64,6 +64,13 @@ def rerank_pairs(
 
     ``queries``: driver-side {query_id: query_text} (a rerank stage is
     always downstream of a first stage that had the same dict).
+
+    Scale note: the docs join is an equi-join on docid — for a BULK
+    rerank (millions of pairs) that is the right shape (both sides
+    shuffle once). For a single ad-hoc query the text fetch reads the
+    docs table; a docid-SORTED doc store gets row-group pruning from a
+    literal isin — push it yourself when the candidate set is driver-
+    resident: ``docs.where(F.col(id_col).isin(ids))``.
     """
     import pandas as pd  # noqa: F401 (mapInPandas contract)
 

@@ -93,8 +93,30 @@ def related_documents(
         .select(F.col(key).alias("qid_key"), "term")
     )
 
+    cand_post = post
+    if docids is not None:
+        # ad-hoc seed list: resolve the seed TERMS first (a tiny
+        # collect, <= |docids| * seed_terms strings) and push the
+        # literal In(term, ...) into the candidate postings scan — the
+        # same resolve-then-push shape as fuzzy/regex expansion
+        # (search/scorer.py); without it the scoring join reads every
+        # posting row at 100x scale. (The seed-postings FETCH itself
+        # is a semi-joined scan of the term-clustered table — point
+        # doc lookups are the one access path this layout does not
+        # serve; a production deployment fronting ad-hoc related-doc
+        # queries would add a doc-keyed forward index. The batch
+        # docids=None job — the operator's design center — has no such
+        # lookup at all.)
+        seeds = seeds.localCheckpoint(eager=True)  # collect + join reuse
+        terms_list = [r["term"] for r in
+                      seeds.select("term").distinct().collect()]
+        if not terms_list:
+            return index.postings.sparkSession.createDataFrame(
+                [], "qid string, docid string, score double, rank long")
+        cand_post = post.where(F.col("term").isin(terms_list))
+
     entries = (
-        seeds.join(post, "term")
+        seeds.join(cand_post, "term")
         .where(F.col(key) != F.col("qid_key"))
         .join(vocab, "term")
     )

@@ -141,3 +141,15 @@ def test_search_many_pushes_union_of_terms(loaded):
     assert "PushedFilters" in plan
     assert "In(term, [merg,spark,window])" in plan
     assert "positions" not in plan  # narrow scan only
+
+
+def test_related_documents_pushes_resolved_seed_terms(loaded):
+    """Ad-hoc related-docs queries resolve seed terms first and push
+    the literal In(term, ...) into the candidate postings scan."""
+    from ex_elasticlunr_spark.search.batch import related_documents
+
+    res = related_documents(loaded.inverted, "text", docids=["1", "2"],
+                            seed_terms=4, top_k=5)
+    plan = _scan_plan(res)
+    assert "PushedFilters" in plan
+    assert "In(term, [" in plan or "EqualTo(term," in plan
