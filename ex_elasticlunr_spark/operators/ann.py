@@ -182,17 +182,10 @@ def pairwise_near_duplicates(df: DataFrame, threshold: float = 0.95,
     )
 
 
-def _dequantized(vec, digits: int = 8):
-    """Symmetric per-vector int8 quantize-then-dequantize of an
-    array<double> column: scale = max(|x|)/127, q = floor(x/scale+0.5),
-    back to q*scale. Written as one JVM-side transform (the int array
-    never materializes; ``quantize_embeddings`` materializes it when the
-    caller wants the compact form). floor(x+0.5) instead of round():
-    identical IEEE semantics in every engine — SQL ROUND's half-away
-    vs banker's rounding would diverge on exact .5 quotients."""
+def _scale_col(vec):
+    """Per-vector int8 scale: max(|x|)/127, 1.0 for the zero vector."""
     max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x)))
-    scale = F.when(max_abs == 0.0, F.lit(1.0)).otherwise(max_abs / 127.0)
-    return F.transform(vec, lambda x: F.floor(x / scale + 0.5) * scale)
+    return F.when(max_abs == 0.0, F.lit(1.0)).otherwise(max_abs / 127.0)
 
 
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
@@ -203,15 +196,24 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
     The standard 100 TB embedding-store lever: 4× less storage and —
     the part that matters for brute-force scoring — 4× less memory
     bandwidth per scan, at <1% cosine error for unit-norm-ish vectors.
-    Map-only, no shuffle."""
+    Map-only, no shuffle. floor(x+0.5) instead of round(): identical
+    IEEE semantics in every engine — SQL ROUND's half-away vs numpy's
+    banker's rounding would diverge on exact .5 quotients. The scale is
+    projected to its own column FIRST so the per-element lambda
+    references a computed value instead of re-evaluating the array_max
+    reduction d times per row."""
     vec = F.col(vec_col).cast("array<double>")
-    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x)))
-    scale = F.when(max_abs == 0.0, F.lit(1.0)).otherwise(max_abs / 127.0)
-    return df.select(
-        F.col(id_col).cast("string").alias("vec_id"),
-        scale.alias("scale"),
-        F.transform(vec, lambda x: F.floor(x / scale + 0.5).cast("int"))
-        .alias("qvec"),
+    return (
+        df.select(F.col(id_col).cast("string").alias("vec_id"),
+                  vec.alias("_v"))
+        .withColumn("scale", _scale_col(F.col("_v")))
+        .select(
+            "vec_id", "scale",
+            F.transform(
+                "_v",
+                lambda x: F.floor(x / F.col("scale") + 0.5).cast("int"))
+            .alias("qvec"),
+        )
     )
 
 
@@ -233,11 +235,19 @@ def quantized_topk(df: DataFrame, query_vec: List[float], k: int = 10,
     s = (m / 127.0) if m != 0.0 else 1.0
     dq_query = [math.floor(float(x) / s + 0.5) * s for x in query_vec]
     q = F.array(*[F.lit(v) for v in dq_query])
-    dv = _dequantized(F.col(vec_col).cast("array<double>"))
+    vec = F.col(vec_col).cast("array<double>")
+    deq = (
+        df.select(F.col(id_col).cast("string").alias("vec_id"),
+                  vec.alias("_v"))
+        .withColumn("_s", _scale_col(F.col("_v")))
+        .select("vec_id", F.transform(
+            "_v", lambda x: F.floor(x / F.col("_s") + 0.5) * F.col("_s"))
+            .alias("_dv"))
+    )
     return (
-        df.select(
-            F.col(id_col).cast("string").alias("vec_id"),
-            F.round(cosine(dv, q), 6).alias("cos_sim"),
+        deq.select(
+            "vec_id",
+            F.round(cosine(F.col("_dv"), q), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)

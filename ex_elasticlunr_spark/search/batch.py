@@ -194,6 +194,15 @@ def search_many(
     else:
         from ..functions.udfs import analyze_postings
 
+        if cfg.query_pipeline is not None:
+            # the vectorized analyzer ships (stages, separator, extra);
+            # a custom query Pipeline is an arbitrary driver-side object
+            # the executors cannot replay — only the dict path (driver-
+            # side analysis) honors it
+            raise ValueError(
+                "search_many with a DataFrame query set analyzes with "
+                "the INDEX pipeline; this field has a distinct "
+                "query_pipeline — pass queries as a dict instead")
         stacked = queries.select(
             F.col("query_id").cast("string").alias("docid"),
             F.lit(field).alias("field"),
