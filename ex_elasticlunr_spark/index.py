@@ -335,6 +335,15 @@ class Index:
                      if isinstance(query, dict) else query)
         return ex.compile(node)
 
+    def explain(self, query, mode: str = "elasticlunr") -> str:
+        """The physical plan of ``query`` as a string — the debugging
+        surface for the layout's core promise: on a loaded index the
+        scan line must show ``PushedFilters: [..., In(term, ...)]`` (or
+        StartsWith) and a pruned ReadSchema. Pair with
+        ``tests/test_pushdown.py``, which pins the same shape in CI."""
+        df = self.matches(query, mode=mode)
+        return df._jdf.queryExecution().executedPlan().toString()
+
     def count(self, query, mode: str = "elasticlunr") -> int:
         """Matching-doc count for ``query`` — the hits.total of the
         serving API, as an agg-only job (no translation, no sort, no

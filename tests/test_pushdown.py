@@ -153,3 +153,9 @@ def test_related_documents_pushes_resolved_seed_terms(loaded):
     plan = _scan_plan(res)
     assert "PushedFilters" in plan
     assert "In(term, [" in plan or "EqualTo(term," in plan
+
+
+def test_index_explain_surfaces_pushdown(loaded):
+    """Index.explain exposes the pushed predicates users should check."""
+    plan = loaded.explain({"query": {"terms": {"text": "spark"}}})
+    assert "PushedFilters" in plan and "spark" in plan

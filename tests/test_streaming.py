@@ -157,3 +157,41 @@ def test_dedup_exact_stream_first_arrival_wins(spark, tmp_path):
         spark.read.parquet(src + "/*.parquet"))
     flagged = {r["keep_docid"] for r in batch_dups.collect()}
     assert flagged == {"a", "b"}
+
+
+def test_quality_operators_compose_on_streams(spark, tmp_path):
+    """The map-only quality operators (pure column expressions) run
+    unchanged on a readStream and emit exactly the batch results — the
+    at-ingest quality-scoring pipeline shape."""
+    from pyspark.sql import functions as F
+
+    from ex_elasticlunr_spark.operators.quality import (
+        lang_id,
+        quality_scores,
+        token_counts,
+    )
+
+    src = str(tmp_path / "qs_in")
+    os.makedirs(src)
+    rows = [(str(i), f"the quick value row{i} spark merge window data")
+            for i in range(40)]
+    batch_df = spark.createDataFrame(rows, "docid string, text string")
+    batch_df.coalesce(2).write.mode("overwrite").parquet(src + "/p.parquet")
+
+    def pipe(df):
+        q = quality_scores(df).select("docid", "quality")
+        t = token_counts(df).select("docid", "ws_tokens")
+        l = lang_id(df).select("docid", "pred_lang")
+        return q.join(t, "docid").join(l, "docid")
+
+    expected = sorted(map(tuple, pipe(
+        spark.read.parquet(src + "/p.parquet")).collect()))
+
+    stream = spark.readStream.schema("docid string, text string").option(
+        "maxFilesPerTrigger", "1").parquet(src + "/p.parquet")
+    q = (pipe(stream)
+         .writeStream.format("memory").queryName("qs_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM qs_mem").collect()))
+    assert got == expected
