@@ -213,6 +213,55 @@ def main() -> None:
                      "dedup_minhash_lsh", "ann_brute_topk", "text_quality"):
             timed(f"sf_{name}", lambda n=name: q[n](spark, sf_dir).collect())
 
+    # ---- BM25 top-10 rank-identity rate (the BASELINE.json headline
+    # metric) over the reference query set on a transcripts corpus:
+    # engine results vs the pure-Python oracle that implements the
+    # reference's exact formulas (tests/oracle/core.py). The full
+    # per-query assertion lives in tests/test_spark_engine.py; here the
+    # RATE is measured and reported so every BENCH_r{N}.json carries it.
+    rank_identity = None
+    if not os.environ.get("BENCH_SKIP_RANK"):
+        try:
+            from tests.oracle import OracleIndex
+            from tests.oracle.core import search as oracle_search
+            from tests.oracle.query_set import (
+                TRANSCRIPT_QUERIES,
+                reference_query_set,
+            )
+            from ex_elasticlunr_spark.sources.transcripts import transcripts_df
+
+            t_ri = time.perf_counter()
+            src = with_docid(transcripts_df(spark, n_convs=60,
+                                            turns_per_conv=5))
+            ridx = Index(name="rank_id").add_field("text").add_field("tool")
+            ridx.add_documents(src, docid_col="docid", dedupe=False)
+            ridx.materialize()
+            oidx = OracleIndex().add_field("text").add_field("tool")
+            oidx.add_documents(
+                [{"id": r["docid"], "text": r["text"], "tool": r["tool"]}
+                 for r in src.select("docid", "text", "tool").collect()])
+
+            qset = reference_query_set("text") + TRANSCRIPT_QUERIES
+            matched = 0
+            for qd in qset:
+                got = [(r["docid"], r["score"])
+                       for r in ridx.search(qd, top_k=10).collect()]
+                want = [(r["ref"], r["score"])
+                        for r in oracle_search(oidx, qd, top_k=10)]
+                ok = ([g[0] for g in got] == [w[0] for w in want] and all(
+                    abs(g[1] - w[1]) <= 1e-9 for g, w in zip(got, want)))
+                matched += int(ok)
+            rank_identity = {
+                "rate": round(matched / len(qset), 4),
+                "matched": matched,
+                "queries": len(qset),
+                "top_k": 10,
+                "sec": round(time.perf_counter() - t_ri, 2),
+            }
+        except ImportError:
+            # tests/ not shipped alongside bench.py in this deployment
+            rank_identity = None
+
     shutil.rmtree(out_dir, ignore_errors=True)
     out = {
         "metric": "index-build turns/sec + query sec (local[%d])" % cpus,
@@ -221,6 +270,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf_dir,
         "cpus": cpus,
+        "rank_identity": rank_identity,
         "build": {
             "turns": actual_turns,
             "build_sec": round(build_sec, 4),

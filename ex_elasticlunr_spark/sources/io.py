@@ -1,0 +1,48 @@
+"""Corpus input seam: parquet path, Iceberg table, or catalog table.
+
+The north-star input is an Iceberg table of transcripts. Iceberg is a
+table FORMAT layered on parquet — Spark reads it through the public
+``iceberg-spark-runtime`` DataSourceV2 jar, which this sandbox does not
+ship, so the seam is: ``read_corpus`` dispatches on a format string and
+every downstream code path (build, queries, streaming) consumes a plain
+DataFrame and never knows the difference. On a real cluster, submit
+with ``--packages org.apache.iceberg:iceberg-spark-runtime-...`` and
+pass ``--format iceberg``; Catalyst then gets Iceberg's own partition
+pruning and snapshot isolation on top of the same plans.
+
+``table`` reads a catalog (or temp-view) name — the testable stand-in
+in-sandbox, and also the natural shape once the corpus is registered in
+a metastore.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_corpus(spark: SparkSession, location: str,
+                fmt: str = "parquet") -> DataFrame:
+    """Read the transcripts corpus as a DataFrame.
+
+    fmt='parquet': ``location`` is a path (file/dir/glob).
+    fmt='iceberg': ``location`` is an Iceberg table path or
+        ``catalog.db.table`` identifier; requires the public
+        iceberg-spark-runtime jar on the session classpath. Raises a
+        RuntimeError naming the missing jar when it is absent.
+    fmt='table':   ``location`` is a catalog table / temp view name.
+    """
+    if fmt == "parquet":
+        return spark.read.parquet(location)
+    if fmt == "table":
+        return spark.table(location)
+    if fmt == "iceberg":
+        try:
+            return spark.read.format("iceberg").load(location)
+        except Exception as exc:  # DSv2 source missing from classpath
+            raise RuntimeError(
+                "reading --format iceberg needs the public "
+                "iceberg-spark-runtime jar on the cluster classpath "
+                "(spark-submit --packages org.apache.iceberg:"
+                "iceberg-spark-runtime-<spark_ver>_<scala_ver>:<ver>)"
+            ) from exc
+    raise ValueError(f"unknown corpus format: {fmt!r}")

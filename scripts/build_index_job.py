@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--assume-unique", action="store_true",
                     help="docid expression is unique by data contract: "
                          "skip the duplicate-guard full-corpus shuffle")
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "iceberg", "table"],
+                    help="input source: parquet path (default), iceberg "
+                         "table path/identifier (needs the public "
+                         "iceberg-spark-runtime jar on the cluster "
+                         "classpath), or a catalog/temp-view table name")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -56,7 +62,9 @@ def main() -> None:
 
     from ex_elasticlunr_spark.build.checkpoints import checkpointed_build
 
-    source = spark.read.parquet(args.input).withColumn(
+    from ex_elasticlunr_spark.sources.io import read_corpus
+
+    source = read_corpus(spark, args.input, fmt=args.format).withColumn(
         "__docid", F.expr(args.docid_expr)
     )
     fields = args.fields.split(",")

@@ -349,9 +349,13 @@ class BoolQ:
 
 
 def _score(node, index: OracleIndex, filtered=None):
-    # only TermsQ (and MatchQ via rewrite) honors the docs restriction,
-    # same as the reference (options[:filtered] read in terms_query.ex:70-76)
-    if isinstance(node, (TermsQ, MatchQ)):
+    # TermsQ (and MatchQ via rewrite) honors the docs restriction
+    # (options[:filtered] read in terms_query.ex:70-76); NotQ receives
+    # it too and forwards it to its INNER query while still rejecting
+    # from the unrestricted universe (not_query.ex:23-31 — the default
+    # Query.filter at dsl/query.ex:39-46 passes options through, so a
+    # not inside a bool filter chain sees the prior clause's survivors)
+    if isinstance(node, (TermsQ, MatchQ, NotQ)):
         return node.score(index, filtered)
     return node.score(index)
 

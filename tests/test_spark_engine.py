@@ -11,42 +11,14 @@ from ex_elasticlunr_spark.analysis import Pipeline
 from ex_elasticlunr_spark.sources.transcripts import transcripts_df, with_docid
 from tests.oracle import OracleIndex
 from tests.oracle.core import search as oracle_search
+from tests.oracle.query_set import TRANSCRIPT_QUERIES, reference_query_set
 from tests.test_oracle import DOCS
 
 TOKENIZER_ONLY = AnalyzerConfig(stages=())
 
-# the reference query set (FIXTURES.md §3, adapted from dsl_test.exs)
-QUERY_SET = [
-    {"query": {"match_all": {}}},
-    {"query": {"terms": {"content": "fox"}}},
-    {"query": {"terms": {"content": {"value": "fox", "boost": 2}}}},
-    {"query": {"bool": {"must": {"terms": {"content": "lorem"}},
-                         "should": [{"terms": {"content": "dog"}}]}}},
-    {"query": {"bool": {"must": {"terms": {"content": "lorem"}},
-                         "must_not": {"terms": {"content": "ipsum"}},
-                         "should": [{"terms": {"content": "dog"}}]}}},
-    {"query": {"match": {"content": "brown fox"}}},
-    {"query": {"match": {"content": {"query": "brown fox quick",
-                                      "minimum_should_match": 2}}}},
-    {"query": {"match": {"content": {"query": "fox quick",
-                                      "operator": "and"}}}},
-    {"query": {"not": {"bool": {"should": [
-        {"match": {"content": "quick"}},
-        {"match": {"content": "lorem"}}]}}}},
-    {"query": {"terms": {"content": {"value": "liveboo", "expand": True}}}},
-    {"query": {"terms": {"content": {"value": "fax", "fuzziness": 1}}}},
-    {"query": {"bool": {"filter": [{"terms": {"content": "dog"}}],
-                         "should": [{"terms": {"content": "quick"}}]}}},
-    {"query": {"match": {"content": "elixir livebook"}}},
-    {"query": {"terms": {"content": ["quick", "fox", "lorem"],
-                          "minimum_should_match": 2}}},
-    # not inside a filter chain: the reference forwards the previous
-    # clause's survivors into the inner query (not_query.ex:23-25) but
-    # rejects from the unrestricted doc universe
-    {"query": {"bool": {"filter": [{"terms": {"content": "lorem"}},
-                                    {"not": {"terms": {"content": "dog"}}}],
-                         "should": [{"terms": {"content": "ipsum"}}]}}},
-]
+# the reference query set (FIXTURES.md §3, adapted from dsl_test.exs);
+# shared with bench.py's rank_identity measurement
+QUERY_SET = reference_query_set("content")
 
 
 def spark_results(df):
@@ -112,19 +84,7 @@ def test_golden_string_search(golden):
     assert spark_results(idx.search("me")) == []
 
 
-TX_QUERIES = [
-    {"query": {"match": {"text": "quick fox"}}},
-    {"query": {"match": {"text": "elixir livebook tool"}}},
-    {"query": {"match": {"text": {"query": "elixir tool", "operator": "and"}}}},
-    {"query": {"bool": {"must": {"match": {"text": "elixir"}},
-                         "should": [{"match": {"text": "dog"}},
-                                     {"match": {"tool": "search"}}]}}},
-    {"query": {"bool": {"must_not": {"match": {"text": "elixir"}},
-                         "should": [{"match": {"text": "transcript"}}]}}},
-    {"query": {"terms": {"text": {"value": "proj", "expand": True}}}},
-    {"query": {"terms": {"text": {"value": "sprak", "fuzziness": 2}}}},
-    {"query": {"match": {"text": "full-text top-k"}}},
-]
+TX_QUERIES = TRANSCRIPT_QUERIES
 
 
 @pytest.mark.parametrize("qi", range(len(TX_QUERIES)))
@@ -233,6 +193,37 @@ def test_search_details_bool_merge(golden):
         got_pos = {f: p for f, p in got_pos.items() if p}
         assert got_pos == want_pos, docid
         assert r["score"] == pytest.approx(w["score"])
+
+
+def test_not_in_filter_chain_rejects_from_universe(spark):
+    """A `not` inside a bool filter chain scores its INNER query
+    restricted to the prior clause's survivors but rejects from the
+    UNRESTRICTED universe, and its output REPLACES the chain
+    accumulator (bool_query.ex:180-197 reduce + not_query.ex:23-31 +
+    the default Query.filter at dsl/query.ex:39-46 passing options
+    through). Discriminating doc: matches `dog` (inner) and `ipsum`
+    (should) but NOT `lorem` (first filter clause) — it must SURVIVE,
+    because the inner `dog` matches are restricted to lorem docs.
+    An oracle that drops the restriction (or intersects the chain)
+    wrongly rejects it. Pins the r3 oracle _score fix."""
+    docs = [("d1", "lorem dog"), ("d2", "ipsum dog"),
+            ("d3", "lorem ipsum"), ("d4", "quick")]
+    sdf = spark.createDataFrame(docs, "id string, content string")
+    idx = Index(name="notchain", pipeline=TOKENIZER_ONLY).add_field("content")
+    idx.add_documents(sdf, docid_col="id")
+
+    oidx = OracleIndex(pipeline=Pipeline([]))
+    oidx.add_field("content")
+    oidx.add_documents([{"id": i, "content": c} for i, c in docs])
+
+    q = {"query": {"bool": {
+        "filter": [{"terms": {"content": "lorem"}},
+                   {"not": {"terms": {"content": "dog"}}}],
+        "should": [{"terms": {"content": "ipsum"}}]}}}
+    got = spark_results(idx.search(q))
+    want = oracle_results(oidx, q)
+    assert {g[0] for g in got} == {"d2", "d3"}
+    assert_rank_identical(got, want)
 
 
 def test_all_stopword_match_rewrites_to_universe(spark):
