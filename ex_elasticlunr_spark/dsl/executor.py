@@ -257,16 +257,24 @@ class QueryExecutor:
                 key, F.coalesce(F.col("score"), F.lit(0.0)).alias("base_score")
             )
             if node.should:
+                # FULL outer: the reference UNIONS should results into the
+                # docs map (bool_query.ex:143-170) — a doc matched only by
+                # a should clause that ignores the filtered restriction
+                # (nested bool: bool_query.ex:102 `_options`; match_all:
+                # match_all_query.ex:52; not: universe-minus-matched)
+                # enters with base score 0. Leaf should clauses (terms/
+                # match) honor the restriction, so their results stay
+                # within base — but the plan must not assume it.
                 sel = [
                     key,
-                    (F.col("base_score")
+                    (F.coalesce(F.col("base_score"), F.lit(0.0))
                      + F.coalesce(F.col("should_score"), F.lit(0.0))).alias("score"),
                     F.coalesce(F.col("matched"), F.lit(0)).alias("matched"),
                 ]
                 if details:
                     sel.append(F.coalesce(F.col("positions"), empty_map)
                                .alias("positions"))
-                docs = base_docs.join(should_aggs, key, "left").select(*sel)
+                docs = base_docs.join(should_aggs, key, "full").select(*sel)
             else:
                 sel = [key, F.col("base_score").alias("score"),
                        F.lit(0).alias("matched")]

@@ -1,0 +1,156 @@
+"""Randomized query-DSL trees: engine vs oracle rank identity.
+
+The hand-written reference query set (tests/oracle/query_set.py) covers
+each DSL node once or twice; the COMPOSITIONAL space — bools nested in
+bools, `not` under filter chains, msm interacting with boosts, fuzzy
+and prefix leaves under must_not — is where rank-identity bugs hide.
+This test generates seeded-random query trees over the transcripts
+corpus and asserts full-result rank identity (docid sequence + scores
+to 1e-9) between the Spark engine and the pure-Python oracle that
+implements the reference's formulas (field.ex:160-205,
+bool_query.ex:34-197, not_query.ex:23-32).
+
+The generator stays inside the grammar the reference accepts: expand
+and fuzziness are mutually exclusive (terms_query.ex:35-60), msm never
+exceeds the term count, bools always carry at least one clause.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ex_elasticlunr_spark import Index
+from ex_elasticlunr_spark.sources.transcripts import transcripts_df, with_docid
+from tests.oracle import OracleIndex
+from tests.oracle.core import search as oracle_search
+
+SEED = 0xE1A57
+N_QUERIES = 48
+MAX_DEPTH = 3
+FIELDS = ("text", "tool")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    src = with_docid(transcripts_df(spark, n_convs=40, turns_per_conv=5))
+    idx = Index(name="randq").add_field("text").add_field("tool")
+    idx.add_documents(src, docid_col="docid")
+    idx.materialize()
+
+    oidx = OracleIndex().add_field("text").add_field("tool")
+    oidx.add_documents(
+        [{"id": r["docid"], "text": r["text"], "tool": r["tool"]}
+         for r in src.select("docid", "text", "tool").collect()])
+
+    # sampling pools: analyzed vocabulary per field (terms queries match
+    # the vocab verbatim), raw words (match queries analyze the string),
+    # plus misses/typos/prefixes to exercise empty results, fuzzy and
+    # expand paths
+    vocab = {f: sorted(oidx.fields[f].term_docs) for f in FIELDS}
+    raw_words = sorted({
+        w for r in src.select("text").collect()
+        for w in r["text"].split()})[:400]
+    return idx, oidx, vocab, raw_words
+
+
+def _words(rng: random.Random, pool, k_max=3, miss_rate=0.2):
+    k = rng.randint(1, k_max)
+    out = []
+    for _ in range(k):
+        if rng.random() < miss_rate:
+            out.append(rng.choice(["zzyzx", "qwrk", "elixor", "sprak"]))
+        else:
+            out.append(rng.choice(pool))
+    return out
+
+
+def _leaf(rng: random.Random, vocab, raw_words):
+    roll = rng.random()
+    if roll < 0.15:
+        return {"match_all": {}}
+    field = rng.choice(FIELDS)
+    if roll < 0.55:  # match
+        words = _words(rng, raw_words)
+        params = {"query": " ".join(words)}
+        if rng.random() < 0.3:
+            params["operator"] = rng.choice(["or", "and"])
+        if rng.random() < 0.25:
+            params["minimum_should_match"] = rng.randint(1, len(words))
+        if rng.random() < 0.3:
+            params["boost"] = rng.choice([2, 0.5, 3])
+        r2 = rng.random()
+        if r2 < 0.15:
+            params["expand"] = True
+        elif r2 < 0.3:
+            params["fuzziness"] = rng.randint(1, 2)
+        return {"match": {field: params}}
+    # terms: values drawn from the analyzed vocab (+ occasional miss)
+    terms = _words(rng, vocab[field])
+    params = {"value": terms if len(terms) > 1 else terms[0]}
+    if rng.random() < 0.25:
+        params["minimum_should_match"] = rng.randint(1, len(terms))
+    if rng.random() < 0.3:
+        params["boost"] = rng.choice([2, 0.5])
+    r2 = rng.random()
+    if r2 < 0.15:
+        params["value"] = rng.choice(vocab[field])[:4]
+        params["expand"] = True
+    elif r2 < 0.3:
+        params["fuzziness"] = rng.randint(1, 2)
+    return {"terms": {field: params}}
+
+
+def _tree(rng: random.Random, vocab, raw_words, depth=0):
+    if depth >= MAX_DEPTH or rng.random() < 0.45:
+        return _leaf(rng, vocab, raw_words)
+    if rng.random() < 0.2:
+        return {"not": _tree(rng, vocab, raw_words, depth + 1)}
+    node = {}
+    if rng.random() < 0.5:
+        node["must"] = _tree(rng, vocab, raw_words, depth + 1)
+    if rng.random() < 0.3:
+        node["must_not"] = _tree(rng, vocab, raw_words, depth + 1)
+    n_filter = rng.choice([0, 0, 1, 2])
+    if n_filter:
+        node["filter"] = [_tree(rng, vocab, raw_words, depth + 1)
+                          for _ in range(n_filter)]
+    n_should = rng.choice([0, 1, 1, 2, 3])
+    if n_should:
+        node["should"] = [_tree(rng, vocab, raw_words, depth + 1)
+                          for _ in range(n_should)]
+        if rng.random() < 0.3:
+            node["minimum_should_match"] = rng.randint(1, n_should)
+    if not node:
+        node["must"] = _leaf(rng, vocab, raw_words)
+    return {"bool": node}
+
+
+@pytest.mark.parametrize("qi", range(N_QUERIES))
+def test_random_tree_rank_identity(corpus, qi):
+    idx, oidx, vocab, raw_words = corpus
+    # deterministic per-case generation: burn qi trees so each test case
+    # is independent of which others ran (pytest -k safe)
+    rng = random.Random(SEED)
+    for _ in range(qi):
+        _tree(rng, vocab, raw_words)
+    qd = {"query": _tree(rng, vocab, raw_words)}
+
+    got = [(r["docid"], r["score"]) for r in idx.search(qd).collect()]
+    want = [(r["ref"], r["score"]) for r in oracle_search(oidx, qd)]
+
+    # per-doc score identity to 1e-9
+    gmap, wmap = dict(got), dict(want)
+    assert sorted(gmap) == sorted(wmap), qd
+    for d, gs in gmap.items():
+        assert gs == pytest.approx(wmap[d], abs=1e-9), (qd, d, gs, wmap[d])
+
+    # rank identity under ulp-canonicalized scores: deep random trees sum
+    # clause scores in different orders on the two engines, so exact-tie
+    # groups can differ by 1 ulp and swap adjacent rows; canonicalize to
+    # 9 dp (the score-identity tolerance) before comparing the ordering
+    def canon(rows):
+        return sorted(((-round(s, 9), d) for d, s in rows))
+
+    assert canon(got) == canon(want), qd
