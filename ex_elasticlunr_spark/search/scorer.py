@@ -61,11 +61,15 @@ def _query_terms_df(index, field: str, terms: List[str],
 
     One output row per (query term, matched vocab term): the unit the
     reference appends per doc (field.ex:160-205), which is what
-    minimum_should_match counts.
+    minimum_should_match counts. ``qt_idx`` preserves query-term order —
+    the reference's per-doc entry list is built by iterating query terms
+    in order and the vocabulary in ETS ordered_set (term-sorted) order,
+    and the details path's argmax tie-break depends on it.
     """
     spark = index.postings.sparkSession
     # inline literal relation: no Python-RDD scan in the query path
-    qterms = inline_rows(spark, [(t,) for t in terms], "qt string")
+    qterms = inline_rows(spark, [(i, t) for i, t in enumerate(terms)],
+                         "qt_idx int, qt string")
     vocab = index.term_stats.where(F.col("field") == field)
 
     if regex:
@@ -85,7 +89,7 @@ def _query_terms_df(index, field: str, terms: List[str],
         matched = vocab.join(F.broadcast(qterms), cond)
     else:
         matched = vocab.join(F.broadcast(qterms), vocab.term == qterms.qt)
-    return matched.select("qt", "term", "df", "idf")
+    return matched.select("qt_idx", "qt", "term", "df", "idf")
 
 
 def terms_scores(
@@ -196,16 +200,14 @@ def terms_scores(
     if with_details:
         if mode == "elasticlunr":
             # the winning (highest-score) entry's positions; the
-            # reference keeps the FIRST max in per-doc term insertion
-            # order (terms_query.ex:80-84 strict >), which equals
-            # ascending first-occurrence start — so ties break on the
-            # smallest first position
-            pos = F.max_by(
+            # reference keeps the FIRST max in per-doc entry order
+            # (terms_query.ex:80-84 strict >), and entries are appended
+            # iterating query terms in order, then the vocabulary in ETS
+            # ordered_set (term-sorted) order (field.ex:160-205) — so
+            # ties break on the smallest (query-term index, vocab term)
+            pos = F.min_by(
                 "positions",
-                F.struct(
-                    entry_score,
-                    -F.coalesce(F.element_at("positions", 1), F.lit(0)),
-                ),
+                F.struct(-entry_score, F.col("qt_idx"), F.col("term")),
             )
         else:
             pos = F.flatten(F.transform(

@@ -124,13 +124,23 @@ class OracleField:
                     }
                 )
 
+        # vocabulary scans iterate TERM-SORTED, mirroring the reference's
+        # ETS ordered_set iteration (db.ex:9-19, field.ex:372-386) — a
+        # Python dict iterates in insertion order, which would change
+        # which equal-score entry is "first" for the argmax tie-break in
+        # TermsQ.score. (Deliberate deviation kept from the reference:
+        # match_with_fuzz looks up postings of the matched VOCAB term;
+        # the reference's `matching_ids(field, term)` at field.ex:379-381
+        # passes the QUERY term, which returns nothing for out-of-vocab
+        # query terms and would make fuzzy search a no-op — its own
+        # fixtures only exercise in-vocab fuzz.)
         for t in terms:
             if isinstance(t, re.Pattern):
-                for vocab_term in self.term_docs:
+                for vocab_term in sorted(self.term_docs):
                     if t.match(vocab_term):
                         add_matches(vocab_term)
             elif fuzziness > 0:
-                for vocab_term in self.term_docs:
+                for vocab_term in sorted(self.term_docs):
                     if levenshtein(vocab_term, t) <= fuzziness:
                         add_matches(vocab_term)
             else:

@@ -154,3 +154,38 @@ def test_random_tree_rank_identity(corpus, qi):
         return sorted(((-round(s, 9), d) for d, s in rows))
 
     assert canon(got) == canon(want), qd
+
+
+@pytest.mark.parametrize("qi", range(12))
+def test_random_tree_details_identity(corpus, qi):
+    """include_details=True under random composition: the full result
+    shape %{ref, score, matched, positions} (index.ex:258-266,
+    bool_query.ex:108-170). matched counts should clauses; positions
+    merge per field across clauses — compared as per-field multisets of
+    (start, len) pairs (the reference's within-field append order is an
+    ETS-iteration artifact, not part of the contract)."""
+    idx, oidx, vocab, raw_words = corpus
+    rng = random.Random(SEED ^ 0xD7A11)
+    for _ in range(qi):
+        _tree(rng, vocab, raw_words)
+    qd = {"query": _tree(rng, vocab, raw_words)}
+
+    rows = {r["docid"]: r
+            for r in idx.search(qd, include_details=True).collect()}
+    want = {r["ref"]: r for r in oracle_search(oidx, qd)}
+    assert sorted(rows) == sorted(want), qd
+    for docid, w in want.items():
+        r = rows[docid]
+        assert r["score"] == pytest.approx(w["score"], abs=1e-9), (qd, docid)
+        if "matched" in w:
+            assert r["matched"] == w["matched"], (qd, docid)
+        got_pos = {
+            f: sorted(zip(p[::2], p[1::2]))
+            for f, p in (dict(r["positions"]) if r["positions"] else {}).items()
+            if p
+        }
+        want_pos = {
+            f: sorted(map(tuple, pos))
+            for f, pos in w.get("positions", {}).items() if pos
+        }
+        assert got_pos == want_pos, (qd, docid)
