@@ -35,6 +35,17 @@ FIELDS = ("text", "tool")
 @pytest.fixture(scope="module")
 def corpus(spark):
     src = with_docid(transcripts_df(spark, n_convs=40, turns_per_conv=5))
+    # edge-shape docs: empty text, stopword-only text (zero tokens after
+    # analysis), text-only-no-tool — these docs carry no postings in one
+    # or both fields yet still belong to the doc universe (the reference
+    # counts them via the other field's id rows, index_test.exs:151-172),
+    # so match_all / not / bool-must_not paths must emit them
+    edge = spark.createDataFrame(
+        [("conv-edge", 0, "user", "", "bash", None),
+         ("conv-edge", 1, "assistant", "the and of it", "search", None),
+         ("conv-edge", 2, "user", "quick fox segment", "", None)],
+        src.drop("docid").schema)
+    src = src.unionByName(with_docid(edge))
     idx = Index(name="randq").add_field("text").add_field("tool")
     idx.add_documents(src, docid_col="docid")
     idx.materialize()
