@@ -61,6 +61,10 @@ class OracleField:
         self.ids: Dict[str, None] = {}  # insertion-ordered set
         self.idf: Dict[str, float] = {}
         self.flnorm: float = 0.0
+        # per-doc indexed token count (post-pipeline), INCLUDING 0 for
+        # zero-token docs — BM25 doc-length norm; the engine's doc_stats
+        # rows carry the same (sentinel rows, build/indexer.py)
+        self.doc_len: Dict[str, int] = {}
 
     # -- build ----------------------------------------------------------
     def add(self, docs: Sequence[Tuple[str, Union[str, int, float]]]) -> None:
@@ -68,22 +72,31 @@ class OracleField:
             if docid in self.ids:  # duplicate guard (field.ex:85)
                 continue
             self.ids[docid] = None
+            n_toks = 0
             for tok in self.pipeline.run(content):
                 attrs = self.term_docs.setdefault(tok.token, {}).setdefault(
                     docid, {"total": 0, "positions": []}
                 )
                 attrs["total"] += 1
                 attrs["positions"].append((tok.start, tok.length))
+                n_toks += 1
+            self.doc_len[docid] = n_toks
         self._recalculate()
 
     def remove(self, docids: Sequence[str]) -> None:
         for docid in docids:
             self.ids.pop(docid, None)
+            self.doc_len.pop(docid, None)
             for term in list(self.term_docs):
                 self.term_docs[term].pop(docid, None)
                 if not self.term_docs[term]:
                     del self.term_docs[term]
         self._recalculate()
+
+    def avg_doc_len(self) -> float:
+        # mean over ALL docs in the field (zero-token docs included),
+        # matching field_stats.avg_doc_len = avg over doc_stats rows
+        return (sum(self.doc_len.values()) / len(self.ids)) if self.ids else 0.0
 
     def _recalculate(self) -> None:
         n = len(self.ids)
@@ -118,8 +131,11 @@ class OracleField:
                     {
                         "term": vocab_term,
                         "tf": self.tf(vocab_term, docid),
+                        "tf_raw": attrs["total"],
+                        "df": len(self.term_docs[vocab_term]),
                         "idf": self.idf[vocab_term],
                         "norm": self.flnorm,
+                        "doc_len": self.doc_len.get(docid, 0),
                         "positions": list(attrs["positions"]),
                     }
                 )
@@ -161,6 +177,22 @@ class OracleIndex:
         self.ref = ref
         self.pipeline = pipeline if pipeline is not None else Pipeline.default()
         self.fields: Dict[str, OracleField] = {}
+        # leaf scoring mode: "elasticlunr" (reference parity: max over
+        # terms of tf*idf^2*flnorm) or "bm25" (engine extension: sum over
+        # matched entries of Robertson idf * saturated tf) — composition
+        # semantics (bool/not/match_all) are mode-independent
+        self.mode = "elasticlunr"
+        self.k1 = 1.2
+        self.b = 0.75
+
+    def bm25(self, k1: float = 1.2, b: float = 0.75) -> "OracleIndex":
+        """A shallow view of this index scoring leaves in BM25 mode —
+        shares field data; mirrors Index.search_bm25 (index.py)."""
+        import copy
+
+        out = copy.copy(self)
+        out.mode, out.k1, out.b = "bm25", k1, b
+        return out
 
     def add_field(self, name: str, pipeline: Optional[Pipeline] = None,
                   query_pipeline: Optional[Pipeline] = None) -> "OracleIndex":
@@ -217,6 +249,28 @@ class TermsQ:
             minimum_should_match=self.minimum_should_match,
             docs=filtered,
         )
+        if index.mode == "bm25":
+            # engine extension (search/scorer.py bm25 branch): SUM over
+            # matched (query term, vocab term) entries of Robertson idf
+            # * saturated tf with doc-length norm; N/avgdl include
+            # zero-token docs (field_stats semantics)
+            n = len(f.ids)
+            avgdl = f.avg_doc_len()
+            k1, b = index.k1, index.b
+            out = []
+            for docid, entries in docs.items():
+                s = 0.0
+                for e in entries:
+                    idf = math.log(1.0 + (n - e["df"] + 0.5) / (e["df"] + 0.5))
+                    tf_part = (e["tf_raw"] * (k1 + 1.0)) / (
+                        e["tf_raw"]
+                        + k1 * (1.0 - b + b * e["doc_len"] / avgdl)
+                    )
+                    s += idf * tf_part
+                out.append({"ref": docid, "score": s * self.boost,
+                            "positions": {self.field: []}})
+            return out
+
         out = []
         for docid, entries in docs.items():
             best_score, best = 0.0, None

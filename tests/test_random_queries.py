@@ -168,6 +168,28 @@ def test_random_tree_rank_identity(corpus, qi):
 
 
 @pytest.mark.parametrize("qi", range(12))
+def test_random_tree_bm25_identity(corpus, qi):
+    """BM25 mode (the headline scorer, an engine extension over the
+    reference's tf*idf^2*flnorm) under random composition: leaf scores
+    sum Robertson-idf saturated-tf entries, composition semantics stay
+    the reference's (union, msm, score>0). Referee: the oracle's bm25
+    view (tests/oracle/core.py TermsQ bm25 branch)."""
+    idx, oidx, vocab, raw_words = corpus
+    rng = random.Random(SEED ^ 0xB2525)
+    for _ in range(qi):
+        _tree(rng, vocab, raw_words)
+    qd = {"query": _tree(rng, vocab, raw_words)}
+
+    got = [(r["docid"], r["score"])
+           for r in idx.search(qd, mode="bm25").collect()]
+    want = [(r["ref"], r["score"]) for r in oracle_search(oidx.bm25(), qd)]
+    gmap, wmap = dict(got), dict(want)
+    assert sorted(gmap) == sorted(wmap), qd
+    for d, gs in gmap.items():
+        assert gs == pytest.approx(wmap[d], abs=1e-9), (qd, d, gs, wmap[d])
+
+
+@pytest.mark.parametrize("qi", range(12))
 def test_random_tree_details_identity(corpus, qi):
     """include_details=True under random composition: the full result
     shape %{ref, score, matched, positions} (index.ex:258-266,
