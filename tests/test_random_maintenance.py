@@ -1,0 +1,115 @@
+"""Randomized index-maintenance sequences: engine vs oracle.
+
+The reference's write path is add (duplicate docids silently skipped,
+field.ex:85), update = remove-then-re-add (field.ex:127-134), remove
+(field.ex:136-146), each followed by a full idf/flnorm refresh
+(field.ex:321-349). The hand-written tests pin each op once; this test
+drives a seeded-random SEQUENCE of batches — adds that collide with
+existing ids, updates that both replace and create, removes of present
+and absent ids — and asserts rank identity on probe queries after
+every step, so stats-refresh composition (N, df, idf, flnorm drifting
+over the sequence) is checked, not just single ops.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ex_elasticlunr_spark import Index
+from tests.oracle import OracleIndex
+from tests.oracle.core import search as oracle_search
+
+WORDS = ["quick", "brown", "fox", "jumped", "lorem", "ipsum", "dolor",
+         "elixir", "livebook", "segment", "stream", "the", "and", "of",
+         "spark", "index", "search", "merge", "token", "vector"]
+
+PROBES = [
+    {"query": {"match": {"content": "quick fox"}}},
+    {"query": {"terms": {"content": ["lorem", "elixir", "spark"],
+                         "minimum_should_match": 2}}},
+    {"query": {"bool": {"must": {"match": {"content": "segment"}},
+                        "must_not": {"terms": {"content": "ipsum"}},
+                        "should": [{"match": {"content": "stream merge"}},
+                                   {"match_all": {}}]}}},
+    {"query": {"terms": {"content": {"value": "vektor", "fuzziness": 2}}}},
+]
+
+
+def _text(rng: random.Random) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 8)))
+
+
+def _assert_identical(idx, oidx, step):
+    for q in PROBES:
+        got = [(r["docid"], r["score"]) for r in idx.search(q).collect()]
+        want = [(r["ref"], r["score"]) for r in oracle_search(oidx, q)]
+        assert [g[0] for g in got] == [w[0] for w in want], (step, q)
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), (step, q, gd)
+
+
+def test_random_maintenance_sequence(spark):
+    rng = random.Random(0x5EED5)
+    next_id = 0
+
+    def new_docs(n, reuse_ids=()):
+        nonlocal next_id
+        out = []
+        for i in range(n):
+            if i < len(reuse_ids):
+                did = reuse_ids[i]
+            else:
+                did = f"d{next_id:03d}"
+                next_id += 1
+            out.append((did, _text(rng)))
+        return out
+
+    live = []  # ids ever added, for collision/removal sampling
+    base = new_docs(20)
+    live += [d for d, _ in base]
+
+    idx = Index(name="maint").add_field("content")
+    idx.add_documents(
+        spark.createDataFrame(base, "id string, content string"),
+        docid_col="id")
+    oidx = OracleIndex().add_field("content")
+    oidx.add_documents([{"id": d, "content": c} for d, c in base])
+    _assert_identical(idx, oidx, "initial")
+
+    for step in range(6):
+        op = rng.choice(["add", "update", "remove"])
+        if op == "add":
+            # half the batch collides with existing ids -> silently
+            # skipped by BOTH engines (field.ex:85 duplicate guard)
+            collide = rng.sample(live, 2)
+            docs = new_docs(4, reuse_ids=collide)
+            live += [d for d, _ in docs if d not in live]
+            idx.add_documents(
+                spark.createDataFrame(docs, "id string, content string"),
+                docid_col="id")
+            oidx.add_documents([{"id": d, "content": c} for d, c in docs])
+        elif op == "update":
+            # update = remove-then-re-add; mixes replaced and brand-new
+            docs = new_docs(3, reuse_ids=rng.sample(live, 2))
+            live += [d for d, _ in docs if d not in live]
+            idx.update_documents(
+                spark.createDataFrame(docs, "id string, content string"),
+                docid_col="id")
+            oidx.remove_documents([d for d, _ in docs])
+            oidx.add_documents([{"id": d, "content": c} for d, c in docs])
+        else:
+            # removes include an id that was never added (no-op) and
+            # possibly one already removed
+            targets = rng.sample(live, 2) + ["never-existed"]
+            idx.remove_documents(
+                spark.createDataFrame([(t,) for t in targets],
+                                      "docid string"))
+            oidx.remove_documents(targets)
+            live = [d for d in live if d not in targets]
+        # truncate the op-chain lineage the way a real maintenance loop
+        # would — each add/update/remove otherwise stacks its anti-join +
+        # stats refresh onto every later probe's plan
+        idx.materialize()
+        _assert_identical(idx, oidx, f"step{step}:{op}")
