@@ -213,12 +213,14 @@ def main() -> None:
                      "dedup_minhash_lsh", "ann_brute_topk", "text_quality"):
             timed(f"sf_{name}", lambda n=name: q[n](spark, sf_dir).collect())
 
-    # ---- BM25 top-10 rank-identity rate (the BASELINE.json headline
-    # metric) over the reference query set on a transcripts corpus:
-    # engine results vs the pure-Python oracle that implements the
-    # reference's exact formulas (tests/oracle/core.py). The full
-    # per-query assertion lives in tests/test_spark_engine.py; here the
-    # RATE is measured and reported so every BENCH_r{N}.json carries it.
+    # ---- top-10 rank-identity rates over the reference query set on a
+    # transcripts corpus: engine results vs the pure-Python oracle
+    # (tests/oracle/core.py). "bm25" is the BASELINE.json headline
+    # metric (BM25 top-10 rank-identity); "elasticlunr" is reference-
+    # formula parity (tf*idf^2*flnorm, the reference's own scorer). The
+    # full per-query assertions live in tests/test_spark_engine.py and
+    # tests/test_random_queries.py; here the RATES are measured so every
+    # BENCH_r{N}.json carries them.
     rank_identity = None
     if not os.environ.get("BENCH_SKIP_RANK"):
         try:
@@ -242,22 +244,29 @@ def main() -> None:
                  for r in src.select("docid", "text", "tool").collect()])
 
             qset = reference_query_set("text") + TRANSCRIPT_QUERIES
-            matched = 0
-            for qd in qset:
-                got = [(r["docid"], r["score"])
-                       for r in ridx.search(qd, top_k=10).collect()]
-                want = [(r["ref"], r["score"])
-                        for r in oracle_search(oidx, qd, top_k=10)]
-                ok = ([g[0] for g in got] == [w[0] for w in want] and all(
-                    abs(g[1] - w[1]) <= 1e-9 for g, w in zip(got, want)))
-                matched += int(ok)
-            rank_identity = {
-                "rate": round(matched / len(qset), 4),
-                "matched": matched,
-                "queries": len(qset),
-                "top_k": 10,
-                "sec": round(time.perf_counter() - t_ri, 2),
-            }
+            rank_identity = {}
+            for mode, oview in (("bm25", oidx.bm25()),
+                                ("elasticlunr", oidx)):
+                t_m = time.perf_counter()
+                matched = 0
+                for qd in qset:
+                    got = [(r["docid"], r["score"])
+                           for r in ridx.search(qd, top_k=10,
+                                                mode=mode).collect()]
+                    want = [(r["ref"], r["score"])
+                            for r in oracle_search(oview, qd, top_k=10)]
+                    ok = ([g[0] for g in got] == [w[0] for w in want]
+                          and all(abs(g[1] - w[1]) <= 1e-9
+                                  for g, w in zip(got, want)))
+                    matched += int(ok)
+                rank_identity[mode] = {
+                    "rate": round(matched / len(qset), 4),
+                    "matched": matched,
+                    "queries": len(qset),
+                    "top_k": 10,
+                    "sec": round(time.perf_counter() - t_m, 2),
+                }
+            rank_identity["sec"] = round(time.perf_counter() - t_ri, 2)
         except ImportError:
             # tests/ not shipped alongside bench.py in this deployment
             rank_identity = None

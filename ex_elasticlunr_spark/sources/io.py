@@ -38,11 +38,19 @@ def read_corpus(spark: SparkSession, location: str,
     if fmt == "iceberg":
         try:
             return spark.read.format("iceberg").load(location)
-        except Exception as exc:  # DSv2 source missing from classpath
-            raise RuntimeError(
-                "reading --format iceberg needs the public "
-                "iceberg-spark-runtime jar on the cluster classpath "
-                "(spark-submit --packages org.apache.iceberg:"
-                "iceberg-spark-runtime-<spark_ver>_<scala_ver>:<ver>)"
-            ) from exc
+        except Exception as exc:
+            # rewrap ONLY the missing-DataSourceV2-class failure; table-
+            # not-found / permission / schema errors on a cluster that
+            # HAS the jar must propagate untouched
+            msg = str(exc)
+            if ("DATA_SOURCE_NOT_FOUND" in msg
+                    or "Failed to find data source" in msg
+                    or "ClassNotFoundException" in msg):
+                raise RuntimeError(
+                    "reading --format iceberg needs the public "
+                    "iceberg-spark-runtime jar on the cluster classpath "
+                    "(spark-submit --packages org.apache.iceberg:"
+                    "iceberg-spark-runtime-<spark_ver>_<scala_ver>:<ver>)"
+                ) from exc
+            raise
     raise ValueError(f"unknown corpus format: {fmt!r}")

@@ -267,8 +267,18 @@ class TermsQ:
                         + k1 * (1.0 - b + b * e["doc_len"] / avgdl)
                     )
                     s += idf * tf_part
+                # details parity with the engine's bm25 branch
+                # (scorer.py): ALL matched entries' positions,
+                # term-sorted, and matched = entry count
+                pos = [
+                    p
+                    for e in sorted(entries,
+                                    key=lambda e: (e["term"], e["positions"]))
+                    for p in e["positions"]
+                ]
                 out.append({"ref": docid, "score": s * self.boost,
-                            "positions": {self.field: []}})
+                            "matched": len(entries),
+                            "positions": {self.field: pos}})
             return out
 
         out = []
@@ -282,6 +292,12 @@ class TermsQ:
                 {
                     "ref": docid,
                     "score": best_score * self.boost,
+                    # the reference's terms result carries no matched
+                    # count (terms_query.ex:91-97); the engine emits
+                    # matched = (query term, vocab term) entry count for
+                    # terms roots as a details extension — mirrored here
+                    # so the referee can check it
+                    "matched": len(entries),
                     "positions": {self.field: best["positions"] if best else []},
                 }
             )
