@@ -24,6 +24,13 @@ is DataFrame/mapInPandas; there is no local-mode assumption.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# runnable as `python scripts/build_index_job.py` from anywhere: the
+# repo root hosts the package; under spark-submit the --py-files zip
+# already provides it
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
