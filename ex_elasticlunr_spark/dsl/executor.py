@@ -82,7 +82,8 @@ class QueryExecutor:
             df = (df.join(self.index.ordinals_df(full=full), "ord")
                   .select("docid", *rest))
         out = df.orderBy(F.desc("score"), F.asc("docid"))
-        return out.limit(top_k) if top_k else out
+        # `is not None`: top_k=0 means "zero rows", not "no limit"
+        return out.limit(top_k) if top_k is not None else out
 
     def search_text(self, text: str, top_k: Optional[int] = None,
                     field_boosts: Optional[dict] = None) -> DataFrame:

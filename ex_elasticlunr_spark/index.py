@@ -277,6 +277,10 @@ class Index:
         ``include_details``: emit the reference's full result shape
         %{ref, score, matched, positions} (index.ex:258-266) as extra
         ``matched``/``positions`` columns (DSL-map queries only)."""
+        if self.inverted is None:
+            raise RuntimeError(
+                f"index {self.name!r} has no documents — call "
+                "add_documents() (or load()) before search()")
         ex = self.executor(mode=mode, **kw)
         if query is None:
             spark = self.inverted.postings.sparkSession

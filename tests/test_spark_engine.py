@@ -226,6 +226,18 @@ def test_not_in_filter_chain_rejects_from_universe(spark):
     assert_rank_identical(got, want)
 
 
+def test_edge_api_shapes(golden):
+    """top_k=0 limits to zero rows (not 'unlimited'); an index with no
+    documents fails search() with a clear message instead of an
+    AttributeError deep in the executor."""
+    idx, _ = golden
+    assert idx.search({"query": {"match_all": {}}}, top_k=0).collect() == []
+
+    bare = Index(name="never-built").add_field("content")
+    with pytest.raises(RuntimeError, match="no documents"):
+        bare.search({"query": {"match_all": {}}})
+
+
 def test_all_stopword_match_rewrites_to_universe(spark):
     """A match whose query string analyzes to ZERO tokens rewrites to
     match_all (match_query.ex:34-44) and must therefore emit docs that
