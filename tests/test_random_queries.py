@@ -189,6 +189,44 @@ def test_random_tree_bm25_identity(corpus, qi):
         assert gs == pytest.approx(wmap[d], abs=1e-9), (qd, d, gs, wmap[d])
 
 
+@pytest.mark.parametrize("qi", range(10))
+def test_random_sugar_identity(corpus, qi):
+    """String-search and map-query sugar forms (index.ex:181-256 — Q13
+    per-field boosts where boost <= 0 drops the field, Q14 map queries
+    with bool/expand options) under random inputs, vs the oracle's own
+    sugar expansion."""
+    idx, oidx, vocab, raw_words = corpus
+    rng = random.Random(SEED ^ 0x56A9)
+    for _ in range(qi):
+        _words(rng, raw_words), rng.random(), rng.random()
+    words = " ".join(_words(rng, raw_words, k_max=3))
+    form = rng.random()
+    if form < 0.33:
+        query, options = words, None
+    elif form < 0.66:
+        query = words
+        options = {"fields": {
+            "text": {"boost": rng.choice([0, 0.5, 1, 2])},
+            "tool": {"boost": rng.choice([0, 1, 2])},
+        }}
+    else:
+        query = {"text": words}
+        if rng.random() < 0.5:
+            query["tool"] = rng.choice(vocab["tool"])
+        options = {"bool": rng.choice(["and", "or"]),
+                   "expand": rng.random() < 0.4}
+
+    got = [(r["docid"], r["score"])
+           for r in idx.search(query, options=options).collect()]
+    want = [(r["ref"], r["score"])
+            for r in oracle_search(oidx, query, options=options)]
+    gmap, wmap = dict(got), dict(want)
+    assert sorted(gmap) == sorted(wmap), (query, options)
+    for d, gs in gmap.items():
+        assert gs == pytest.approx(wmap[d], abs=1e-9), (query, options, d)
+    assert got == sorted(got, key=lambda r: (-r[1], r[0])), (query, options)
+
+
 @pytest.mark.parametrize("mode", ["elasticlunr", "bm25"])
 @pytest.mark.parametrize("qi", range(12))
 def test_random_tree_details_identity(corpus, qi, mode):
