@@ -153,7 +153,10 @@ class OracleField:
         for t in terms:
             if isinstance(t, re.Pattern):
                 for vocab_term in sorted(self.term_docs):
-                    if t.match(vocab_term):
+                    # search(), not match(): expand patterns carry their
+                    # own ^ anchor; raw regex patterns are unanchored
+                    # (the engine's rlike / Java find() semantics)
+                    if t.search(vocab_term):
                         add_matches(vocab_term)
             elif fuzziness > 0:
                 for vocab_term in sorted(self.term_docs):
@@ -235,14 +238,19 @@ class TermsQ:
     expand: bool = False
     fuzziness: int = 0
     minimum_should_match: int = 1
+    regex: bool = False  # engine extension: unanchored vocab regex
 
     def score(self, index: OracleIndex, filtered: Optional[List[str]] = None):
         f = index.fields[self.field]
-        terms: List[Union[str, re.Pattern]] = (
-            [re.compile("^" + re.escape(t) + ".*") for t in self.terms]
-            if self.expand
-            else list(self.terms)
-        )
+        if self.expand:
+            terms: List[Union[str, re.Pattern]] = [
+                re.compile("^" + re.escape(t) + ".*") for t in self.terms]
+        elif self.regex:
+            # engine extension: raw UNANCHORED patterns over the vocab
+            # (scorer.py uses rlike, i.e. Java find() semantics)
+            terms = [re.compile(t) for t in self.terms]
+        else:
+            terms = list(self.terms)
         docs = f.terms(
             terms,
             fuzziness=self.fuzziness,
@@ -444,7 +452,8 @@ def _score(node, index: OracleIndex, filtered=None):
 # DSL parsing (dsl/query_repository.ex, per-node parse/3)
 # ---------------------------------------------------------------------------
 
-_OPTION_KEYS = {"boost", "expand", "fuzziness", "minimum_should_match", "operator"}
+_OPTION_KEYS = {"boost", "expand", "fuzziness", "minimum_should_match",
+                "operator", "regex"}
 
 
 def parse(query: dict):
@@ -485,6 +494,7 @@ def _parse_terms(options: dict):
         terms=[str(t) for t in terms],
         boost=opts.get("boost", 1),
         expand=opts.get("expand", False),
+        regex=opts.get("regex", False),
         fuzziness=opts.get("fuzziness", 0),
         minimum_should_match=opts.get("minimum_should_match", 1),
     )

@@ -110,6 +110,12 @@ def _leaf(rng: random.Random, vocab, raw_words):
         params["expand"] = True
     elif r2 < 0.3:
         params["fuzziness"] = rng.randint(1, 2)
+    elif r2 < 0.4:
+        # raw UNANCHORED regex over the vocab (engine extension)
+        stem = rng.choice(vocab[field])
+        params["value"] = rng.choice(
+            [stem[:3], stem[-2:] + "$", "^" + stem[:2], stem[:1] + ".k"])
+        params["regex"] = True
     return {"terms": {field: params}}
 
 
