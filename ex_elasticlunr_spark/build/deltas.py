@@ -51,12 +51,17 @@ parquet scan in the union + a broadcast anti-join when tombstones
 exist — which is why compact() exists for when generations accumulate.
 
 Concurrency model: SINGLE WRITER, many readers — the same contract as
-Lucene's write.lock. Readers are safe at any time (the manifest
-rewrite is the atomic commit; an in-flight generation directory is
-invisible until committed), but two concurrent writers could both
-claim the same generation name and the last manifest write would
-orphan the other's directory. Serialize writers externally (the
-streaming sink is naturally serial per query).
+Lucene's write.lock. ``save_delta`` is reader-safe at any time (the
+manifest rewrite is the atomic commit; an in-flight generation
+directory is invisible until committed). ``compact()`` is NOT: it
+delegates to a full ``save``, which swaps table directories with
+per-table renames before rewriting the manifest, so a reader that
+opened the manifest just before compaction can scan half-renamed
+directories — quiesce readers around compaction (see
+InvertedIndex.compact). Two concurrent writers could both claim the
+same generation name and the last manifest write would orphan the
+other's directory. Serialize writers externally (the streaming sink
+is naturally serial per query).
 """
 
 from __future__ import annotations
@@ -281,7 +286,13 @@ def bind_generations(inv, spark, path: str, manifest: dict) -> None:
 
     tomb_ords = None
     if tomb_ord_parts:
-        tomb_ords = _union_all(tomb_ord_parts).persist()
+        # localCheckpoint, not persist: the checkpoint's blocks are
+        # ContextCleaner-collected when this DF goes unreferenced, so a
+        # long-lived session that loads/rebinds many tombstone-bearing
+        # warehouses doesn't accrete cached blocks nobody unpersists
+        # (same reasoning that moved phrase hits and LSH banding off
+        # persist())
+        tomb_ords = _union_all(tomb_ord_parts).localCheckpoint(eager=True)
 
     def _anti_ord(df):
         if tomb_ords is None:

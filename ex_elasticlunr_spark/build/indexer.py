@@ -827,7 +827,13 @@ class InvertedIndex:
         On an ord-keyed index (loaded v5: postings carry no docid) the
         tombstone docids translate to ords first — a tombstone-sized
         join, after which the postings anti-join keys on the int ordinal.
+
+        ``docids``: a one-column DataFrame, or a plain sequence of ids
+        (the reference's call shape, index.ex remove_documents).
         """
+        if not isinstance(docids, DataFrame):
+            docids = self.postings.sparkSession.createDataFrame(
+                [(str(d),) for d in docids], "docid string")
         t = docids.select(F.col(docids.columns[0]).alias("docid"))
         if "docid" in self.postings.columns:
             postings = self.postings.join(t, "docid", "left_anti")
@@ -883,7 +889,15 @@ class InvertedIndex:
         Restores exact term df/idf after tombstoned removals (delta
         loads keep df stale-until-compact, Lucene's deleted-docs
         semantics) and re-clusters all postings into one term-sorted
-        table."""
+        table.
+
+        NOT reader-safe, unlike ``save_delta``: the full save swaps
+        table directories with per-table renames before the manifest
+        rewrite, so a reader that opens the manifest mid-compaction can
+        scan half-renamed directories. Quiesce readers (or snapshot the
+        warehouse path) around compaction — the same operational
+        contract as a Lucene force-merge on a live directory without
+        commit-point retention."""
         if not self._path:
             raise ValueError("compact() needs an index loaded from disk")
         self.save(self._path, with_segments=with_segments,

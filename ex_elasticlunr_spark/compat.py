@@ -255,12 +255,16 @@ def read_data_rows(path: str) -> dict:
         j = data.find(b"\x83", i)
         if j < 0:
             break
+        # advance conservatively: only a RECOGNIZED row shape consumes
+        # its full decoded span — a false-positive 0x83 that happens to
+        # decode as some long tuple must not swallow the bytes of a real
+        # DETS object that starts inside it (that would silently drop
+        # posting rows from the replayed index)
+        i = j + 1
         try:
             term, end = _etf_decode(data, j + 1)
         except Exception:  # noqa: BLE001 — scanner: skip non-term bytes
-            i = j + 1
             continue
-        i = end
         if not (isinstance(term, tuple) and term
                 and isinstance(term[0], tuple) and term[0]):
             continue
@@ -282,6 +286,9 @@ def read_data_rows(path: str) -> dict:
             out["field_ids"].append((key[1], str(key[2])))
         elif kind == "field_flnorm" and len(key) == 2 and len(term) == 2:
             out["field_flnorm"].append((key[1], float(term[1])))
+        else:
+            continue  # unrecognized shape: leave the cursor at j + 1
+        i = end
     return out
 
 

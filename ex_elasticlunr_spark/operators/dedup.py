@@ -104,9 +104,12 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     import hashlib
 
     # small single-file sources read as ONE partition — spread the
-    # (md5-heavy) signature work across cores before the UDF
+    # (md5-heavy) signature work across cores before the UDF. Partition
+    # count comes from the JVM logical plan: touching df.rdd here would
+    # build the Python-RDD conversion plan just to read a number
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    n_parts = df._jdf.rdd().getNumPartitions()
+    if n_parts < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
 
     n_seeds = (num_hashes + 3) // 4

@@ -38,7 +38,11 @@ def facet_terms(inv, matches: DataFrame, field: str, top_n: int = 10,
     ``min_count`` drops long-tail terms before the top-n (facet floors
     are how UIs avoid single-doc noise buckets).
     """
-    key = "ord" if "ord" in inv.postings.columns else "docid"
+    # the SAME currency the executor compiled ``matches`` in — sniffing
+    # postings columns instead diverges whenever postings carry both
+    # ``ord`` and ``docid`` but key_col is "docid" (e.g. a rebuilt index
+    # after remove_documents), crashing the join on UNRESOLVED_COLUMN
+    key = inv.key_col
     m = matches.select(key).distinct()
     p = inv.postings.where(F.col("field") == field).select("term", key)
     counts = (
@@ -70,7 +74,7 @@ def keywords_tfidf(inv, field: str, top_n: int = 5) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    key = "ord" if "ord" in inv.postings.columns else "docid"
+    key = inv.key_col
     vocab = F.broadcast(
         inv.term_stats.where(F.col("field") == field).select("term", "idf"))
     scored = (

@@ -112,9 +112,24 @@ def stream_to_index(
                 analyzers=analyzers, store_positions=store_positions,
                 dedupe=dedupe,
             ).save(warehouse)
+            # record which batch became the base: a replayed FIRST
+            # batch (crash between this save and the checkpoint
+            # advance) must be skipped like any other replay — without
+            # this stamp it would take the delta path and commit an
+            # empty tagged generation, drifting gen counts and
+            # compact_every triggers
+            with open(manifest_path) as fh:
+                manifest = json.load(fh)
+            manifest["base_tag"] = tag
+            tmp = manifest_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, manifest_path)
             return
         with open(manifest_path) as fh:
             manifest = json.load(fh)
+        if manifest.get("base_tag") == tag:
+            return  # replayed base batch: already the base save
         if any(e.get("tag") == tag
                for e in manifest.get("generations", [])):
             return  # replayed batch: generation already committed

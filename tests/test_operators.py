@@ -388,6 +388,36 @@ def test_facet_terms_counts_and_tiebreak(spark):
         ("fox", 3), ("dog", 2)]
 
 
+def test_facet_and_keywords_after_remove(spark):
+    """Regression: after remove_documents the rebuilt postings carry a
+    docid column (key_col == 'docid') ALONGSIDE any ord column — facet
+    and keywords must key on index.key_col (the executor's currency),
+    not on a column sniffed from postings, or the join crashes with
+    UNRESOLVED_COLUMN."""
+    from ex_elasticlunr_spark import AnalyzerConfig, Index
+
+    sdf = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(
+            ["fox dog", "fox cat", "fox dog bird", "whale",
+             "fox", "dog cat", "fox whale", "bird"])],
+        "id string, text string")
+    idx = Index(name="fct-rm", pipeline=AnalyzerConfig(stages=())) \
+        .add_field("text")
+    idx.add_documents(sdf, docid_col="id")
+    idx.remove_documents(["3"])
+    idx.materialize()
+
+    got = idx.facet({"query": {"terms": {"text": "fox"}}}, "text",
+                    top_n=3).collect()
+    # matched docs 0,1,2,4,6 -> fox:5, dog:2, then bird/cat/whale on 1
+    assert [(r["term"], r["doc_count"]) for r in got] == [
+        ("fox", 5), ("dog", 2), ("bird", 1)]
+
+    kw = idx.keywords("text", top_n=1)
+    assert kw.where(kw.docid == "3").count() == 0
+    assert kw.count() == 7
+
+
 def test_shuffle_shards_deterministic_and_balanced(spark):
     """The training-order shuffle is a pure function of ids: identical
     assignment under different partitioning/row order, shards within a
