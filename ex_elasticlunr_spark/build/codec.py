@@ -3,22 +3,29 @@ posting format).
 
 Block layout (bytes):
     varint n_entries
-    n_entries x (varint docid_ordinal_gap, varint tf_raw, varint doc_len)
+    n_entries x (varint docid_ordinal_gap, varint value)
 
 Ordinals are global, assigned in docid sort order (ordinals.py), so gaps
 are small and varints average 1-2 bytes. The first entry's gap is taken
 from ``base_ord`` (the block's range start), keeping every block
-independently decodable. doc_len rides along so BM25 scoring needs no
-doc_stats join at query time (same denormalization as the postings
-table).
+independently decodable.
+
+The same (gap, value) stream encodes BOTH segment payload kinds:
+posting blocks carry value = tf_raw per (term, doc) entry, and the
+per-(field, block) doc-length blocks carry value = doc_len once per
+document (codec v2; segments.build_len_blocks). Codec v1 interleaved
+doc_len into every posting entry — a per-document value repeated once
+per distinct term in the doc, the largest avoidable byte stream in the
+segment store at 10^12 turns (~1-2 varint bytes x postings_rows); v2
+stores it once per (field, doc) in the side table instead.
 
 Encode/decode run inside Arrow-batched pandas UDFs over
 *already-grouped* arrays (one call per posting block). The block codec
 is numpy-vectorized — byte lengths, shifts, and continuation bits are
-computed for the whole interleaved (gap, tf, doc_len) stream in a
-handful of array passes (≤10 for 64-bit values) instead of a Python
-loop per varint; at ~11 postings/turn x 3 varints each, the scalar loop
-was the dominant cost of the segment-encode stage. The scalar
+computed for the whole interleaved (gap, value) stream in a handful of
+array passes (≤10 for 64-bit values) instead of a Python loop per
+varint; at ~11 postings/turn x 2 varints each, the scalar loop was the
+dominant cost of the segment-encode stage. The scalar
 ``encode_varint``/``decode_varint`` remain as the format reference
 (tests pin the vectorized paths against them).
 """
@@ -98,32 +105,31 @@ def _decode_varints(buf: bytes) -> np.ndarray:
     return vals
 
 
-def encode_block(ords: List[int], tfs: List[int], dls: List[int],
+def encode_block(ords: List[int], vals: List[int],
                  base_ord: int = 0) -> bytes:
-    """Encode parallel (sorted ordinal, tf, doc_len) lists. ``ords`` MUST
-    be strictly increasing."""
+    """Encode parallel (sorted ordinal, value) lists. ``ords`` MUST
+    be strictly increasing. value = tf_raw for posting blocks, doc_len
+    for len blocks."""
     n = len(ords)
     if n == 0:
         out = bytearray()
         encode_varint(0, out)
         return bytes(out)
     o = np.asarray(ords, dtype=np.int64)
-    inter = np.empty(3 * n + 1, dtype=np.uint64)
+    inter = np.empty(2 * n + 1, dtype=np.uint64)
     inter[0] = n
     inter[1] = o[0] - base_ord
-    inter[4::3] = np.diff(o).astype(np.uint64)
-    inter[2::3] = np.asarray(tfs, dtype=np.uint64)
-    inter[3::3] = np.asarray(dls, dtype=np.uint64)
+    inter[3::2] = np.diff(o).astype(np.uint64)
+    inter[2::2] = np.asarray(vals, dtype=np.uint64)
     return _encode_varints(inter).tobytes()
 
 
 def decode_block(buf: bytes, base_ord: int = 0):
-    """-> (ords, tfs, dls) as plain int lists."""
+    """-> (ords, vals) as plain int lists."""
     vals = _decode_varints(buf)
     n = int(vals[0]) if len(vals) else 0
     if n == 0:
-        return [], [], []
-    body = vals[1:1 + 3 * n]
-    ords = np.cumsum(body[0::3].astype(np.int64)) + base_ord
-    return (ords.tolist(), body[1::3].astype(np.int64).tolist(),
-            body[2::3].astype(np.int64).tolist())
+        return [], []
+    body = vals[1:1 + 2 * n]
+    ords = np.cumsum(body[0::2].astype(np.int64)) + base_ord
+    return ords.tolist(), body[1::2].astype(np.int64).tolist()

@@ -110,6 +110,7 @@ class InvertedIndex:
         self.store_positions = store_positions
         self._flat = None  # build-time analyzer output incl. sentinel rows
         self._segments = None  # (block_size, segments DF, ordinals DF)
+        self._seg_lens = None  # per-(field, block) doc_len blocks (codec v2)
         self._ordinals = None  # durable docid->ord table (v4+ layout)
         self._key = None  # explicit currency override (see key_col)
         self._ord_map = None  # cached translate plan (fresh builds)
@@ -201,6 +202,11 @@ class InvertedIndex:
         if self._segments is not None:
             self._segments[1].unpersist()
             self._segments[2].unpersist()
+            if self._seg_lens is not None:
+                # lens blocks are aligned to the segments' block size
+                # and ordinal space — a forced rebuild invalidates them
+                self._seg_lens.unpersist()
+                self._seg_lens = None
         if (self._ordinals is not None and "ord" in self.postings.columns
                 and not force):
             # v4 layout saved without segments: the postings table is
@@ -216,6 +222,31 @@ class InvertedIndex:
         seg = seg.persist()
         self._segments = (block_size, seg, ords)
         return self._segments[1], self._segments[2]
+
+    def seg_len_blocks(self, block_size: Optional[int] = None) -> DataFrame:
+        """Per-(field, block) doc-length blocks (codec v2 side table —
+        build/segments.py build_len_blocks): doc_len stored once per
+        (field, doc) instead of once per posting entry. Lazily built
+        from doc_stats (+ ordinals when doc_stats lacks ords) and
+        cached; save() persists it durably next to ``segments`` and
+        load() picks it up. The block size MUST match the posting
+        segments' (block-aligned decode joins) — when segments exist,
+        theirs wins."""
+        if self._seg_lens is not None:
+            return self._seg_lens
+        from .segments import build_len_blocks
+
+        # segments first: they fix BOTH the block size and the ordinal
+        # space (a lazy fresh-path build assigns docid-sorted ordinals
+        # that differ from the ingest ordinals in doc_stats.ord)
+        _, seg_ords = self.segments(block_size or 4096)
+        bs = self._segments[0]
+        trust_inline = (seg_ords is self._ordinals
+                        and "ord" in self.doc_stats.columns)
+        self._seg_lens = build_len_blocks(
+            self.doc_stats, None if trust_inline else seg_ords, bs
+        ).persist()
+        return self._seg_lens
 
     # -- lifecycle -------------------------------------------------------
     def cache(self) -> "InvertedIndex":
@@ -237,7 +268,7 @@ class InvertedIndex:
         # _field_stats directly: unpersisting must not trigger the lazy
         # multi-generation field-stats job just to unpersist its result
         for df in (self.postings, self.doc_stats, self._field_stats,
-                   self.term_stats, self.docs):
+                   self.term_stats, self.docs, self._seg_lens):
             if df is not None:
                 df.unpersist()
 
@@ -601,10 +632,23 @@ class InvertedIndex:
 
         def _w_segments():
             # segments are a pure MAP over the block-clustered postings
-            # (build_segments_streaming: no shuffle, no collect_list)
+            # (build_segments_streaming: no shuffle, no collect_list);
+            # the codec-v2 doc_len side table is one doc-count-sized
+            # bounded-group aggregation over the already-written
+            # doc_stats (ords inline — the durable ordinal space)
             s0 = _time.perf_counter()
             build_segments_streaming(postings, block_size) \
                 .write.mode("overwrite").parquet(_sp("segments"))
+            from .segments import build_len_blocks
+
+            ds = spark.read.parquet(_sp("doc_stats"))
+            # builds without ingest ordinals (e.g. checkpoint-resumed
+            # flats) write doc_stats without an ord column — translate
+            # through the just-written durable ordinal table instead
+            lens_ords = (None if "ord" in ds.columns
+                         else spark.read.parquet(_sp("ordinals")))
+            build_len_blocks(ds, lens_ords, block_size) \
+                .write.mode("overwrite").parquet(_sp("seg_lens"))
             stage_secs["segments_write_sec"] = _time.perf_counter() - s0
 
         # v5: the doc-ordered flat ingest table is a STAGING artifact
@@ -616,7 +660,7 @@ class InvertedIndex:
             tables.append("positions")
         fds_box: dict = {}
         if with_segments:
-            tables.append("segments")
+            tables += ["segments", "seg_lens"]
             _overlap(_write_stats, _w_segments)
         else:
             _write_stats()
@@ -636,6 +680,7 @@ class InvertedIndex:
             "clustered_ord": True,
             "ordinals_extra": True,
             "segments": with_segments,
+            "codec": 2,  # (gap, tf) payloads + seg_lens side table
             "block_size": block_size,
             "max_ord": int(max_ord_row["m"] or 0),
             "field_doc_stats": fds_box.get("v", {}),
@@ -759,13 +804,22 @@ class InvertedIndex:
             self._segments[1].unpersist()
             self._segments[2].unpersist()
         self._segments = None
-        if manifest.get("segments") and os.path.exists(
-                os.path.join(path, "segments")):
+        if self._seg_lens is not None:
+            self._seg_lens.unpersist()
+        self._seg_lens = None
+        # codec v1 warehouses interleaved doc_len into posting payloads;
+        # ignore their segments — the lazy streaming rebuild re-encodes
+        # from the clustered postings in the current format
+        if (manifest.get("segments") and manifest.get("codec", 1) >= 2
+                and os.path.exists(os.path.join(path, "segments"))):
             self._segments = (
                 manifest.get("block_size", 4096),
                 spark.read.parquet(os.path.join(path, "segments")),
                 spark.read.parquet(os.path.join(path, "ordinals")),
             )
+            if os.path.exists(os.path.join(path, "seg_lens")):
+                self._seg_lens = spark.read.parquet(
+                    os.path.join(path, "seg_lens"))
         if manifest.get("generations"):
             from .deltas import bind_generations
 

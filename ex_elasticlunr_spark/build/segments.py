@@ -20,14 +20,23 @@ Design:
   * the grouping shuffle keys on (field, term, block_id) — bounded
     group size (<= block_size) regardless of term frequency = no skew;
   * encoding runs in ONE Arrow-batched pandas UDF over the pre-sorted
-    (ord, tf) arrays (sort_array happens JVM-side in the aggregation).
+    (ord, tf) arrays (sort_array happens JVM-side in the aggregation);
+  * doc lengths live in their own ``len_blocks`` table, one entry per
+    (field, doc) instead of once per (term, doc) posting entry (codec
+    v2 — the v1 inline doc_len was the largest avoidable byte stream
+    in the store, ~1-2 varint bytes x postings_rows). BM25 scoring
+    decodes exactly the len blocks whose block_ids it prunes postings
+    to (search/wand.py), a bounded (field, block_id)-aligned join.
 
-Schema:
+Schemas:
   segments(field, term, block_id, n_docs, min_ord, max_ord,
            max_tf_raw, block_bytes, payload binary)
+  len_blocks(field, block_id, n_docs, payload binary)
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -40,14 +49,13 @@ DEFAULT_BLOCK_SIZE = 4096
 
 
 @F.pandas_udf(BinaryType())
-def _encode_arrays(ords: pd.Series, tfs: pd.Series, dls: pd.Series,
+def _encode_arrays(ords: pd.Series, vals: pd.Series,
                    base: pd.Series) -> pd.Series:
     # parallel primitive arrays (Arrow int lists) — no per-entry struct
     # unwrapping in Python
     out = [
-        encode_block([int(x) for x in o], [int(x) for x in t],
-                     [int(x) for x in d], int(b))
-        for o, t, d, b in zip(ords, tfs, dls, base)
+        encode_block([int(x) for x in o], [int(x) for x in v], int(b))
+        for o, v, b in zip(ords, vals, base)
     ]
     return pd.Series(out)
 
@@ -71,18 +79,17 @@ def build_segments(index, block_size: int = DEFAULT_BLOCK_SIZE,
             F.max("tf_raw").alias("max_tf_raw"),
             F.sort_array(
                 F.collect_list(
-                    F.struct(F.col("ord"), F.col("tf_raw"), F.col("doc_len"))
+                    F.struct(F.col("ord"), F.col("tf_raw"))
                 )
             ).alias("pairs"),
         )
-        # JVM-side column split: the pandas UDF receives three primitive
+        # JVM-side column split: the pandas UDF receives two primitive
         # int arrays instead of an array<struct> it would unwrap per entry
         .withColumn(
             "payload",
             _encode_arrays(
                 F.transform("pairs", lambda s: s["ord"]),
                 F.transform("pairs", lambda s: s["tf_raw"]),
-                F.transform("pairs", lambda s: s["doc_len"]),
                 F.col("block_id") * block_size,
             ),
         )
@@ -90,6 +97,68 @@ def build_segments(index, block_size: int = DEFAULT_BLOCK_SIZE,
         .drop("pairs")
     )
     return blocks, ordinals
+
+
+def build_len_blocks(doc_stats: DataFrame, ordinals: Optional[DataFrame],
+                     block_size: int = DEFAULT_BLOCK_SIZE) -> DataFrame:
+    """Per-(field, block) doc-length blocks: one (ord-gap, doc_len)
+    entry per document indexed under the field, aligned to the SAME
+    ordinal ranges as the posting blocks (block_id = ord // block_size)
+    so BM25 decode joins are (field, block_id)-pruned on both sides.
+
+    ``ordinals`` is the ordinal table the SEGMENTS were built over —
+    pass None only when doc_stats' own ``ord`` column is known to live
+    in that same ordinal space (the save path; a lazy fresh-path
+    build_segments assigns new docid-sorted ordinals that differ from
+    the ingest ordinals in doc_stats.ord). Group size is bounded by
+    block_size per (field, block) — no skew, regardless of corpus
+    size."""
+    if ordinals is None:
+        ds = doc_stats.where(F.col("ord").isNotNull())
+    else:
+        ds = doc_stats.select("field", "docid", "doc_len").join(
+            ordinals.select("docid", "ord"), "docid")
+    rows = ds.where(F.col("ord") >= 0).select("field", "ord", "doc_len")
+    return (
+        rows.withColumn("block_id", (F.col("ord") / block_size).cast("long"))
+        .groupBy("field", "block_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ord"), F.col("doc_len")))
+            ).alias("pairs"),
+        )
+        .withColumn(
+            "payload",
+            _encode_arrays(
+                F.transform("pairs", lambda s: s["ord"]),
+                F.transform("pairs", lambda s: s["doc_len"]),
+                F.col("block_id") * block_size,
+            ),
+        )
+        .drop("pairs")
+    )
+
+
+def decode_len_blocks(lens: DataFrame,
+                      block_size: int = DEFAULT_BLOCK_SIZE) -> DataFrame:
+    """len_blocks -> (field, ord, doc_len)."""
+
+    def run(batches):
+        for pdf in batches:
+            fields, ords, dls = [], [], []
+            for f, bid, payload in zip(
+                pdf["field"], pdf["block_id"], pdf["payload"]
+            ):
+                o, dl = decode_block(bytes(payload), int(bid) * block_size)
+                fields.extend([f] * len(o))
+                ords.extend(o)
+                dls.extend(dl)
+            yield pd.DataFrame(
+                {"field": fields, "ord": ords, "doc_len": dls})
+
+    return lens.select("field", "block_id", "payload").mapInPandas(
+        run, "field string, ord long, doc_len long")
 
 
 def build_segments_streaming(clustered: DataFrame,
@@ -110,12 +179,9 @@ def build_segments_streaming(clustered: DataFrame,
     """
 
     def run(batches):
-        import numpy as np
-
         pf = pt = None          # pending run key
         po: list = []
         ptf: list = []
-        pdl: list = []
 
         def flush(out):
             if pf is None or not po:
@@ -130,7 +196,6 @@ def build_segments_streaming(clustered: DataFrame,
                     end += 1
                 o = ords[start:end]
                 t = ptf[start:end]
-                d = pdl[start:end]
                 out["field"].append(pf)
                 out["term"].append(pt)
                 out["block_id"].append(bid)
@@ -138,7 +203,7 @@ def build_segments_streaming(clustered: DataFrame,
                 out["min_ord"].append(o[0])
                 out["max_ord"].append(o[-1])
                 out["max_tf_raw"].append(max(t))
-                payload = encode_block(o, t, d, bid * block_size)
+                payload = encode_block(o, t, bid * block_size)
                 out["payload"].append(payload)
                 out["block_bytes"].append(len(payload))
                 start = end
@@ -151,7 +216,6 @@ def build_segments_streaming(clustered: DataFrame,
             terms = pdf["term"].to_numpy()
             ords = pdf["ord"].to_numpy()
             tfs = pdf["tf_raw"].to_numpy()
-            dls = pdf["doc_len"].to_numpy()
             # boundaries of (field, term) runs inside this batch
             n = len(pdf)
             i = 0
@@ -169,13 +233,11 @@ def build_segments_streaming(clustered: DataFrame,
                 if pf == f and pt == t and (not po or int(ords[i]) > po[-1]):
                     po.extend(int(x) for x in ords[i:j])
                     ptf.extend(int(x) for x in tfs[i:j])
-                    pdl.extend(int(x) for x in dls[i:j])
                 else:
                     flush(out)
                     pf, pt = f, t
                     po = [int(x) for x in ords[i:j]]
                     ptf = [int(x) for x in tfs[i:j]]
-                    pdl = [int(x) for x in dls[i:j]]
                 i = j
             # emit everything except the still-open tail run
             yield pd.DataFrame({c: out[c] for c in cols})
@@ -187,7 +249,7 @@ def build_segments_streaming(clustered: DataFrame,
     # ~17-char string per posting) otherwise rides the whole
     # parquet->Arrow->python round trip for nothing (measured: the
     # string columns dominate the stage's JVM CPU + GC)
-    narrow = clustered.select("field", "term", "ord", "tf_raw", "doc_len")
+    narrow = clustered.select("field", "term", "ord", "tf_raw")
     return narrow.mapInPandas(
         run,
         "field string, term string, block_id long, n_docs long, "
@@ -203,21 +265,19 @@ def decode_segments(segments: DataFrame, block_size: int = DEFAULT_BLOCK_SIZE) -
     def run(batches):
         for pdf in batches:
             fields, terms, ords, tfs = [], [], [], []
-            dlss = []
             for f, t, bid, payload in zip(
                 pdf["field"], pdf["term"], pdf["block_id"], pdf["payload"]
             ):
-                o, tf, dl = decode_block(bytes(payload), int(bid) * block_size)
+                o, tf = decode_block(bytes(payload), int(bid) * block_size)
                 fields.extend([f] * len(o))
                 terms.extend([t] * len(o))
                 ords.extend(o)
                 tfs.extend(tf)
-                dlss.extend(dl)
             yield pd.DataFrame(
                 {"field": fields, "term": terms, "ord": ords,
-                 "tf_raw": tfs, "doc_len": dlss}
+                 "tf_raw": tfs}
             )
 
     return segments.mapInPandas(
-        run, "field string, term string, ord long, tf_raw long, doc_len long"
+        run, "field string, term string, ord long, tf_raw long"
     )

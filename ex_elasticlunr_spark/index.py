@@ -398,18 +398,56 @@ class Index:
     def search_wand(self, text: str, field: str, top_k: int = 10,
                     mode: str = "bm25", k1: float = 1.2, b: float = 0.75,
                     block_size: int = 4096, expand: bool = False,
-                    fuzziness: int = 0, regex: bool = False) -> DataFrame:
+                    fuzziness: int = 0, regex: bool = False,
+                    operator: str = "or",
+                    minimum_should_match: int = 1) -> DataFrame:
         """Block-max WAND fast path (search/wand.py): analyze ``text``
         with the field's pipeline, top-k via block-max pruning over the
         compressed segments. Rank-identical to search()/search_bm25()
-        for single-field msm<=1 queries, including prefix (``expand``),
-        ``fuzziness`` and ``regex`` expansion (resolved against the
-        vocabulary first, then pruned like exact terms)."""
+        for single-field queries at ANY minimum_should_match —
+        ``operator="and"`` (every analyzed term must match,
+        match_query.ex:52-60) sets msm to the term count, and prefix
+        (``expand``), ``fuzziness`` and ``regex`` expansion resolve
+        against the vocabulary first, then prune like exact terms."""
         from .search.wand import wand_topk
 
         terms = self.analyzers[field].to_query_pipeline().run_terms(text)
         if regex:
             terms = [text]  # patterns must not go through the analyzer
+        msm = (len(terms) if operator == "and"
+               else max(int(minimum_should_match), 1))
         return wand_topk(self.inverted, field, terms, k=top_k, mode=mode,
                          k1=k1, b=b, block_size=block_size, expand=expand,
-                         fuzziness=fuzziness, regex=regex)
+                         fuzziness=fuzziness, regex=regex, msm=msm)
+
+    def search_wand_text(self, text: str, top_k: int = 10,
+                         field_boosts: Optional[dict] = None,
+                         mode: str = "bm25", k1: float = 1.2,
+                         b: float = 0.75,
+                         block_size: int = 4096) -> DataFrame:
+        """The string-search sugar on the WAND fast path: one segments
+        pass scores EVERY indexed field (per-field analyzers and
+        optional boosts, boost <= 0 drops the field — index.ex:181-224)
+        — rank-identical to ``search(text)`` / executor.search_text's
+        bool/should-of-match plan, which it replaces as the flagship
+        serving path. Falls back to the exhaustive executor when a
+        field's analysis is degenerate (zero tokens => match_all
+        semantics, which segments cannot express)."""
+        from .search.wand import resolve_clause, wand_topk_multi
+
+        if field_boosts:
+            fields = {f: float(bv) for f, bv in field_boosts.items()
+                      if bv > 0}
+        else:
+            fields = {f: 1.0 for f in self.analyzers}
+        clauses = []
+        for f, bv in fields.items():
+            terms = self.analyzers[f].to_query_pipeline().run_terms(text)
+            if not terms:
+                # match_all clause — not segment-expressible; exhaustive
+                ex = self.executor(mode=mode, k1=k1, b=b)
+                return ex.search_text(text, top_k=top_k,
+                                      field_boosts=field_boosts)
+            clauses.append(resolve_clause(self.inverted, f, terms, boost=bv))
+        return wand_topk_multi(self.inverted, clauses, k=top_k, mode=mode,
+                               k1=k1, b=b, msm=1, block_size=block_size)

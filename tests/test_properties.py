@@ -20,8 +20,7 @@ from ex_elasticlunr_spark.build.codec import (
 posting_lists = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=2**40),   # ord gap
-        st.integers(min_value=0, max_value=2**20),   # tf_raw
-        st.integers(min_value=0, max_value=2**20),   # doc_len
+        st.integers(min_value=0, max_value=2**20),   # value (tf / doc_len)
     ),
     min_size=0, max_size=200,
 )
@@ -30,16 +29,15 @@ posting_lists = st.lists(
 @settings(max_examples=200, deadline=None)
 @given(posting_lists, st.integers(min_value=0, max_value=2**40))
 def test_block_codec_roundtrip(entries, base):
-    # build strictly increasing ords from non-negative gaps
-    ords, tfs, dls = [], [], []
+    # build non-decreasing ords from non-negative gaps
+    ords, tfs = [], []
     cur = base
-    for gap, tf, dl in entries:
+    for gap, tf in entries:
         cur += gap
         ords.append(cur)
         tfs.append(tf)
-        dls.append(dl)
-    buf = encode_block(ords, tfs, dls, base_ord=base)
-    assert decode_block(bytes(buf), base) == (ords, tfs, dls)
+    buf = encode_block(ords, tfs, base_ord=base)
+    assert decode_block(bytes(buf), base) == (ords, tfs)
 
 
 @settings(max_examples=200, deadline=None)

@@ -1,5 +1,6 @@
 """Codec round-trip, segment construction invariants, and WAND ==
-exhaustive rank-identity on random queries.
+exhaustive rank-identity on random queries (msm=1, operator-and /
+msm>1, and the multi-field string-search sugar).
 """
 
 import random
@@ -10,7 +11,12 @@ from pyspark.sql import functions as F
 from ex_elasticlunr_spark import Index
 from ex_elasticlunr_spark.build import codec
 from ex_elasticlunr_spark.build.ordinals import assign_doc_ordinals
-from ex_elasticlunr_spark.build.segments import build_segments, decode_segments
+from ex_elasticlunr_spark.build.segments import (
+    build_len_blocks,
+    build_segments,
+    decode_len_blocks,
+    decode_segments,
+)
 from ex_elasticlunr_spark.search.wand import wand_topk
 from ex_elasticlunr_spark.sources.transcripts import transcripts_df, with_docid
 
@@ -20,20 +26,19 @@ class TestCodec:
         rng = random.Random(7)
         ords = sorted(rng.sample(range(10_000_000), 500))
         tfs = [rng.randint(1, 50) for _ in ords]
-        dls = [rng.randint(1, 400) for _ in ords]
-        buf = codec.encode_block(ords, tfs, dls)
-        assert codec.decode_block(buf) == (ords, tfs, dls)
+        buf = codec.encode_block(ords, tfs)
+        assert codec.decode_block(buf) == (ords, tfs)
 
     def test_roundtrip_base_ord(self):
-        buf = codec.encode_block([4096, 4100], [1, 2], [10, 20], base_ord=4096)
+        buf = codec.encode_block([4096, 4100], [1, 2], base_ord=4096)
         assert codec.decode_block(buf, base_ord=4096) == (
-            [4096, 4100], [1, 2], [10, 20])
+            [4096, 4100], [1, 2])
 
     def test_compression_wins(self):
-        # dense ordinals -> ~3 bytes/entry vs 24 raw
+        # dense ordinals -> ~2 bytes/entry vs 16 raw
         ords = list(range(100_000, 104_096))
-        buf = codec.encode_block(ords, [1] * len(ords), [10] * len(ords))
-        assert len(buf) / len(ords) < 4
+        buf = codec.encode_block(ords, [1] * len(ords))
+        assert len(buf) / len(ords) < 3
 
     def test_vectorized_matches_scalar_reference(self):
         # the numpy block codec must emit byte-identical output to the
@@ -43,18 +48,16 @@ class TestCodec:
             base = rng.choice([0, 4096, 1 << 20])
             ords = sorted(rng.sample(range(base, base + 80_000), n))
             tfs = [rng.randint(0, 1 << rng.choice([3, 14, 30])) for _ in range(n)]
-            dls = [rng.randint(0, 1 << 14) for _ in range(n)]
             ref = bytearray()
             codec.encode_varint(n, ref)
             prev = base
-            for o, t, d in zip(ords, tfs, dls):
+            for o, t in zip(ords, tfs):
                 codec.encode_varint(o - prev, ref)
                 codec.encode_varint(t, ref)
-                codec.encode_varint(d, ref)
                 prev = o
-            buf = codec.encode_block(ords, tfs, dls, base)
+            buf = codec.encode_block(ords, tfs, base)
             assert buf == bytes(ref)
-            assert codec.decode_block(buf, base) == (ords, tfs, dls)
+            assert codec.decode_block(buf, base) == (ords, tfs)
 
     def test_varint_edge(self):
         out = bytearray()
@@ -93,12 +96,35 @@ class TestSegments:
         decoded = decode_segments(seg, block_size=64)
         back = (
             decoded.join(ords, "ord")
-            .select("field", "term", "docid", "tf_raw", "doc_len")
+            .select("field", "term", "docid", "tf_raw")
         )
         orig = index.inverted.postings.select(
-            "field", "term", "docid", "tf_raw", "doc_len")
+            "field", "term", "docid", "tf_raw")
         assert back.exceptAll(orig).count() == 0
         assert orig.exceptAll(back).count() == 0
+
+    def test_len_blocks_roundtrip_equals_doc_stats(self, spark, index):
+        """The codec-v2 doc_len side table decodes back to exactly the
+        per-(field, doc) lengths — one entry per doc, NOT per posting."""
+        inv = index.inverted
+        _, ords = inv.segments(64)
+        lens = build_len_blocks(inv.doc_stats, ords, block_size=64)
+        decoded = decode_len_blocks(lens, block_size=64)
+        back = sorted(
+            (r["field"], r["docid"], r["doc_len"])
+            for r in decoded.join(ords, "ord")
+            .select("field", "docid", "doc_len").collect()
+        )
+        want = sorted(
+            (r["field"], r["docid"], r["doc_len"])
+            for r in inv.doc_stats.select("field", "docid", "doc_len")
+            .collect()
+        )
+        assert back == want
+        # block invariants: ords stay inside their block range
+        bad = decoded.where(
+            (F.col("ord") < 0)).count()
+        assert bad == 0
 
     def test_block_invariants(self, spark, index):
         seg, _ = build_segments(index.inverted, block_size=64)
@@ -156,10 +182,116 @@ class TestWand:
             assert got == want, terms
 
 
+class TestWandMsm:
+    """operator:"and" / minimum_should_match on the fast path
+    (match_query.ex:52-60): rank identity vs the exhaustive msm plan."""
+
+    @pytest.mark.parametrize("mode", ["bm25", "elasticlunr"])
+    def test_operator_and_equals_exhaustive(self, spark, index, mode):
+        text = "elixir tool run"
+        wand = index.search_wand(text, "text", top_k=10, mode=mode,
+                                 block_size=64, operator="and")
+        got = [(r["docid"], round(r["score"], 9)) for r in wand.collect()]
+        want = [(r["docid"], round(r["score"], 9)) for r in index.search(
+            {"query": {"match": {"text": {"query": text,
+                                          "operator": "and"}}}},
+            top_k=10, mode=mode).collect()]
+        assert got == want and got
+
+    @pytest.mark.parametrize("mode", ["bm25", "elasticlunr"])
+    def test_random_msm_equals_exhaustive(self, spark, index, mode):
+        rng = random.Random(1234)
+        vocab = ["elixir", "tool", "run", "index", "search", "merge",
+                 "quick", "stream", "dog", "conversation"]
+        for _ in range(6):
+            terms = rng.sample(vocab, rng.randint(2, 5))
+            msm = rng.randint(1, len(terms))
+            wand = wand_topk(index.inverted, "text", terms, k=7,
+                             mode=mode, block_size=64, msm=msm)
+            got = [(r["docid"], round(r["score"], 9))
+                   for r in wand.collect()]
+            want = [(r["docid"], round(r["score"], 9)) for r in index.search(
+                {"query": {"terms": {"text": {
+                    "value": terms, "minimum_should_match": msm}}}},
+                top_k=7, mode=mode).collect()]
+            assert got == want, (terms, msm)
+
+    def test_msm_with_duplicate_terms(self, spark, index):
+        # a duplicated query term counts once per occurrence toward msm
+        # (one (qt, vocab-term) entry each, field.ex:160-205)
+        terms = ["elixir", "elixir", "tool"]
+        for msm in (2, 3):
+            wand = wand_topk(index.inverted, "text", terms, k=10,
+                             mode="bm25", block_size=64, msm=msm)
+            got = [(r["docid"], round(r["score"], 9))
+                   for r in wand.collect()]
+            want = [(r["docid"], round(r["score"], 9)) for r in index.search(
+                {"query": {"terms": {"text": {
+                    "value": terms, "minimum_should_match": msm}}}},
+                top_k=10, mode="bm25").collect()]
+            assert got == want, msm
+
+    def test_msm_expand_equals_exhaustive(self, spark, index):
+        wand = wand_topk(index.inverted, "text", ["el", "to"], k=10,
+                         mode="bm25", block_size=64, expand=True, msm=2)
+        got = [(r["docid"], round(r["score"], 9)) for r in wand.collect()]
+        want = [(r["docid"], round(r["score"], 9)) for r in index.search(
+            {"query": {"terms": {"text": {
+                "value": ["el", "to"], "expand": True,
+                "minimum_should_match": 2}}}},
+            top_k=10, mode="bm25").collect()]
+        assert got == want and got
+
+    def test_unsatisfiable_msm_is_empty(self, spark, index):
+        wand = wand_topk(index.inverted, "text", ["elixir"], k=10,
+                         mode="bm25", block_size=64, msm=3)
+        assert wand.count() == 0
+
+
+class TestWandMultiField:
+    """The string-search sugar on the fast path (index.ex:181-224):
+    every indexed field scored in one segments pass, per-field boosts."""
+
+    @pytest.mark.parametrize("mode", ["bm25", "elasticlunr"])
+    def test_string_search_equals_exhaustive(self, spark, index, mode):
+        for text in ("elixir tool run quick", "search merge",
+                     "transcript", "missing-term-zzz"):
+            wand = index.search_wand_text(text, top_k=10, mode=mode,
+                                          block_size=64)
+            got = [(r["docid"], round(r["score"], 9))
+                   for r in wand.collect()]
+            want = [(r["docid"], round(r["score"], 9))
+                    for r in index.search(text, top_k=10,
+                                          mode=mode).collect()]
+            assert got == want, (text, mode)
+
+    def test_field_boosts_equal_exhaustive(self, spark, index):
+        boosts = {"text": 2.0, "tool": 0.5}
+        wand = index.search_wand_text("elixir search", top_k=10,
+                                      field_boosts=boosts, block_size=64)
+        got = [(r["docid"], round(r["score"], 9)) for r in wand.collect()]
+        want = [(r["docid"], round(r["score"], 9)) for r in index.search(
+            "elixir search", top_k=10, mode="bm25",
+            options={"fields": {f: {"boost": bv}
+                                for f, bv in boosts.items()}}).collect()]
+        assert got == want and got
+
+    def test_boost_zero_drops_field(self, spark, index):
+        boosts = {"text": 1.0, "tool": 0}
+        wand = index.search_wand_text("elixir search", top_k=10,
+                                      field_boosts=boosts, block_size=64)
+        got = [(r["docid"], round(r["score"], 9)) for r in wand.collect()]
+        want = [(r["docid"], round(r["score"], 9)) for r in index.search(
+            "elixir search", top_k=10, mode="bm25",
+            options={"fields": {"text": {"boost": 1.0},
+                                "tool": {"boost": 0}}}).collect()]
+        assert got == want and got
+
+
 @pytest.fixture()
 def v4_index(spark, tmp_path):
-    """A small index saved in the v4 layout (fresh per test — save()
-    rebinds the object to the written path)."""
+    """A small index saved in the durable layout (fresh per test —
+    save() rebinds the object to the written path)."""
     src = with_docid(transcripts_df(spark, n_convs=30, turns_per_conv=5))
     idx = Index(name="v4").add_field("text").add_field("tool")
     idx.add_documents(src, docid_col="docid")
@@ -171,20 +303,45 @@ def v4_index(spark, tmp_path):
 class TestStreamingSegments:
     def test_streaming_equals_decode_roundtrip(self, spark, v4_index):
         """save()'s zero-shuffle segment build over the block-clustered
-        layout decodes back to exactly the postings (ord, tf, doc_len)
-        multiset — same invariant as the legacy groupBy builder."""
+        layout decodes back to exactly the postings (ord, tf) multiset —
+        same invariant as the legacy groupBy builder."""
         _, path = v4_index
         segs = spark.read.parquet(path + "/segments")
         decoded = decode_segments(segs, 64)
         got = sorted(
-            (r["field"], r["term"], r["ord"], r["tf_raw"], r["doc_len"])
+            (r["field"], r["term"], r["ord"], r["tf_raw"])
             for r in decoded.collect()
         )
         want = sorted(
-            (r["field"], r["term"], r["ord"], r["tf_raw"], r["doc_len"])
+            (r["field"], r["term"], r["ord"], r["tf_raw"])
             for r in spark.read.parquet(path + "/postings").collect()
         )
         assert got == want
+
+    def test_saved_len_blocks_roundtrip(self, spark, v4_index):
+        """save() persists the codec-v2 doc_len side table; it decodes
+        back to doc_stats' per-(field, doc) lengths."""
+        _, path = v4_index
+        lens = spark.read.parquet(path + "/seg_lens")
+        decoded = decode_len_blocks(lens, 64)
+        ds = spark.read.parquet(path + "/doc_stats")
+        got = sorted(
+            (r["field"], r["ord"], r["doc_len"]) for r in decoded.collect())
+        want = sorted(
+            (r["field"], r["ord"], r["doc_len"])
+            for r in ds.where(F.col("ord") >= 0).collect())
+        assert got == want
+
+    def test_len_blocks_smaller_than_inline(self, spark, v4_index):
+        """The point of codec v2: doc_len bytes scale with docs, not
+        postings — the side table must be far smaller than one varint
+        per posting entry."""
+        _, path = v4_index
+        lens_entries = (
+            decode_len_blocks(spark.read.parquet(path + "/seg_lens"), 64)
+            .count())
+        postings_rows = spark.read.parquet(path + "/postings").count()
+        assert lens_entries < postings_rows / 2
 
     def test_streaming_survives_file_splits(self, spark, v4_index):
         """Partial blocks from split/merged parquet reads stay valid:
@@ -216,6 +373,7 @@ class TestStreamingSegments:
         idx, path = v4_index
         loaded = InvertedIndex.load(spark, path)
         assert loaded._segments is not None  # no lazy build needed
+        assert loaded._seg_lens is not None  # doc_len side table too
         got = wand_topk(loaded, "text", ["elixir", "search"], k=5,
                         mode="bm25", block_size=64)
         want = wand_topk(idx.inverted, "text", ["elixir", "search"], k=5,
