@@ -224,6 +224,7 @@ def bind_generations(inv, spark, path: str, manifest: dict) -> None:
         docs=inv.docs,
         term_stats=inv.term_stats.select("field", "term", "df"),
         segments=inv._segments[1] if inv._segments is not None else None,
+        seg_lens=inv._seg_lens,
     )]
     tomb_dfs: list = [None]
     for e in entries:
@@ -251,6 +252,12 @@ def bind_generations(inv, spark, path: str, manifest: dict) -> None:
                                F.col("block_id") + F.lit(base // block_size))
                    .withColumn("min_ord", F.col("min_ord") + F.lit(base))
                    .withColumn("max_ord", F.col("max_ord") + F.lit(base)))
+        lens = None
+        if os.path.exists(os.path.join(gd, "seg_lens")):
+            # same block-aligned re-base as the posting segments
+            lens = (spark.read.parquet(os.path.join(gd, "seg_lens"))
+                    .withColumn("block_id",
+                                F.col("block_id") + F.lit(base // block_size)))
         parts.append(dict(
             postings=post, positions=pos,
             ordinals=_shift(
@@ -261,6 +268,7 @@ def bind_generations(inv, spark, path: str, manifest: dict) -> None:
             term_stats=spark.read.parquet(os.path.join(gd, "term_stats"))
             .select("field", "term", "df"),
             segments=seg,
+            seg_lens=lens,
         ))
 
     # ---- tombstone application ----------------------------------------
@@ -314,9 +322,33 @@ def bind_generations(inv, spark, path: str, manifest: dict) -> None:
 
     # ---- merged statistics --------------------------------------------
     # df partials are additive (each live doc lives in exactly one
-    # generation); under tombstones df over-counts until compact()
+    # generation); under tombstones the partial sum over-counts, so the
+    # tombstoned docs' own postings are subtracted back out — EXACT df,
+    # matching the reference's full recalculate_idf after every remove
+    # (field.ex:321-349; pinned by the randomized maintenance referee,
+    # tests/test_random_maintenance.py::test_random_maintenance_with_
+    # persistence). The correction is LAZY: a query's In(term) filter on
+    # term_stats pushes through the join into this postings scan, so the
+    # per-query cost is bounded by the query terms' postings; only
+    # full-vocabulary consumers (field_stats' n_unique_terms, compact)
+    # pay one tombstone-semi-joined postings pass per bind.
     ts_sum = (_union("term_stats").groupBy("field", "term")
               .agg(F.sum("df").alias("df")))
+    if tomb_ords is not None:
+        tomb_tdf = (_union("postings")
+                    .select("field", "term", "ord")
+                    .join(F.broadcast(tomb_ords), "ord", "left_semi")
+                    .groupBy("field", "term")
+                    .agg(F.count(F.lit(1)).alias("tdf")))
+        ts_sum = (
+            ts_sum.join(tomb_tdf, ["field", "term"], "left")
+            .withColumn(
+                "df", F.col("df") - F.coalesce(F.col("tdf"), F.lit(0)))
+            .drop("tdf")
+            # a term whose every posting is tombstoned leaves the
+            # vocabulary (df=0), exactly as a rebuild would drop it —
+            # this also keeps _fs_thunk's n_unique_terms/flnorm exact
+            .where(F.col("df") > 0))
 
     counts = _merged_field_counts(manifest)
     if counts is not None:
@@ -362,13 +394,21 @@ def bind_generations(inv, spark, path: str, manifest: dict) -> None:
 
     # ---- segments for WAND --------------------------------------------
     segs = [p["segments"] for p in live]
+    lens = [p["seg_lens"] for p in live]
     if segs and all(s is not None for s in segs):
         inv._segments = (block_size, _union_all(segs), inv._ordinals)
+        # doc_len blocks union the same way (lens of tombstoned docs
+        # stay in the union — decode joins are keyed by the live,
+        # tombstone-filtered posting ords, so dead entries never match);
+        # a missing per-gen table falls back to the lazy doc_stats build
+        inv._seg_lens = (_union_all(lens)
+                         if all(x is not None for x in lens) else None)
     else:
         # fall back to segments() — its streaming path still works: the
         # union preserves each generation's block-clustered partitions
         # (broadcast anti-joins and the ord shift are map-side)
         inv._segments = None
+        inv._seg_lens = None
 
 
 def _merged_field_counts(manifest: dict) -> Optional[dict]:

@@ -113,3 +113,84 @@ def test_random_maintenance_sequence(spark):
         # stats refresh onto every later probe's plan
         idx.materialize()
         _assert_identical(idx, oidx, f"step{step}:{op}")
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 41, 59])
+def test_random_maintenance_with_persistence(spark, tmp_path, seed):
+    """The same randomized add/update/remove referee, but interleaved
+    with the WAREHOUSE lifecycle at random steps: ``save_delta`` commits
+    the pending ops as a generation and reloads, ``compact`` folds every
+    generation + tombstone back into one base (build/deltas.py), so
+    generational merge and tombstone folding are checked against the
+    oracle at every prefix of the sequence — not just once per op as in
+    tests/test_deltas.py."""
+    rng = random.Random(seed)
+    wh = str(tmp_path / "wh")
+    next_id = 0
+
+    def new_docs(n, reuse_ids=()):
+        nonlocal next_id
+        out = []
+        for i in range(n):
+            if i < len(reuse_ids):
+                did = reuse_ids[i]
+            else:
+                did = f"d{next_id:03d}"
+                next_id += 1
+            out.append((did, _text(rng)))
+        return out
+
+    live = []
+    base = new_docs(16)
+    live += [d for d, _ in base]
+
+    idx = Index(name=f"maintp{seed}").add_field("content")
+    idx.add_documents(
+        spark.createDataFrame(base, "id string, content string"),
+        docid_col="id")
+    idx.save(wh)
+    idx = Index.load(spark, wh, name=f"maintp{seed}")
+    oidx = OracleIndex().add_field("content")
+    oidx.add_documents([{"id": d, "content": c} for d, c in base])
+    _assert_identical(idx, oidx, f"seed{seed}:initial")
+
+    for step in range(3):
+        op = rng.choice(["add", "update", "remove"])
+        if op == "add":
+            collide = rng.sample(live, 1)
+            docs = new_docs(3, reuse_ids=collide)
+            live += [d for d, _ in docs if d not in live]
+            idx.add_documents(
+                spark.createDataFrame(docs, "id string, content string"),
+                docid_col="id")
+            oidx.add_documents([{"id": d, "content": c} for d, c in docs])
+        elif op == "update":
+            docs = new_docs(2, reuse_ids=rng.sample(live, 1))
+            live += [d for d, _ in docs if d not in live]
+            idx.update_documents(
+                spark.createDataFrame(docs, "id string, content string"),
+                docid_col="id")
+            oidx.remove_documents([d for d, _ in docs])
+            oidx.add_documents([{"id": d, "content": c} for d, c in docs])
+        else:
+            targets = rng.sample(live, 2) + ["never-existed"]
+            idx.remove_documents(
+                spark.createDataFrame([(t,) for t in targets],
+                                      "docid string"))
+            oidx.remove_documents(targets)
+            live = [d for d in live if d not in targets]
+
+        cycle = rng.choice(["none", "delta", "compact"])
+        if cycle == "delta":
+            # commit the pending ops as a new generation, reload: probes
+            # now run over the multi-generation bind (tombstone
+            # anti-joins + merged stats)
+            idx.save_delta()
+            idx = Index.load(spark, wh, name=f"maintp{seed}")
+        elif cycle == "compact":
+            # fold generations + tombstones into one base and reload
+            idx.compact()
+            idx = Index.load(spark, wh, name=f"maintp{seed}")
+        else:
+            idx.materialize()
+        _assert_identical(idx, oidx, f"seed{seed}:step{step}:{op}:{cycle}")
