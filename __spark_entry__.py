@@ -95,6 +95,40 @@ def _topk(df: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _index2(spark: SparkSession, sf_dir: str) -> Index:
+    """Two-field (text + source) index: the multi-field string-search
+    sugar's gate shape (per-field analyzers, clause-sum scoring)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "twofield")
+    idx = _CACHE.get(key)
+    if idx is None:
+        idx = Index(name=f"docs2-{sf_dir}").add_field("text") \
+            .add_field("source")
+        idx.add_documents(_documents(spark, sf_dir), docid_col="docid",
+                          dedupe=False)
+        idx.materialize()
+        _CACHE[key] = idx
+    return idx
+
+
+def _scratch(sf_dir: str, tag: str) -> str:
+    import tempfile as _tf
+
+    return os.path.join(
+        _tf.gettempdir(),
+        f"ex_spark_{tag}_" + sf_dir.strip("/").replace("/", "_"))
+
+
+def _bump_mtime(path: str, delta_s: int) -> None:
+    """Force a file-source ordering between staged parquet dirs: the
+    FileStreamSource orders by modification time, so the gate's
+    micro-batch order must not depend on write-latency luck."""
+    base = 1700000000
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            os.utime(p, (base + delta_s, base + delta_s))
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -120,13 +154,16 @@ def transcripts_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: index transcripts (docid = conv_id:turn_idx), BM25
-    top-10 for a multi-term query."""
+    top-10 for a multi-term query — served by the multi-field
+    block-max WAND fast path (search/wand.py wand_topk_multi: every
+    indexed field scored in one segments pass; rank-identical to
+    search_bm25, pinned in tests/test_segments_wand.py)."""
     tx = transcripts_view(spark, "/root/testdata/sf0.001").withColumn(
         "docid", F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))
     )
     idx = Index(name="flagship").add_field("text").add_field("tool")
     idx.add_documents(tx, docid_col="docid")
-    return _topk(idx.search_bm25("spark merge window fast"), 10)
+    return _topk(idx.search_wand_text("spark merge window fast"), 10)
 
 
 # ---------------------------------------------------------------------------
@@ -234,6 +271,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wand_bm25_topk"] = lambda s, d: _topk(
         _index(s, d).search_wand("spark merge window", "text",
                                   top_k=10, mode="bm25"), 10)
+    # operator:"and" on the WAND fast path (match_query.ex:52-60 -> msm
+    # = term count): block-granular coverage pruning + block-max bounds,
+    # rank-identical to the exhaustive msm plan (search/wand.py)
+    q["wand_match_and"] = lambda s, d: _topk(
+        _index(s, d).search_wand("fast join", "text", top_k=10,
+                                  mode="bm25", operator="and"), 10)
+    # the string-search sugar on the WAND fast path (index.ex:181-224):
+    # ONE segments pass scores every indexed field of the two-field
+    # index; per-field analyzers, clause-sum totals (search_wand_text)
+    q["wand_string_search"] = lambda s, d: _topk(
+        _index2(s, d).search_wand_text("spark src1 merge window",
+                                       top_k=10, mode="bm25"), 10)
     q["bm25_full"] = lambda s, d: _search(
         s, d, {"query": {"match": {"text": "spark merge window"}}}, mode="bm25")
     # bulk multi-query top-k: all SM_QUERIES scored in ONE postings
@@ -569,6 +618,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.date_format("window_start",
                           "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
             "event_type", "n_events", "sum_value")
+
+    # ---- streaming == batch gate entries --------------------------------
+    # Each runs the streaming operator over a bounded 2-file replay of
+    # the same parquet tables (availableNow, maxFilesPerTrigger=1 => two
+    # real micro-batches with cross-batch state) and returns the landed
+    # result; the oracle is the BATCH operator's SQL, so the driver
+    # stamps streaming == batch — not just pytest (VERDICT r3 ask #5).
+    import shutil as _sh
+
+    def stream_index_eq(s, d):
+        """stream_to_index: base save + delta generation per micro-batch
+        (streaming/ingest.py) — the loaded warehouse must score exactly
+        like a single batch build (terms_exact's oracle)."""
+        from ex_elasticlunr_spark.streaming.ingest import stream_to_index
+
+        key = (s.sparkContext.applicationId, d, "stream_idx")
+        idx = _CACHE.get(key)
+        if idx is None:
+            docs = _documents(s, d)
+            src, wh = _scratch(d, "simsrc"), _scratch(d, "simwh")
+            for p in (src, wh):
+                _sh.rmtree(p, ignore_errors=True)
+            docs.where(F.col("doc_id") % 2 == 0).coalesce(1) \
+                .write.parquet(os.path.join(src, "f1.parquet"))
+            _bump_mtime(os.path.join(src, "f1.parquet"), 0)
+            docs.where(F.col("doc_id") % 2 == 1).coalesce(1) \
+                .write.parquet(os.path.join(src, "f2.parquet"))
+            _bump_mtime(os.path.join(src, "f2.parquet"), 60)
+            stream = s.readStream.schema(docs.schema) \
+                .option("maxFilesPerTrigger", "1") \
+                .parquet(src + "/*.parquet")
+            stream_to_index(stream, ["text"], wh, docid_col="docid",
+                            dedupe=False).awaitTermination(600)
+            idx = Index.load(s, wh)
+            _CACHE[key] = idx
+        return _rounded(idx.search({"query": {"terms": {"text": "spark"}}}))
+
+    q["stream_index_batch_eq"] = stream_index_eq
+
+    def stream_dedup_eq(s, d):
+        """dedup_exact_stream: originals arrive in micro-batch 1, exact
+        duplicates (same text, new docids, later ts) in micro-batch 2 —
+        the landed stream must be exactly the originals."""
+        key = (s.sparkContext.applicationId, d, "stream_dedup")
+        out = _CACHE.get(key)
+        if out is None:
+            base_ts = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            docs = _documents(s, d).withColumn(
+                "ts", base_ts + F.make_interval(secs=F.col("doc_id")))
+            dups = docs.where(F.col("doc_id") % 7 == 0) \
+                .withColumn("docid", F.concat(F.lit("dup-"), F.col("docid"))) \
+                .withColumn("ts", F.col("ts") + F.make_interval(hours=F.lit(1)))
+            src = _scratch(d, "sdsrc")
+            _sh.rmtree(src, ignore_errors=True)
+            docs.coalesce(1).write.parquet(os.path.join(src, "f1.parquet"))
+            _bump_mtime(os.path.join(src, "f1.parquet"), 0)
+            dups.coalesce(1).write.parquet(os.path.join(src, "f2.parquet"))
+            _bump_mtime(os.path.join(src, "f2.parquet"), 60)
+            stream = s.readStream.schema(docs.schema) \
+                .option("maxFilesPerTrigger", "1") \
+                .parquet(src + "/*.parquet")
+            qn = "sd_" + d.strip("/").replace("/", "_").replace(".", "_")
+            sq = (dedup.dedup_exact_stream(stream,
+                                           watermark_delay="104 weeks")
+                  .select("docid", "text_hash")
+                  .writeStream.format("memory").queryName(qn)
+                  .outputMode("append").trigger(availableNow=True).start())
+            sq.awaitTermination(600)
+            out = s.table(qn).localCheckpoint(eager=True)
+            _CACHE[key] = out
+        return out
+
+    q["stream_dedup_batch_eq"] = stream_dedup_eq
+
+    def stream_sessions_eq(s, d):
+        """sessionize_stream (applyInPandasWithState): events replayed
+        chronologically split across two micro-batches — sessions
+        straddling the split exercise cross-batch state; the LAST
+        emission per session (max n_events) must equal the batch
+        session_stats oracle."""
+        key = (s.sparkContext.applicationId, d, "stream_sess")
+        out = _CACHE.get(key)
+        if out is None:
+            ev = s.read.parquet(f"{d}/events.parquet")
+            cutoff = "2024-01-16 00:00:00"
+            src = _scratch(d, "sssrc")
+            _sh.rmtree(src, ignore_errors=True)
+            ev.where(F.col("ts") < cutoff).coalesce(1) \
+                .write.parquet(os.path.join(src, "f1.parquet"))
+            _bump_mtime(os.path.join(src, "f1.parquet"), 0)
+            ev.where(F.col("ts") >= cutoff).coalesce(1) \
+                .write.parquet(os.path.join(src, "f2.parquet"))
+            _bump_mtime(os.path.join(src, "f2.parquet"), 60)
+            stream = s.readStream.schema(ev.schema) \
+                .option("maxFilesPerTrigger", "1") \
+                .parquet(src + "/*.parquet")
+            qn = "ss_" + d.strip("/").replace("/", "_").replace(".", "_")
+            sq = (ev_ops.sessionize_stream(stream, gap_minutes=30)
+                  .writeStream.format("memory").queryName(qn)
+                  .outputMode("update").trigger(availableNow=True).start())
+            sq.awaitTermination(600)
+            from pyspark.sql.window import Window
+
+            # update mode re-emits a session each batch that touches it;
+            # n_events grows strictly per touch, so max n_events = the
+            # final row (timeout flushes re-emit it verbatim -> distinct)
+            w = Window.partitionBy("session_id").orderBy(
+                F.desc("n_events"), F.desc("session_end"))
+            out = (s.table(qn).distinct()
+                   .withColumn("rn", F.row_number().over(w))
+                   .where(F.col("rn") == 1)
+                   .select(
+                       "user_id", "session_idx", "session_id",
+                       F.date_format("session_start",
+                                     "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                       .alias("start_s"),
+                       F.date_format("session_end",
+                                     "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                       .alias("end_s"),
+                       "n_events",
+                       F.round("sum_value", 6).alias("sum_value"))
+                   .localCheckpoint(eager=True))
+            _CACHE[key] = out
+        return out
+
+    q["stream_sessions_batch_eq"] = stream_sessions_eq
 
     return _stamp_order(q)
 
@@ -1314,6 +1489,59 @@ ORDER BY ROUND({cos}, 6) DESC, CAST(e.vec_id AS VARCHAR) ASC
 LIMIT 10
 """
     o["wand_bm25_topk"] = o["bm25_topk"]
+    # operator:"and" => bm25 msm = term count, top-10 (WAND fast path
+    # must be rank-identical to the exhaustive msm plan)
+    wa_terms = _analyze("fast join")
+    o["wand_match_and"] = _wrap(pre, f"""
+SELECT docid, ROUND(score, 6) AS score
+FROM ({terms_scores_sql(wa_terms,
+                        minimum_should_match=len(wa_terms),
+                        mode="bm25")}) r
+ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10
+""")
+    # multi-field string-search sugar over the two-field (text, source)
+    # index: per-field bm25 clause sums, doc total = Σ matching clauses.
+    # The source field re-derives its own postings/stats CTEs (one
+    # Porter2-stemmed token per doc).
+    from ex_elasticlunr_spark.analysis import porter2 as _p2
+
+    ws_terms = _analyze("spark src1 merge window")
+    src_map = ", ".join(
+        f"('src{i}', '{_p2.stem('src%d' % i)}')" for i in range(64))
+    ws_qts = ", ".join(f"('{t}')" for t in ws_terms)
+    o["wand_string_search"] = _wrap(pre, f"""
+, smap AS (SELECT * FROM (VALUES {src_map}) t(word, stem))
+, postings_s AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS docid,
+         coalesce(m.stem, lower(d.source)) AS term, 1 AS tf_raw
+  FROM documents d LEFT JOIN smap m ON m.word = lower(d.source)
+  WHERE d.source IS NOT NULL
+)
+, dstats_s AS (SELECT docid, COUNT(*) AS doc_len FROM postings_s GROUP BY docid)
+, fstats_s AS (
+  SELECT (SELECT COUNT(DISTINCT docid) FROM postings_s) AS n_docs,
+         (SELECT AVG(doc_len) FROM dstats_s) AS avg_doc_len
+)
+, tstats_s AS (SELECT term, COUNT(*) AS df FROM postings_s GROUP BY term)
+, wq AS (SELECT * FROM (VALUES {ws_qts}) t(qt))
+, sx AS (
+  SELECT p.docid,
+         SUM(ln(1.0 + (f.n_docs - t.df + 0.5) / (t.df + 0.5))
+             * (p.tf_raw * 2.2)
+             / (p.tf_raw + 1.2 * (0.25 + 0.75 * ds.doc_len / f.avg_doc_len)))
+           AS score
+  FROM postings_s p
+  JOIN tstats_s t USING (term)
+  JOIN dstats_s ds USING (docid)
+  CROSS JOIN fstats_s f
+  JOIN wq ON p.term = wq.qt
+  GROUP BY p.docid
+)
+, tx2 AS ({terms_scores_sql(ws_terms, mode="bm25")})
+, uf AS (SELECT * FROM tx2 UNION ALL SELECT * FROM sx)
+SELECT docid, ROUND(SUM(score), 6) AS score FROM uf GROUP BY docid
+ORDER BY ROUND(SUM(score), 6) DESC, docid ASC LIMIT 10
+""")
 
     # int8 quantize-dequantize on both sides (floor(x/s + 0.5) — same
     # IEEE ops in every engine), then exact cosine top-k
@@ -1670,5 +1898,40 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
        COUNT(*)::BIGINT AS n_events,
        ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+    # ---- streaming == batch: the oracles are the BATCH operators' SQL
+    # a streamed 2-micro-batch replay of the same rows must reproduce
+    # a delta-appended streaming warehouse scores like one batch build
+    o["stream_index_batch_eq"] = o["terms_exact"]
+    # originals land, planted later-arriving duplicates are dropped
+    o["stream_dedup_batch_eq"] = f"""
+SELECT CAST(doc_id AS VARCHAR) AS docid, md5({norm}) AS text_hash
+FROM documents
+"""
+    # the batch sessionizer's aggregates (event_sessions sans the
+    # n_event_types column the O(1)-state stream never materializes)
+    o["stream_sessions_batch_eq"] = """
+WITH e AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS prev_ts
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e
+), s2 AS (
+  SELECT *, (SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx,
+       CAST(user_id AS VARCHAR) || '-' || CAST(session_idx AS VARCHAR)
+         AS session_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_s,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_s,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s2 GROUP BY user_id, session_idx
 """
     return o

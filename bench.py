@@ -200,6 +200,16 @@ def main() -> None:
     timed("q8_phrase", lambda: idx.search(
         {"query": {"match_phrase": {"text": "elixir tool"}}},
         top_k=10).collect())
+    # q2's query shape on the WAND fast path: operator="and" rides the
+    # block-granular coverage prune (every term must be present at the
+    # doc's block_id) instead of the exhaustive msm plan
+    timed("q9_wand_and", lambda: idx.search_wand(
+        "elixir tool", "text", top_k=10, mode="elasticlunr",
+        operator="and").collect())
+    # q1's query shape (the bare string-search sugar, every field) on
+    # the multi-field WAND fast path: one segments pass, clause sums
+    timed("q10_wand_text", lambda: idx.search_wand_text(
+        "elixir tool run quick", top_k=10).collect())
 
     # sf-dir operator benches (documents/embeddings tables); skippable
     # for build-scaling runs (BENCH_SKIP_SF=1)
