@@ -140,6 +140,62 @@ def build_len_blocks(doc_stats: DataFrame, ordinals: Optional[DataFrame],
     )
 
 
+def decode_segments_with_lens(blocks: DataFrame,
+                              block_size: int = DEFAULT_BLOCK_SIZE
+                              ) -> DataFrame:
+    """Fused decode for BM25 scoring (search/wand.py): posting blocks
+    arrive with their ordinal-aligned len block's payload riding along
+    as ``len_payload`` (joined on (field, block_id) — block metadata,
+    never per-posting rows), and ONE Python pass emits
+    (field, term, ord, tf_raw, doc_len). Replaces the v1 design's
+    per-posting doc_len without its bytes AND without a second
+    mapInPandas + (field, ord) shuffle join at query time: the len
+    block is decoded once per (field, block) (cached across the terms
+    sharing it) and doc_len lookup is a vectorized searchsorted —
+    every posting ord is present in its len block by construction
+    (doc has a posting in the field => doc_len >= 1 => len entry)."""
+    import numpy as np
+
+    def run(batches):
+        lens_cache: dict = {}
+        for pdf in batches:
+            fields, terms, ords, tfs = [], [], [], []
+            dls: list = []
+            for f, t, bid, payload, lp in zip(
+                pdf["field"], pdf["term"], pdf["block_id"],
+                pdf["payload"], pdf["len_payload"],
+            ):
+                o, tf = decode_block(bytes(payload), int(bid) * block_size)
+                key = (f, int(bid))
+                lc = lens_cache.get(key)
+                if lc is None:
+                    if lp is None:
+                        raise ValueError(
+                            f"missing len block for field={f} "
+                            f"block_id={bid} (codec v2 warehouses write "
+                            "seg_lens next to segments)")
+                    lo, lv = decode_block(bytes(lp), int(bid) * block_size)
+                    lc = (np.asarray(lo, dtype=np.int64),
+                          np.asarray(lv, dtype=np.int64))
+                    lens_cache[key] = lc
+                lo, lv = lc
+                pos = np.searchsorted(lo, np.asarray(o, dtype=np.int64))
+                fields.extend([f] * len(o))
+                terms.extend([t] * len(o))
+                ords.extend(o)
+                tfs.extend(tf)
+                dls.extend(lv[pos].tolist())
+            yield pd.DataFrame(
+                {"field": fields, "term": terms, "ord": ords,
+                 "tf_raw": tfs, "doc_len": dls}
+            )
+
+    return blocks.mapInPandas(
+        run,
+        "field string, term string, ord long, tf_raw long, doc_len long",
+    )
+
+
 def decode_len_blocks(lens: DataFrame,
                       block_size: int = DEFAULT_BLOCK_SIZE) -> DataFrame:
     """len_blocks -> (field, ord, doc_len)."""

@@ -78,8 +78,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..build.segments import (
     DEFAULT_BLOCK_SIZE,
-    decode_len_blocks,
     decode_segments,
+    decode_segments_with_lens,
 )
 from ..functions.literals import inline_rows
 
@@ -89,6 +89,13 @@ from ..functions.literals import inline_rows
 METADATA_CAP = 32768
 SEED_BLOCK_IDS = 2
 EPS = 1e-9
+# when the whole candidate set holds fewer live postings than this,
+# exact-scoring EVERYTHING in one job beats the two-phase plan — the
+# seed job + threshold pruning can never pay back their extra Spark
+# job at that size (serving latency is job-count-bound there). Block
+# metadata's n_docs gives the exact count, so the choice is principled,
+# not a guess: big indexes take the pruned path, small ones one pass.
+SINGLE_PHASE_ENTRIES = 1 << 18
 
 _META_SCHEMA = (
     "cid int, field string, term string, w double, mult long, "
@@ -231,45 +238,63 @@ def wand_topk_multi(
     cand = cand.withColumn("ub", ub)
 
     # ---- driver-side block bookkeeping ---------------------------------
-    # per-(block_id, clause): multiplicity coverage + bound potential;
-    # capped — beyond the cap the coverage prune is skipped (a pure
-    # optimization) and seeds come from a TakeOrdered job instead
-    agg_pot = (F.max("ub") if mode == "elasticlunr"
-               else F.sum("ub")).alias("pot")
-    per_bc = (
-        cand.groupBy("block_id", "cid")
-        .agg(F.sum("mult").alias("cov"), agg_pot,
-             F.first("cmsm").alias("cmsm"))
+    # ONE metadata collect per query — per-(clause, term, block) rows,
+    # capped — feeds the coverage prune, the seed choice, AND the
+    # phase-2 block-max pruning entirely driver-side (each would
+    # otherwise be its own Spark job; at serving latency the job count
+    # is the overhead that matters). Beyond the cap every prune decision
+    # moves back into distributed jobs — never wrong, just more jobs.
+    meta_rows = (
+        cand.select("cid", "term", "block_id", "ub", "mult", "cmsm",
+                    "n_docs")
         .limit(METADATA_CAP + 1)
         .collect()
     )
     lens_pairs: Optional[List[Tuple[str, int]]] = None
-    # block_id*64+cid keys are injective only below 64 clauses; past
-    # that (or past the cap) skip the coverage prune — never wrong
-    if len(per_bc) <= METADATA_CAP and len(clauses) <= 64:
-        # coverage prune: matchable clauses per block_id
+    good: Optional[Dict[int, dict]] = None
+    single_phase = False
+    driver_meta = len(meta_rows) <= METADATA_CAP
+    if driver_meta:
+        # coverage prune: per-(block, clause) multiplicity coverage;
+        # matchable-clause count per block must reach the query msm
+        by_bc: Dict[Tuple[int, int], dict] = {}
+        for r in meta_rows:
+            e = by_bc.setdefault((r["block_id"], r["cid"]),
+                                 {"cov": 0, "pot": 0.0, "cmsm": r["cmsm"],
+                                  "terms": [], "nd": 0})
+            e["cov"] += r["mult"]
+            e["pot"] = (max(e["pot"], r["ub"]) if mode == "elasticlunr"
+                        else e["pot"] + r["ub"])
+            e["terms"].append((r["term"], r["ub"]))
+            e["nd"] += r["n_docs"]
         by_b: Dict[int, dict] = {}
-        for r in per_bc:
-            e = by_b.setdefault(r["block_id"], {"nmatch": 0, "pot": 0.0,
-                                                "cids": []})
-            if r["cov"] >= r["cmsm"]:
-                e["nmatch"] += 1
-                e["pot"] += r["pot"]
-                e["cids"].append(r["cid"])
+        for (bid, cid), e in by_bc.items():
+            # NB: never bind plain `b` here — it is the BM25 parameter
+            bb = by_b.setdefault(bid, {"nmatch": 0, "pot": 0.0, "cids": []})
+            if e["cov"] >= e["cmsm"]:
+                bb["nmatch"] += 1
+                bb["pot"] += e["pot"]
+                bb["cids"].append(cid)
         good = {bid: e for bid, e in by_b.items() if e["nmatch"] >= msm}
         if not good:
             return empty
-        # per-(block, clause) keys: a clause unmatchable at B never
-        # contributes entries there even when B itself is good
-        good_keys = [bid * 64 + cid for bid, e in good.items()
-                     for cid in e["cids"]]
+        live_entries = sum(by_bc[(bid, cid)]["nd"]
+                           for bid, e in good.items() for cid in e["cids"])
+        single_phase = live_entries <= SINGLE_PHASE_ENTRIES
         seed_ids = [bid for bid, _ in sorted(
             good.items(), key=lambda kv: -kv[1]["pot"])[:SEED_BLOCK_IDS]]
         lens_pairs = sorted({
             (by_cid[cid]["field"], bid)
             for bid, e in good.items() for cid in e["cids"]})
-        bkey = F.col("block_id") * 64 + F.col("cid")
-        cand = cand.where(bkey.isin(good_keys))
+        good_triples = [
+            (cid, t, bid)
+            for bid, e in good.items() for cid in e["cids"]
+            for (t, _u) in by_bc[(bid, cid)]["terms"]]
+        cand = cand.join(
+            F.broadcast(inline_rows(
+                spark, sorted(good_triples),
+                "cid int, term string, block_id long")),
+            ["cid", "term", "block_id"], "left_semi")
     else:
         # sum-of-ubs is a seed-choice heuristic only (exactness of the
         # seed scores never depends on which block_ids are picked)
@@ -279,27 +304,43 @@ def wand_topk_multi(
 
     # ---- shared decode + exact aggregation ----------------------------
     tomb_ords = getattr(index, "_tomb_ords", None)
+    cids = sorted(by_cid)
+    cinfo = {row[0]: (row[5], row[6]) for row in stats}  # cid: boost, cmsm
 
-    def _lens_for(blocks: DataFrame,
-                  pairs: Optional[List[Tuple[str, int]]]) -> DataFrame:
-        lens = index.seg_len_blocks(block_size)
+    def _with_lens(blocks: DataFrame,
+                   pairs: Optional[List[Tuple[str, int]]]) -> DataFrame:
+        # the len block for (field, block_id) rides along the posting
+        # blocks as a payload column (block-METADATA join — never
+        # per-posting rows); decode then emits doc_len in the same
+        # Python pass (decode_segments_with_lens). Known candidate
+        # pairs make the lens side a pushed-filter broadcast.
+        lens = index.seg_len_blocks(block_size).select(
+            "field", "block_id", F.col("payload").alias("len_payload"))
+        base = blocks.select("field", "term", "block_id", "payload")
         if pairs is not None:
             cond = None
             for f in sorted({p[0] for p in pairs}):
                 bids = [p[1] for p in pairs if p[0] == f]
                 branch = (F.col("field") == f) & F.col("block_id").isin(bids)
                 cond = branch if cond is None else (cond | branch)
-            lens = lens.where(cond)
-        else:
-            lens = lens.join(
-                blocks.select("field", "block_id").distinct(),
-                ["field", "block_id"], "left_semi")
-        return decode_len_blocks(lens, block_size)
+            return base.join(F.broadcast(lens.where(cond)),
+                             ["field", "block_id"], "left")
+        return base.join(lens, ["field", "block_id"], "left")
 
     def exact_scores(blocks: DataFrame,
                      pairs: Optional[List[Tuple[str, int]]]) -> DataFrame:
-        decoded = decode_segments(
-            blocks.select("field", "term", "block_id", "payload"), block_size)
+        if mode == "elasticlunr":
+            decoded = decode_segments(
+                blocks.select("field", "term", "block_id", "payload"),
+                block_size)
+            entry = F.sqrt(F.col("tf_raw")) * F.col("w")
+        else:
+            decoded = decode_segments_with_lens(
+                _with_lens(blocks, pairs), block_size)
+            entry = F.col("w") * (F.col("tf_raw") * (k1 + 1.0)) / (
+                F.col("tf_raw")
+                + k1 * (1.0 - b + b * F.col("doc_len") / F.col("avgdl"))
+            )
         # multi-generation indexes (build/deltas.py) keep tombstoned
         # docs inside segment payloads until compact(); filter them in
         # BOTH phases — an unfiltered seed could set the threshold from
@@ -307,34 +348,43 @@ def wand_topk_multi(
         if tomb_ords is not None:
             decoded = decoded.join(F.broadcast(tomb_ords), "ord", "left_anti")
         decoded = decoded.join(meta, ["field", "term"])
-        if mode == "elasticlunr":
-            entry = F.sqrt(F.col("tf_raw")) * F.col("w")
-            agg = F.max(entry)
-        else:
-            decoded = decoded.join(_lens_for(blocks, pairs), ["field", "ord"])
-            entry = F.col("w") * (F.col("tf_raw") * (k1 + 1.0)) / (
-                F.col("tf_raw")
-                + k1 * (1.0 - b + b * F.col("doc_len") / F.col("avgdl"))
-            )
-            agg = F.sum(entry)
-        per_clause = (
-            decoded.groupBy("ord", "cid")
-            .agg(agg.alias("raw"), F.sum("mult").alias("n_entries"),
-                 F.first("boost").alias("boost"),
-                 F.first("cmsm").alias("cmsm"))
-            .where(F.col("n_entries") >= F.col("cmsm"))
-        )
+        # ONE groupBy(ord) — the per-clause raw scores and matched-entry
+        # counts are conditional aggregates (clause list is query-sized),
+        # then the clause msm/boost/query-msm algebra is a flat select:
+        # one shuffle where the naive (ord, cid) -> (ord) plan takes two
+        aggs = []
+        for cid in cids:
+            is_c = F.col("cid") == cid
+            raw_agg = (F.max(F.when(is_c, entry))
+                       if mode == "elasticlunr"
+                       else F.sum(F.when(is_c, entry)))
+            aggs.append(raw_agg.alias(f"raw{cid}"))
+            aggs.append(
+                F.sum(F.when(is_c, F.col("mult")).otherwise(F.lit(0)))
+                .alias(f"n{cid}"))
+        g = decoded.groupBy("ord").agg(*aggs)
+        score = None
+        matched = None
+        for cid in cids:
+            boost, cmsm = cinfo[cid]
+            ok = F.col(f"n{cid}") >= F.lit(cmsm)
+            csc = F.when(ok, F.col(f"raw{cid}") * F.lit(boost)) \
+                .otherwise(F.lit(0.0))
+            cm = F.when(ok, F.lit(1)).otherwise(F.lit(0))
+            score = csc if score is None else (score + csc)
+            matched = cm if matched is None else (matched + cm)
         return (
-            per_clause.groupBy("ord")
-            .agg(F.sum(F.col("raw") * F.col("boost")).alias("score"),
-                 F.count(F.lit(1)).alias("matched"))
+            g.select("ord", score.alias("score"), matched.alias("matched"))
             .where(F.col("matched") >= F.lit(msm))
             .select("ord", "score")
         )
 
     # ---- phase 1: exact threshold from the best-aligned block_ids ------
+    # (skipped when the candidate set is SINGLE_PHASE_ENTRIES-small —
+    # theta stays 0 and everything left after the coverage prune is
+    # exact-scored in one job)
     theta = 0.0
-    if seed_ids:
+    if seed_ids and not single_phase:
         seed_pairs = sorted({(info["field"], bid)
                              for bid in seed_ids
                              for info in by_cid.values()})
@@ -347,7 +397,57 @@ def wand_topk_multi(
             theta = seed[-1]["score"]
 
     # ---- phase 2: block-max pruning ------------------------------------
-    if theta > 0:
+    if theta > 0 and driver_meta:
+        # all bounds already sit on the driver: compute the surviving
+        # (clause, term, block) triples here and push ONE broadcast
+        # semi-join — no gub job, no pmeta joins
+        gubd: Dict[Tuple[int, str], float] = {}
+        for bid, e in good.items():
+            for cid in e["cids"]:
+                for t, u in by_bc[(bid, cid)]["terms"]:
+                    k2 = (cid, t)
+                    if u > gubd.get(k2, 0.0):
+                        gubd[k2] = u
+        surv: List[Tuple[int, str, int]] = []
+        if mode == "elasticlunr":
+            cgub: Dict[int, float] = {}
+            # per clause: best and second-best term bound (for "max
+            # OTHER term in this clause" without a quadratic loop)
+            best: Dict[int, Tuple[float, Optional[str], float]] = {}
+            for (cid, t), g in gubd.items():
+                cgub[cid] = max(cgub.get(cid, 0.0), g)
+                b1, bt, b2 = best.get(cid, (0.0, None, 0.0))
+                if g > b1:
+                    best[cid] = (g, t, b1)
+                elif g > b2:
+                    best[cid] = (b1, bt, g)
+            total_cgub = sum(cgub.values())
+            for bid, e in good.items():
+                for cid in e["cids"]:
+                    b1, bt, b2 = best[cid]
+                    oadd = total_cgub - cgub[cid]
+                    for t, u in by_bc[(bid, cid)]["terms"]:
+                        cmaxo = b2 if t == bt else b1
+                        if max(u, cmaxo) + oadd >= theta - EPS:
+                            surv.append((cid, t, bid))
+        else:
+            total_gub = sum(gubd.values())
+            for bid, e in good.items():
+                for cid in e["cids"]:
+                    for t, u in by_bc[(bid, cid)]["terms"]:
+                        if u + (total_gub - gubd[(cid, t)]) >= theta - EPS:
+                            surv.append((cid, t, bid))
+        if surv:
+            survivors = cand.join(
+                F.broadcast(inline_rows(
+                    spark, sorted(surv),
+                    "cid int, term string, block_id long")),
+                ["cid", "term", "block_id"], "left_semi")
+            lens_pairs = sorted({(by_cid[cid]["field"], bid)
+                                 for cid, _t, bid in surv})
+        else:  # degenerate — rescore the good set exactly (never wrong)
+            survivors = cand
+    elif theta > 0:
         gub: Dict[Tuple[int, str], float] = {}
         for r in cand.groupBy("cid", "term").agg(
                 F.max("ub").alias("g")).collect():

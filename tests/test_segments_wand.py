@@ -17,8 +17,19 @@ from ex_elasticlunr_spark.build.segments import (
     decode_len_blocks,
     decode_segments,
 )
+from ex_elasticlunr_spark.search import wand as wand_mod
 from ex_elasticlunr_spark.search.wand import wand_topk
 from ex_elasticlunr_spark.sources.transcripts import transcripts_df, with_docid
+
+
+@pytest.fixture(autouse=True)
+def _force_two_phase(monkeypatch):
+    """Test corpora are far below SINGLE_PHASE_ENTRIES, which would
+    route every query through the decode-everything path and leave the
+    seed/threshold/block-pruning machinery untested — force the
+    two-phase plan module-wide (test_single_phase_matches_two_phase
+    covers the adaptive path explicitly)."""
+    monkeypatch.setattr(wand_mod, "SINGLE_PHASE_ENTRIES", 0)
 
 
 class TestCodec:
@@ -180,6 +191,21 @@ class TestWand:
             want = [(r["docid"], round(r["score"], 9))
                     for r in exhaustive.collect()]
             assert got == want, terms
+
+    @pytest.mark.parametrize("mode", ["bm25", "elasticlunr"])
+    def test_single_phase_matches_two_phase(self, spark, index, mode,
+                                            monkeypatch):
+        """The adaptive single-phase plan (small candidate sets skip the
+        seed job and score everything after the coverage prune) must be
+        result-identical to the pruned two-phase plan."""
+        results = []
+        for cutoff in (0, 1 << 30):  # forced two-phase, forced single
+            monkeypatch.setattr(wand_mod, "SINGLE_PHASE_ENTRIES", cutoff)
+            wand = index.search_wand("elixir tool run quick", "text",
+                                     top_k=10, mode=mode, block_size=64)
+            results.append([(r["docid"], round(r["score"], 9))
+                            for r in wand.collect()])
+        assert results[0] == results[1] and results[0]
 
 
 class TestWandMsm:
