@@ -627,6 +627,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stamps streaming == batch — not just pytest (VERDICT r3 ask #5).
     import shutil as _sh
 
+    def _await_stop(sq, secs: int) -> None:
+        """A gate stream must TERMINATE — a query that out-lives its
+        awaitTermination window would keep scheduling micro-batch jobs
+        in the driver's shared session and poison every later entry's
+        runtime (the exact failure mode sessionize_stream had with
+        processing-time timers under availableNow). Stop it before
+        raising so the session stays clean either way."""
+        if not sq.awaitTermination(secs):
+            sq.stop()
+            sq.awaitTermination(60)
+            raise RuntimeError(
+                f"gate stream {sq.name!r} did not terminate in {secs}s")
+
     def stream_index_eq(s, d):
         """stream_to_index: base save + delta generation per micro-batch
         (streaming/ingest.py) — the loaded warehouse must score exactly
@@ -649,8 +662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stream = s.readStream.schema(docs.schema) \
                 .option("maxFilesPerTrigger", "1") \
                 .parquet(src + "/*.parquet")
-            stream_to_index(stream, ["text"], wh, docid_col="docid",
-                            dedupe=False).awaitTermination(600)
+            _await_stop(stream_to_index(stream, ["text"], wh,
+                                        docid_col="docid", dedupe=False),
+                        600)
             idx = Index.load(s, wh)
             _CACHE[key] = idx
         return _rounded(idx.search({"query": {"terms": {"text": "spark"}}}))
@@ -685,7 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .select("docid", "text_hash")
                   .writeStream.format("memory").queryName(qn)
                   .outputMode("append").trigger(availableNow=True).start())
-            sq.awaitTermination(600)
+            _await_stop(sq, 600)
             out = s.table(qn).localCheckpoint(eager=True)
             _CACHE[key] = out
         return out
@@ -715,10 +729,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .option("maxFilesPerTrigger", "1") \
                 .parquet(src + "/*.parquet")
             qn = "ss_" + d.strip("/").replace("/", "_").replace(".", "_")
-            sq = (ev_ops.sessionize_stream(stream, gap_minutes=30)
+            # idle_timeout_ms=None: processing-time timers never fire
+            # under availableNow and keep the query alive forever
+            # (events.py sessionize_stream docstring) — the bounded
+            # replay needs NoTimeout to drain and terminate
+            sq = (ev_ops.sessionize_stream(stream, gap_minutes=30,
+                                           idle_timeout_ms=None)
                   .writeStream.format("memory").queryName(qn)
                   .outputMode("update").trigger(availableNow=True).start())
-            sq.awaitTermination(600)
+            _await_stop(sq, 600)
             from pyspark.sql.window import Window
 
             # update mode re-emits a session each batch that touches it;

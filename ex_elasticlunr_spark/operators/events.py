@@ -184,7 +184,7 @@ _SESSION_STATE_SCHEMA = (
 def sessionize_stream(
     stream_df: DataFrame,
     gap_minutes: float = SESSION_GAP_MIN,
-    idle_timeout_ms: int = 60_000,
+    idle_timeout_ms: Optional[int] = 60_000,
 ):
     """Custom stateful streaming operator: gap-based sessions per user
     via ``applyInPandasWithState``.
@@ -196,6 +196,18 @@ def sessionize_stream(
     expire from the state store after ``idle_timeout_ms`` of
     processing-time silence, flushing their open session; state per
     user is a 5-field scalar tuple.
+
+    ``idle_timeout_ms=None`` disables the idle flush (NoTimeout). Use
+    it for BOUNDED replays (``trigger(availableNow=True)``): with
+    processing-time timeouts armed, availableNow never considers the
+    query drained — measured on this Spark, the pending timers keep
+    scheduling empty micro-batches forever without ever firing
+    (stateRows constant, hasTimedOut never set), so the query runs
+    until killed and leaks per-batch jobs into the session. In update
+    mode the open tail session was already emitted by its data batch,
+    so the bounded result is identical without the timer flush; a LIVE
+    stream (processingTime trigger) keeps the timeout to flush idle
+    users.
 
     Input must carry (user_id, ts, value); shuffles once on user_id —
     the same key/skew shape as the batch window.
@@ -260,7 +272,8 @@ def sessionize_stream(
             # update-mode emission of the still-open session
             rows.append((user, open_idx, start_us, end_us, n, sv))
             state.update((nxt, start_us, end_us, n, sv))
-            state.setTimeoutDuration(idle_timeout_ms)
+            if idle_timeout_ms:
+                state.setTimeoutDuration(idle_timeout_ms)
         if rows:
             yield pd.DataFrame(
                 {"user_id": [r[0] for r in rows],
@@ -276,5 +289,6 @@ def sessionize_stream(
         outputStructType=_SESSION_OUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if idle_timeout_ms else GroupStateTimeout.NoTimeout),
     )

@@ -5,6 +5,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from tests.stream_util import await_terminated
 from ex_elasticlunr_spark.operators import events as ev
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
@@ -103,7 +104,7 @@ def test_windowed_counts_stream_parity(spark, tmp_path):
                                     watermark="0 seconds")
     q = (out.writeStream.format("memory").queryName("ev_win")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    await_terminated(q, 120)
 
     got = spark.table("ev_win").where("event_type <> 'sentinel'") \
         .select("window_start", "event_type", "n_events", "sum_value")
@@ -132,10 +133,15 @@ def test_sessionize_stream_parity(spark, tmp_path):
               "event_type string, value double, props string")
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", "1").parquet(src + "/*.parquet")
-    out = ev.sessionize_stream(stream, gap_minutes=30)
+    # NoTimeout: a bounded availableNow replay never fires
+    # processing-time timers and would loop empty batches forever
+    # (sessionize_stream docstring); update-mode already emitted the
+    # open tail sessions from their data batches
+    out = ev.sessionize_stream(stream, gap_minutes=30,
+                               idle_timeout_ms=None)
     q = (out.writeStream.format("memory").queryName("ev_sess")
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    await_terminated(q, 180)
 
     # update-mode emissions: per session the aggregates grow
     # monotonically, so the final state is the max-n_events row
@@ -160,3 +166,49 @@ def test_sessionize_stream_parity(spark, tmp_path):
     assert missing.count() == 0, missing.limit(5).collect()
     assert extra.count() == 0, extra.limit(5).collect()
     df.unpersist()
+
+
+def test_sessionize_stream_idle_timeout_flush(spark, tmp_path):
+    """LIVE-trigger contract of the idle timeout: after
+    ``idle_timeout_ms`` of processing-time silence the open session is
+    flushed via the hasTimedOut branch and its state row removed.
+    (Only exercisable under a processingTime trigger — availableNow
+    never fires processing-time timers, which is why the bounded
+    parity test above runs with idle_timeout_ms=None.)"""
+    import time
+
+    src = str(tmp_path / "live_in")
+    os.makedirs(src)
+    rows = [(1, "2024-01-01 00:00:00", 100, "click", 1.0, ""),
+            (2, "2024-01-01 00:10:00", 100, "click", 2.0, "")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(os.path.join(src, "f1.parquet"))
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src + "/*.parquet")
+    q = (ev.sessionize_stream(stream, gap_minutes=30,
+                              idle_timeout_ms=1500)
+         .writeStream.format("memory").queryName("ev_live")
+         .outputMode("update")
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        flushed = False
+        for _ in range(60):
+            time.sleep(1)
+            lp = q.lastProgress or {}
+            ops = (lp.get("stateOperators") or [{}])[0]
+            if (ops.get("numRowsTotal") == 0
+                    and spark.table("ev_live").count() >= 2):
+                flushed = True
+                break
+        assert flushed, "idle timeout never flushed the open session"
+        # the flush re-emits the final session row verbatim: one row
+        # from the data batch, one from the hasTimedOut branch
+        final = spark.table("ev_live").where("n_events = 2").collect()
+        assert len(final) == 2
+        assert {r["session_id"] for r in final} == {"100-0"}
+        assert all(r["sum_value"] == 3.0 for r in final)
+    finally:
+        q.stop()

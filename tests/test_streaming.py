@@ -2,6 +2,7 @@
 
 import os
 
+from tests.stream_util import await_terminated
 from ex_elasticlunr_spark import Index
 from ex_elasticlunr_spark.sources.transcripts import transcripts_df, with_docid
 from ex_elasticlunr_spark.streaming.ingest import (
@@ -27,7 +28,7 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
     stream = spark.readStream.schema(SCHEMA).option(
         "maxFilesPerTrigger", "1").parquet(src_dir + "/*.parquet")
     q = ingest_stream(stream, ["text", "tool"], out)
-    q.awaitTermination(120)
+    await_terminated(q, 120)
 
     # micro-batch 2: new rows + duplicates of batch-1 docids with
     # DIFFERENT text (must be ignored: first write wins, field.ex:85)
@@ -37,7 +38,7 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
     stream = spark.readStream.schema(SCHEMA).option(
         "maxFilesPerTrigger", "1").parquet(src_dir + "/*.parquet")
     q = ingest_stream(stream, ["text", "tool"], out)
-    q.awaitTermination(120)
+    await_terminated(q, 120)
 
     merged = finalize_stream_index(spark, out, ["text", "tool"])
 
@@ -73,7 +74,7 @@ def test_stream_to_index_durable_generations(spark, tmp_path):
             "maxFilesPerTrigger", "1").parquet(src_dir + "/*.parquet")
         q = stream_to_index(stream, ["text", "tool"], wh,
                             compact_every=compact_every)
-        q.awaitTermination(180)
+        await_terminated(q, 180)
 
     part1.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(src_dir, "f1.parquet"))
@@ -146,7 +147,7 @@ def test_dedup_exact_stream_first_arrival_wins(spark, tmp_path):
     q = (dedup_exact_stream(stream, watermark_delay="10 minutes")
          .writeStream.format("memory").queryName("dd_mem")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    await_terminated(q, 120)
 
     kept = {r["docid"] for r in spark.sql(
         "SELECT docid FROM dd_mem").collect()}
@@ -192,6 +193,6 @@ def test_quality_operators_compose_on_streams(spark, tmp_path):
     q = (pipe(stream)
          .writeStream.format("memory").queryName("qs_mem")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    await_terminated(q, 120)
     got = sorted(map(tuple, spark.sql("SELECT * FROM qs_mem").collect()))
     assert got == expected
