@@ -469,7 +469,13 @@ class InvertedIndex:
             else:
                 docs = spark.read.parquet(_sp("docs"))
                 o = assign_doc_ordinals(docs).persist()
-            o.write.mode("overwrite").parquet(_sp("ordinals"))
+            # range-clustered on ord: the query path's final
+            # ord->docid translate pushes In(ord, <top candidates>) —
+            # ord-ranged files prune that lookup to ~1 task at any
+            # corpus size (AQE sizes the partition count)
+            (o.repartitionByRange(F.col("ord"))
+             .sortWithinPartitions("ord")
+             .write.mode("overwrite").parquet(_sp("ordinals")))
             # zero-content docs (no non-null field -> no sentinel row)
             # get their synthetic NEGATIVE ordinals assigned ONCE here,
             # so a loaded index serves the match_all/not universe
@@ -622,10 +628,18 @@ class InvertedIndex:
                 "flnorm double, avg_doc_len double",
             )
             fs_df.write.mode("overwrite").parquet(_sp("field_stats"))
+            # range-clustered on term: every vocabulary lookup (the
+            # exhaustive resolve, WAND _clause_stats, suggest) pushes
+            # In(term)/StartsWith — term-ranged files turn those scans
+            # into 1-2 tasks via parquet min/max pruning no matter how
+            # large the vocabulary grows (AQE sizes the partition
+            # count, so small vocabs collapse to one file)
             (tdf.join(F.broadcast(fs_df.select("field", "n_docs")), "field")
                 .withColumn("idf", F.lit(1.0) + F.log10(
                     F.col("n_docs") / (F.col("df") + F.lit(1.0))))
                 .drop("n_docs")
+                .repartitionByRange(F.col("term"))
+                .sortWithinPartitions("term", "field")
                 .write.mode("overwrite").parquet(_sp("term_stats")))
             tdf.unpersist()
             stage_secs["stats_write_sec"] = _time.perf_counter() - s0

@@ -66,6 +66,17 @@ Scale shape: pruning reads #candidate-blocks METADATA rows; phase 1
 decodes |seed block_ids| x |terms| blocks; phase 2's decode +
 per-doc aggregation shuffle is bounded by surviving blocks only, keyed
 by int64 ordinals.
+
+Serving latency: when the coverage-pruned candidate payload fits the
+DRIVER_SERVE_BYTES cap, the query is served FROM THE DRIVER
+(_serve_from_driver): one pushed-filter collect of the candidate
+blocks, the same pure-Python codec decode, vectorized clause algebra,
+one ordinal->docid boundary lookup — 4 Spark jobs per warm query
+instead of ~14 (the Lucene/ES search-head shape: the INDEX is
+distributed; the scorer of a selective query need not be). Oversize
+candidate sets fall through to the distributed plan above;
+tests/test_segments_wand.py TestDriverServe pins identity between the
+two.
 """
 
 from __future__ import annotations
@@ -96,6 +107,25 @@ EPS = 1e-9
 # metadata's n_docs gives the exact count, so the choice is principled,
 # not a guess: big indexes take the pruned path, small ones one pass.
 SINGLE_PHASE_ENTRIES = 1 << 18
+# driver-serve cap: when the coverage-pruned candidate payload is this
+# small, the whole query is served FROM THE DRIVER — one collect of the
+# candidate blocks (pushed-filter scan), pure-Python decode (the same
+# codec as the distributed mapInPandas), clause algebra in-process, and
+# one ordinal->docid lookup for the top boundary. That is the Lucene/ES
+# search-head shape: the index is distributed, the scorer for a
+# selective query is not. 4 Spark jobs per warm query instead of ~14 —
+# serving latency is job-count-bound. Set to 0 to force the
+# distributed plan (tests pin identity between both).
+DRIVER_SERVE_BYTES = 8 << 20
+# estimated bytes per candidate len block (codec v2 side table) counted
+# against DRIVER_SERVE_BYTES in bm25 mode; measured ~8 KB/block at 2M
+# turns (BENCH/r04_codec_bytes.json), doubled for safety
+LEN_BLOCK_EST_BYTES = 16 << 10
+# above this many boundary ordinals the docid resolve would push a
+# silly In() list — fall back to the distributed tail
+RESOLVE_INLINE_CAP = 4096
+# tombstone sets larger than this are not collected to the driver
+TOMB_LOCAL_CAP = 1 << 20
 
 _META_SCHEMA = (
     "cid int, field string, term string, w double, mult long, "
@@ -143,6 +173,47 @@ def resolve_clause(index, field: str, terms: Sequence[str],
                       msm=max(int(msm), 1))
 
 
+def _collect_limit_one_job(df: DataFrame, n: int) -> list:
+    """``df.limit(n).collect()`` in ONE Spark job. CollectLimit's
+    incremental execution (scan 1 partition, then 4, 20, ... —
+    spark.sql.limit.scaleUpFactor) is right for exploratory limits over
+    huge inputs but wrong for a serving-path metadata collect over a
+    pushed-filter scan: it turns one cheap job into five. The initial
+    partition count is a runtime SQL conf — raise it for just this
+    collect so the first round covers every partition."""
+    spark = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    try:
+        old = spark.conf.get(key, None)
+    except Exception:  # conf not present on this Spark build
+        return df.limit(n).collect()
+    try:
+        spark.conf.set(key, str(1 << 20))
+        return df.limit(n).collect()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def _tomb_ords_local(index) -> Optional[set]:
+    """The tombstoned-ordinal set, collected once per binding (memoized
+    by the _tomb_ords DataFrame's identity — bind_generations assigns a
+    fresh one on every rebind). None = too large to drive from."""
+    t = getattr(index, "_tomb_ords", None)
+    if t is None:
+        return set()
+    cache = getattr(index, "_tomb_local_cache", None)
+    if cache is not None and cache[0] is t:
+        return cache[1]
+    rows = _collect_limit_one_job(t.select("ord"), TOMB_LOCAL_CAP + 1)
+    out = (None if len(rows) > TOMB_LOCAL_CAP
+           else {r["ord"] for r in rows})
+    index._tomb_local_cache = (t, out)
+    return out
+
+
 def _clause_stats(index, clauses: List[WandClause], mode: str) -> list:
     """One vocabulary lookup for every (clause, term): rows of
     (cid, field, term, w, mult, boost, cmsm, avgdl). |rows| = Σ|terms|
@@ -151,11 +222,21 @@ def _clause_stats(index, clauses: List[WandClause], mode: str) -> list:
     if not pairs:
         return []
     fields = sorted({c.field for c in clauses})
-    frows = {
-        r["field"]: r
-        for r in index.field_stats.where(F.col("field").isin(fields))
-        .select("field", "flnorm", "n_docs", "avg_doc_len").collect()
-    }
+    # field_stats rows are per-index constants (#fields rows) — memoize
+    # the collect per BINDING (object identity: every maintenance op /
+    # save / generation rebind assigns a fresh field_stats DataFrame,
+    # so a stale cache cannot survive a mutation). One Spark job per
+    # binding instead of one per query.
+    src = index.field_stats
+    cache = getattr(index, "_fstats_local_cache", None)
+    if cache is None or cache[0] is not src:
+        cache = (src, {
+            r["field"]: r
+            for r in src.select("field", "flnorm", "n_docs",
+                                "avg_doc_len").collect()
+        })
+        index._fstats_local_cache = cache
+    frows = cache[1]
     cond = None
     for f in fields:
         terms = sorted({t for c in clauses if c.field == f for t in c.terms})
@@ -185,6 +266,191 @@ def _clause_stats(index, clauses: List[WandClause], mode: str) -> list:
             out.append((cid, c.field, t, float(w), int(n), c.boost,
                         c.msm, float(fr["avg_doc_len"] or 0.0)))
     return out
+
+
+def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
+                       k: int, mode: str, k1: float, b: float, msm: int,
+                       block_size: int):
+    """Serve a single-phase query entirely from the driver: one
+    pushed-filter collect of the candidate block payloads (+ their len
+    blocks in bm25 mode), the SAME pure-Python codec decode the
+    distributed mapInPandas runs (build/codec.py decode_block), the
+    same clause algebra, then one ordinal->docid lookup for the top-k
+    boundary. Returns None when the query does not qualify (payload
+    too large, tombstone set too large, boundary tie set too large) —
+    the caller falls through to the distributed plan, so this is only
+    ever a latency fast path, never a semantics change. Identity with
+    the distributed plan is pinned by tests/test_segments_wand.py.
+
+    Scale shape: the byte cap (DRIVER_SERVE_BYTES) bounds what a query
+    may pull to the driver — selective queries over a 100 TB index
+    stay under it because the pushed In(term)/block filters already cut
+    the scan to the query's candidate blocks; broad queries fall back
+    to the distributed plan the cap exists for."""
+    import numpy as np
+
+    from ..build.codec import decode_block
+
+    if k <= 0 or not DRIVER_SERVE_BYTES:
+        return None
+    tomb = _tomb_ords_local(index)
+    if tomb is None:
+        return None
+
+    spark = segments.sparkSession
+    # fetch set: the per-clause cross product (terms x good block_ids)
+    # actually present in the candidate metadata — pushed as per-clause
+    # In(term) AND In(block_id) filters. It can exceed the good TRIPLES
+    # (a term may sit at a block only other terms made good); decoding
+    # the extras is correct by construction: the clause msm algebra
+    # filters docs exactly, the coverage prune is only a work-saver.
+    gbids: Dict[int, set] = {}
+    for bid, e in good.items():
+        for cid in e["cids"]:
+            gbids.setdefault(cid, set()).add(bid)
+    fetch_bytes = 0
+    fetch_pairs: set = set()  # (field, block_id) for the len side
+    for r in meta_rows:
+        cid = r["cid"]
+        if cid in gbids and r["block_id"] in gbids[cid]:
+            fetch_bytes += r["block_bytes"]
+            fetch_pairs.add((by_cid[cid]["field"], r["block_id"]))
+    if mode != "elasticlunr":
+        fetch_bytes += len(fetch_pairs) * LEN_BLOCK_EST_BYTES
+    if fetch_bytes > DRIVER_SERVE_BYTES:
+        return None
+
+    cond = None
+    for cid, bids in gbids.items():
+        info = by_cid[cid]
+        branch = ((F.col("field") == info["field"])
+                  & F.col("term").isin(info["terms"])
+                  & F.col("block_id").isin(sorted(bids)))
+        cond = branch if cond is None else (cond | branch)
+    fetch = segments.where(cond).select(
+        "field", "term", "block_id", "payload")
+    if mode != "elasticlunr":
+        lcond = None
+        for f in sorted({p[0] for p in fetch_pairs}):
+            bids = sorted({p[1] for p in fetch_pairs if p[0] == f})
+            branch = (F.col("field") == f) & F.col("block_id").isin(bids)
+            lcond = branch if lcond is None else (lcond | branch)
+        fetch = fetch.unionByName(
+            index.seg_len_blocks(block_size).where(lcond).select(
+                "field", F.lit(None).cast("string").alias("term"),
+                "block_id", "payload"))
+    rows = fetch.collect()  # ONE job
+
+    tmap = {(r[1], r[2]): (r[0], r[3], r[4], r[7]) for r in stats}
+    cids = sorted(by_cid)
+    cinfo = {r[0]: (r[5], r[6]) for r in stats}
+    tomb_arr = (np.fromiter(sorted(tomb), dtype=np.int64)
+                if tomb else None)
+    lens_map: Dict[Tuple[str, int], Tuple] = {}
+    posts = []
+    for r in rows:
+        if r["term"] is None:
+            lo, lv = decode_block(bytes(r["payload"]),
+                                  int(r["block_id"]) * block_size)
+            lens_map[(r["field"], r["block_id"])] = (
+                np.asarray(lo, dtype=np.int64),
+                np.asarray(lv, dtype=np.float64))
+        else:
+            posts.append(r)
+
+    # per-clause vectorized aggregation (the groupBy(ord) of the
+    # distributed exact_scores, via numpy grouping — no per-entry
+    # Python loop anywhere)
+    parts: Dict[int, list] = {cid: [] for cid in cids}
+    for r in posts:
+        key = (r["field"], r["term"])
+        if key not in tmap:  # candidate block of a term no clause kept
+            continue
+        cid, w, mult, avgdl = tmap[key]
+        o, tf = decode_block(bytes(r["payload"]),
+                             int(r["block_id"]) * block_size)
+        if not o:
+            continue
+        oa = np.asarray(o, dtype=np.int64)
+        tfa = np.asarray(tf, dtype=np.float64)
+        if tomb_arr is not None:
+            keep = ~np.isin(oa, tomb_arr)
+            if not keep.all():
+                oa, tfa = oa[keep], tfa[keep]
+                if oa.size == 0:
+                    continue
+        if mode == "elasticlunr":
+            sc = np.sqrt(tfa) * w
+        else:
+            lc = lens_map.get((r["field"], r["block_id"]))
+            if lc is None:  # no len block (shouldn't happen; be safe)
+                return None
+            lo, lv = lc
+            dl = lv[np.searchsorted(lo, oa)]
+            sc = w * (tfa * (k1 + 1.0)) / (
+                tfa + k1 * (1.0 - b + b * dl / avgdl))
+        parts[cid].append((oa, sc, int(mult)))
+
+    # clause msm/boost/query-msm algebra — the exact_scores select,
+    # in-process over the union of the clauses' ordinal sets
+    per_cid: Dict[int, Tuple] = {}
+    for cid in cids:
+        if not parts[cid]:
+            continue
+        oa = np.concatenate([p[0] for p in parts[cid]])
+        sc = np.concatenate([p[1] for p in parts[cid]])
+        ml = np.concatenate([np.full(p[0].size, p[2], dtype=np.int64)
+                             for p in parts[cid]])
+        uo, inv = np.unique(oa, return_inverse=True)
+        if mode == "elasticlunr":
+            rawv = np.full(uo.size, -np.inf)
+            np.maximum.at(rawv, inv, sc)
+        else:
+            rawv = np.zeros(uo.size)
+            np.add.at(rawv, inv, sc)
+        cnt = np.zeros(uo.size, dtype=np.int64)
+        np.add.at(cnt, inv, ml)
+        per_cid[cid] = (uo, rawv, cnt)
+
+    empty = spark.createDataFrame([], "docid string, score double")
+    if not per_cid:
+        return empty
+    all_ords = np.unique(np.concatenate([v[0] for v in per_cid.values()]))
+    score_v = np.zeros(all_ords.size)
+    match_v = np.zeros(all_ords.size, dtype=np.int64)
+    for cid in cids:
+        if cid not in per_cid:
+            continue
+        boost, cmsm = cinfo[cid]
+        uo, rawv, cnt = per_cid[cid]
+        ok = cnt >= cmsm
+        pos = np.searchsorted(all_ords, uo)
+        score_v[pos] += np.where(ok, rawv * boost, 0.0)
+        match_v[pos] += ok.astype(np.int64)
+    qual = match_v >= msm
+    if not qual.any():
+        return empty
+    result = dict(zip(all_ords[qual].tolist(), score_v[qual].tolist()))
+
+    # docid resolve for the boundary set only: every ord whose score
+    # ties-or-beats the k-th score (the docid tie-break needs real
+    # docids, and only there)
+    svals = sorted(result.values(), reverse=True)
+    kth = svals[min(k, len(svals)) - 1]
+    bound_ords = [oo for oo, s in result.items() if s >= kth]
+    if len(bound_ords) > RESOLVE_INLINE_CAP:
+        return None
+    _, ordinals = index.segments(block_size)
+    omap = {
+        r["ord"]: r["docid"]
+        for r in ordinals.where(
+            F.col("ord").isin(bound_ords)).collect()  # ONE job
+    }
+    top = sorted(((omap[oo], result[oo]) for oo in bound_ords),
+                 key=lambda p: (-p[1], p[0]))[:k]
+    # inline literal relation: collecting the result costs ZERO tasks
+    # (createDataFrame would slice 10 rows over defaultParallelism)
+    return inline_rows(spark, top, "docid string, score double")
 
 
 def wand_topk_multi(
@@ -244,11 +510,10 @@ def wand_topk_multi(
     # otherwise be its own Spark job; at serving latency the job count
     # is the overhead that matters). Beyond the cap every prune decision
     # moves back into distributed jobs — never wrong, just more jobs.
-    meta_rows = (
+    meta_rows = _collect_limit_one_job(
         cand.select("cid", "term", "block_id", "ub", "mult", "cmsm",
-                    "n_docs")
-        .limit(METADATA_CAP + 1)
-        .collect()
+                    "n_docs", "block_bytes"),
+        METADATA_CAP + 1,
     )
     lens_pairs: Optional[List[Tuple[str, int]]] = None
     good: Optional[Dict[int, dict]] = None
@@ -290,6 +555,14 @@ def wand_topk_multi(
             (cid, t, bid)
             for bid, e in good.items() for cid in e["cids"]
             for (t, _u) in by_bc[(bid, cid)]["terms"]]
+        # byte-capped driver serving (see _serve_from_driver): decodes
+        # the SAME fetch set exactly, so it needs neither the θ seed
+        # nor the block-max prune — correct in both phase regimes
+        served = _serve_from_driver(index, segments, stats, by_cid,
+                                    good, meta_rows, k, mode, k1, b,
+                                    msm, block_size)
+        if served is not None:
+            return served
         cand = cand.join(
             F.broadcast(inline_rows(
                 spark, sorted(good_triples),

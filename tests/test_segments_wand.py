@@ -24,12 +24,15 @@ from ex_elasticlunr_spark.sources.transcripts import transcripts_df, with_docid
 
 @pytest.fixture(autouse=True)
 def _force_two_phase(monkeypatch):
-    """Test corpora are far below SINGLE_PHASE_ENTRIES, which would
-    route every query through the decode-everything path and leave the
+    """Test corpora are far below SINGLE_PHASE_ENTRIES and
+    DRIVER_SERVE_BYTES, which would route every query through the
+    driver-serve / decode-everything paths and leave the distributed
     seed/threshold/block-pruning machinery untested — force the
-    two-phase plan module-wide (test_single_phase_matches_two_phase
-    covers the adaptive path explicitly)."""
+    two-phase distributed plan module-wide
+    (test_single_phase_matches_two_phase covers the adaptive phase
+    choice, TestDriverServe pins driver-serve == distributed)."""
     monkeypatch.setattr(wand_mod, "SINGLE_PHASE_ENTRIES", 0)
+    monkeypatch.setattr(wand_mod, "DRIVER_SERVE_BYTES", 0)
 
 
 class TestCodec:
@@ -417,3 +420,99 @@ class TestStreamingSegments:
         loaded = Index.load(spark, path)
         rows2 = loaded.search(q, include_details=True).collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+class TestDriverServe:
+    """The byte-capped driver-serve fast path (search/wand.py
+    _serve_from_driver: one payload collect + in-process codec decode +
+    clause algebra + one docid resolve) must be rank- AND
+    score-identical to the distributed plan it replaces, in every query
+    shape it can serve."""
+
+    @pytest.fixture()
+    def spy(self, monkeypatch):
+        """Enable driver serving (the module autouse fixture disables
+        it) and record whether it actually served each query."""
+        monkeypatch.setattr(wand_mod, "DRIVER_SERVE_BYTES", 8 << 20)
+        calls = {"served": None}
+        orig = wand_mod._serve_from_driver
+
+        def wrapper(*a, **kw):
+            out = orig(*a, **kw)
+            calls["served"] = out is not None
+            return out
+
+        monkeypatch.setattr(wand_mod, "_serve_from_driver", wrapper)
+        return calls
+
+    def _both(self, monkeypatch, spy, run):
+        got = [(r["docid"], round(r["score"], 9)) for r in run().collect()]
+        assert spy["served"] is True  # the fast path really served it
+        monkeypatch.setattr(wand_mod, "DRIVER_SERVE_BYTES", 0)
+        want = [(r["docid"], round(r["score"], 9)) for r in run().collect()]
+        monkeypatch.setattr(wand_mod, "DRIVER_SERVE_BYTES", 8 << 20)
+        assert got == want
+        return got
+
+    @pytest.mark.parametrize("mode", ["bm25", "elasticlunr"])
+    @pytest.mark.parametrize("qi", range(len(QUERIES)))
+    def test_driver_equals_distributed(self, spark, index, mode, qi,
+                                       monkeypatch, spy):
+        field, text = QUERIES[qi]
+        terms = index.analyzers[field].to_pipeline().run_terms(text)
+        if not any(t for t in terms):
+            pytest.skip("no resolvable terms")
+        got = self._both(monkeypatch, spy, lambda: index.search_wand(
+            text, field, top_k=10, mode=mode, block_size=64))
+        if text != "missing-term-zzz":
+            assert got
+
+    @pytest.mark.parametrize("mode", ["bm25", "elasticlunr"])
+    def test_driver_msm_and(self, spark, index, mode, monkeypatch, spy):
+        self._both(monkeypatch, spy, lambda: index.search_wand(
+            "elixir tool run", "text", top_k=10, mode=mode,
+            operator="and", block_size=64))
+        self._both(monkeypatch, spy, lambda: index.search_wand(
+            "elixir tool run quick", "text", top_k=10, mode=mode,
+            minimum_should_match=2, block_size=64))
+
+    @pytest.mark.parametrize("mode", ["bm25", "elasticlunr"])
+    def test_driver_multi_field(self, spark, index, mode, monkeypatch,
+                                spy):
+        got = self._both(monkeypatch, spy, lambda: index.search_wand_text(
+            "elixir search bash", top_k=10, mode=mode, block_size=64))
+        assert got
+
+    def test_driver_with_tombstones(self, spark, tmp_path, monkeypatch,
+                                    spy):
+        src = with_docid(transcripts_df(spark, n_convs=20,
+                                        turns_per_conv=5))
+        idx = Index(name="dsrv").add_field("text")
+        idx.add_documents(src, docid_col="docid")
+        path = str(tmp_path / "dsrv")
+        idx.inverted.save(path, block_size=64)
+        loaded = Index.load(spark, path)
+        gone = loaded.search_bm25("elixir", top_k=3).collect()
+        assert gone
+        loaded.remove_documents(
+            spark.createDataFrame([(r["docid"],) for r in gone],
+                                  "docid string"))
+        loaded.inverted.save_delta()
+        re = Index.load(spark, path)
+        got = self._both(monkeypatch, spy, lambda: re.search_wand(
+            "elixir tool", "text", top_k=10, block_size=64))
+        gone_ids = {r["docid"] for r in gone}
+        assert not gone_ids & {d for d, _ in got}
+
+    def test_oversize_falls_back(self, spark, index, monkeypatch, spy):
+        """A payload set over the byte cap must fall through to the
+        distributed plan (spy sees served=False) and stay correct."""
+        monkeypatch.setattr(wand_mod, "DRIVER_SERVE_BYTES", 1)
+        wand = index.search_wand("elixir tool", "text", top_k=5,
+                                 mode="bm25", block_size=64)
+        got = [(r["docid"], round(r["score"], 9)) for r in wand.collect()]
+        assert spy["served"] is False
+        want = [(r["docid"], round(r["score"], 9)) for r in index.search(
+            {"query": {"terms": {"text": ["elixir", "tool"]}}},
+            top_k=5, mode="bm25").collect()]
+        assert got == want and got
