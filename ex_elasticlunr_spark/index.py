@@ -285,6 +285,10 @@ class Index:
         if query is None:
             spark = self.inverted.postings.sparkSession
             return spark.createDataFrame([], "docid string, score double")
+        routed = self._route_wand(query, top_k, options, mode,
+                                  include_details, kw)
+        if routed is not None:
+            return routed
         if isinstance(query, str):
             if options and "fields" in options:
                 boosts = {f: v.get("boost", 0) for f, v in options["fields"].items()}
@@ -305,6 +309,60 @@ class Index:
             ]
             return ex.execute({"query": {"bool": {"should": should}}}, top_k=top_k)
         raise ValueError("Root object must have a query element")
+
+    def _route_wand(self, query, top_k, options, mode: str,
+                    include_details: bool, kw: dict):
+        """Opportunistic block-max WAND routing for ``search()``: a
+        finite top-k string search or single-field terms/match DSL
+        query on an index whose segments are ALREADY bound (a loaded
+        v5 warehouse, or after any explicit search_wand call) serves
+        through the fast path — rank-identical by the
+        tests/test_segments_wand.py identity suites, and pinned
+        routed==unrouted by test_spark_engine.TestWandRouting. Returns
+        None (caller falls through to the exhaustive executor) when the
+        query shape, options, or index state don't qualify; never
+        triggers a segment build on its own (a one-off query on a
+        fresh in-memory index must not pay the encode)."""
+        import os as _os
+
+        if (include_details or not isinstance(top_k, int) or top_k <= 0
+                or mode not in ("elasticlunr", "bm25")
+                or set(kw) - {"k1", "b"}
+                or self.inverted._segments is None
+                or _os.environ.get("EX_SPARK_NO_WAND_ROUTE")):
+            return None
+        if isinstance(query, str):
+            boosts = None
+            if options and "fields" in options:
+                boosts = {f: v.get("boost", 0)
+                          for f, v in options["fields"].items()}
+            elif options:
+                return None
+            return self.search_wand_text(query, top_k=top_k,
+                                         field_boosts=boosts, mode=mode,
+                                         **kw)
+        if not (isinstance(query, dict) and "query" in query):
+            return None
+        from .dsl.nodes import MatchNode, TermsNode, parse
+
+        try:
+            node = parse(query["query"])
+        except Exception:
+            return None  # let the executor raise its own error shape
+        if isinstance(node, MatchNode):
+            from .dsl.nodes import rewrite_match
+
+            node = rewrite_match(
+                node, self.analyzers[node.field].to_query_pipeline())
+        if not isinstance(node, TermsNode) or node.field not in self.analyzers:
+            return None
+        from .search.wand import wand_topk
+
+        return wand_topk(self.inverted, node.field, list(node.terms),
+                         k=top_k, mode=mode, boost=node.boost,
+                         expand=node.expand, fuzziness=node.fuzziness,
+                         regex=node.regex,
+                         msm=max(node.minimum_should_match, 1), **kw)
 
     def facet(self, query, field: str, top_n: int = 10,
               min_count: int = 1) -> DataFrame:
