@@ -17,15 +17,16 @@ cd /root/repo
 REPS=${REPS:-3}
 HI=${HI:-16}
 LO=${LO:-4}
+PREFIX=${PREFIX:-scaling}
 i=1
 while [ "$i" -le "$REPS" ]; do
   for CPUS in "$HI" "$LO"; do
     SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
     SPARK_GRAFT_CPUS=$CPUS BENCH_TURNS=${BENCH_TURNS:-1000000} BENCH_SKIP_SF=1 \
     taskset -c 0-$((CPUS - 1)) \
-    python bench.py 2>/dev/null | tail -1 > "BENCH/scaling_local${CPUS}_run${i}.json"
+    python bench.py 2>/dev/null | tail -1 > "BENCH/${PREFIX}_local${CPUS}_run${i}.json"
     echo "run $i local[$CPUS] done"
   done
   i=$((i + 1))
 done
-LEVELS="$HI $LO" python BENCH/summarize.py
+LEVELS="$HI $LO" PREFIX="$PREFIX" python BENCH/summarize.py

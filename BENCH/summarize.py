@@ -13,13 +13,14 @@ import statistics
 
 LEVELS = (os.environ.get("LEVELS") or "16 4").split()
 HI, LO = int(LEVELS[0]), int(LEVELS[1])
+PREFIX = os.environ.get("PREFIX", "scaling")
 
 
 def load(cpus):
     # keyed by NUMERIC rep index (lexical glob order puts run10 before
     # run2, which would misalign the per-rep pairing below)
     out = {}
-    for f in glob.glob(f"BENCH/scaling_local{cpus}_run*.json"):
+    for f in glob.glob(f"BENCH/{PREFIX}_local{cpus}_run*.json"):
         m = re.search(r"run(\d+)\.json$", f)
         try:
             out[int(m.group(1))] = json.load(open(f))

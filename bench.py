@@ -190,7 +190,8 @@ def main() -> None:
     timed("q5_fuzzy", lambda: idx.search(
         {"query": {"terms": {"text": {"value": "elixor", "fuzziness": 1}}}},
         top_k=10).collect())
-    # block-max WAND fast path (includes one-time segment build+encode)
+    # block-max WAND fast path (first call: binds the durable segments
+    # written by save() — codec v2 reads, no re-encode)
     timed("q6_wand_build_and_query", lambda: idx.search_wand(
         "elixir tool run quick", "text", top_k=10).collect())
     timed("q7_wand_warm", lambda: idx.search_wand(
