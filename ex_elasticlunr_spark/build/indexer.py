@@ -450,6 +450,7 @@ class InvertedIndex:
         # consumer needs — ordinals only translate MATCHED docs); the
         # clustering shuffle is then also independent and joins in.
         ordinals_box: list = []
+        max_ord_box: list = []
 
         def _w_doc_stats():
             cols = ["field", "docid", "doc_len"]
@@ -488,6 +489,11 @@ class InvertedIndex:
                 "docid",
                 (-F.col("ord") - F.lit(2)).cast("long").alias("ord"),
             ).write.mode("overwrite").parquet(_sp("ordinals_extra"))
+            # global ordinal high-water mark for the manifest — computed
+            # HERE (overlapped with the big clustering shuffles, o is
+            # cached) instead of as a serial job in the save tail
+            max_ord_box.append(
+                o.agg(F.max("ord").alias("m")).first())
             ordinals_box.append(o)
 
         # ---- phase 3: TERM-CLUSTERED narrow postings --------------------
@@ -679,8 +685,9 @@ class InvertedIndex:
         else:
             _write_stats()
         # global ordinal high-water mark: generational delta saves place
-        # the next generation's ordinal space above it (block-aligned)
-        max_ord_row = ordinals.agg(F.max("ord").alias("m")).first()
+        # the next generation's ordinal space above it (block-aligned);
+        # computed inside _w_ordinals, overlapped with the clustering
+        max_ord_row = max_ord_box[0]
         ordinals.unpersist()
         for dep in getattr(ordinals, "_persisted_deps", []):
             dep.unpersist()
