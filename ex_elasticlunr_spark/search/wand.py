@@ -268,6 +268,31 @@ def _clause_stats(index, clauses: List[WandClause], mode: str) -> list:
     return out
 
 
+def _restrict_triples(cand: DataFrame, triples) -> DataFrame:
+    """Restrict the candidate metadata/payload relation to (clause,
+    term, block) triples via per-clause ``In()`` literal filters — the
+    (terms x blocks) cross product per clause. Looser than an exact
+    triple semi-join but pure expressions: building it costs O(#cids)
+    py4j calls (a 2,000-triple inline literal relation cost ~30s of
+    gateway round trips), the term filter reaches the parquet scan,
+    and decoding a cross-product extra block is always CORRECT — it
+    only adds entries of docs whose totals stay below θ (phase-2
+    bounds) or that the clause-msm algebra filters (coverage prune)."""
+    byc: Dict[int, Tuple[set, set]] = {}
+    for cid, t, bid in triples:
+        e = byc.setdefault(cid, (set(), set()))
+        e[0].add(t)
+        e[1].add(bid)
+    cond = None
+    for cid in sorted(byc):
+        ts, bids = byc[cid]
+        branch = ((F.col("cid") == cid)
+                  & F.col("term").isin(sorted(ts))
+                  & F.col("block_id").isin(sorted(bids)))
+        cond = branch if cond is None else (cond | branch)
+    return cand.where(cond)
+
+
 def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
                        k: int, mode: str, k1: float, b: float, msm: int,
                        block_size: int):
@@ -563,11 +588,7 @@ def wand_topk_multi(
                                     msm, block_size)
         if served is not None:
             return served
-        cand = cand.join(
-            F.broadcast(inline_rows(
-                spark, sorted(good_triples),
-                "cid int, term string, block_id long")),
-            ["cid", "term", "block_id"], "left_semi")
+        cand = _restrict_triples(cand, good_triples)
     else:
         # sum-of-ubs is a seed-choice heuristic only (exactness of the
         # seed scores never depends on which block_ids are picked)
@@ -711,11 +732,7 @@ def wand_topk_multi(
                         if u + (total_gub - gubd[(cid, t)]) >= theta - EPS:
                             surv.append((cid, t, bid))
         if surv:
-            survivors = cand.join(
-                F.broadcast(inline_rows(
-                    spark, sorted(surv),
-                    "cid int, term string, block_id long")),
-                ["cid", "term", "block_id"], "left_semi")
+            survivors = _restrict_triples(cand, surv)
             lens_pairs = sorted({(by_cid[cid]["field"], bid)
                                  for cid, _t, bid in surv})
         else:  # degenerate — rescore the good set exactly (never wrong)
