@@ -114,9 +114,13 @@ SINGLE_PHASE_ENTRIES = 1 << 18
 # one ordinal->docid lookup for the top boundary. That is the Lucene/ES
 # search-head shape: the index is distributed, the scorer for a
 # selective query is not. 4 Spark jobs per warm query instead of ~14 —
-# serving latency is job-count-bound. Set to 0 to force the
-# distributed plan (tests pin identity between both).
-DRIVER_SERVE_BYTES = 8 << 20
+# serving latency is job-count-bound. 64 MiB ~= 29M posting entries
+# (codec v2 ~2.2 B/entry): a ~1s collect + vectorized numpy pass,
+# measured ~2x faster than the distributed plan even for
+# every-term-hot queries at 1M turns (~14 MB); queries over the cap
+# take the distributed plan below. Set to 0 to force the distributed
+# plan (tests pin identity between both).
+DRIVER_SERVE_BYTES = 64 << 20
 # estimated bytes per candidate len block (codec v2 side table) counted
 # against DRIVER_SERVE_BYTES in bm25 mode; measured ~8 KB/block at 2M
 # turns (BENCH/r04_codec_bytes.json), doubled for safety
