@@ -38,7 +38,14 @@ def _sql_literal(v) -> str:
     if isinstance(v, bool):
         s = "true" if v else "false"
     elif isinstance(v, float):
-        s = repr(v)  # shortest round-trip decimal
+        if v != v:
+            s = "NaN"  # Spark parses NaN/Infinity, not Python's nan/inf
+        elif v == float("inf"):
+            s = "Infinity"
+        elif v == float("-inf"):
+            s = "-Infinity"
+        else:
+            s = repr(v)  # shortest round-trip decimal
     else:
         s = str(v)
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

@@ -56,3 +56,14 @@ def test_collect_costs_zero_tasks(spark):
     ids2 = st.getJobIdsForGroup(None)
     after = max(list(ids2)) if len(list(ids2)) else -1
     assert after == before  # a local literal relation: no Spark job
+
+
+def test_values_path_special_floats(spark):
+    rows = [(i, 0, v, "x", True, b"\x00")
+            for i, v in enumerate([float("inf"), float("-inf"),
+                                   float("nan"), -0.0, 5e-324] * 12)]
+    got = inline_rows(spark, rows, DDL).collect()
+    import math as m
+    assert got[0]["d"] == float("inf") and got[1]["d"] == float("-inf")
+    assert m.isnan(got[2]["d"]) and got[4]["d"] == 5e-324
+    assert str(got[3]["d"]) == "-0.0"
