@@ -84,3 +84,53 @@ def test_fresh_index_never_builds_segments(spark):
     assert idx.inverted._segments is None
     idx.search({"query": {"terms": {"text": "elixir"}}}, top_k=5).collect()
     assert idx.inverted._segments is None  # routing must not encode
+
+
+class TestRoutedRandomOracle:
+    """Randomized ROUTED top-k vs the pure-Python oracle: random flat
+    match/terms leaves (the routable shapes, incl expand/fuzzy/regex/
+    msm/operator/boost) over a SAVED index — so the block-max WAND
+    path (driver-serve or distributed, whichever the byte cap picks)
+    is referee'd against the reference formulas end-to-end, not just
+    against the exhaustive executor."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark, tmp_path_factory):
+        from tests.oracle import OracleIndex
+
+        src = with_docid(transcripts_df(spark, n_convs=40,
+                                        turns_per_conv=5))
+        idx = Index(name="rro").add_field("text").add_field("tool")
+        idx.add_documents(src, docid_col="docid")
+        path = str(tmp_path_factory.mktemp("rro") / "wh")
+        idx.inverted.save(path, block_size=64)
+        loaded = Index.load(spark, path)
+        oidx = OracleIndex().add_field("text").add_field("tool")
+        oidx.add_documents(
+            [{"id": r["docid"], "text": r["text"], "tool": r["tool"]}
+             for r in src.select("docid", "text", "tool").collect()])
+        vocab = {f: sorted(oidx.fields[f].term_docs)
+                 for f in ("text", "tool")}
+        raw_words = sorted({
+            w for r in src.select("text").collect()
+            for w in r["text"].split()})[:400]
+        return loaded, oidx, vocab, raw_words
+
+    @pytest.mark.parametrize("mode", ["elasticlunr", "bm25"])
+    @pytest.mark.parametrize("qi", range(18))
+    def test_routed_topk_equals_oracle(self, corpus, mode, qi):
+        import random as _random
+
+        from tests.oracle.core import search as oracle_search
+        from tests.test_random_queries import _leaf
+
+        idx, oidx, vocab, raw_words = corpus
+        rng = _random.Random(0xC0FEE + qi)
+        oview = oidx.bm25() if mode == "bm25" else oidx
+        for _ in range(3):
+            q = {"query": _leaf(rng, vocab, raw_words)}
+            got = [(r["docid"], round(r["score"], 9))
+                   for r in idx.search(q, top_k=10, mode=mode).collect()]
+            want = [(r["ref"], round(r["score"], 9))
+                    for r in oracle_search(oview, q, top_k=10)]
+            assert got == want, q
