@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 # runnable from any cwd: the repo root (parent of scripts/) hosts
 # __spark_entry__ and the package
@@ -70,14 +71,21 @@ def main() -> int:
                 f"GATE_ONLY names not in queries(): {sorted(unknown)}")
         queries = {k: v for k, v in queries.items() if k in only}
     failures = []
-    for name in sorted(queries):
+    timings = {}
+    # walk in queries() dict order — the same order the driver stamps
+    # under its runtime budget — so per-entry seconds map onto the
+    # driver's cutoff directly
+    for name in queries:
+        t0 = time.perf_counter()
         try:
             sdf = queries[name](spark, sf_dir)
             cols = sorted(sdf.columns)
             srows = sorted(
                 tuple(canon(r[c]) for c in cols) for r in sdf.collect())
             if name not in oracles:
-                print(f"{name:24s} rows={len(srows):6d}  (no oracle)")
+                timings[name] = time.perf_counter() - t0
+                print(f"{name:24s} rows={len(srows):6d}  (no oracle)"
+                      f"  {timings[name]:6.2f}s")
                 continue
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
@@ -85,8 +93,9 @@ def main() -> int:
             orows = sorted(
                 tuple(canon(r[i]) for i in order) for r in cur.fetchall())
             ok = srows == orows
+            timings[name] = time.perf_counter() - t0
             print(f"{name:24s} spark={len(srows):6d} oracle={len(orows):6d} "
-                  f"{'OK' if ok else 'MISMATCH'}")
+                  f"{'OK' if ok else 'MISMATCH'}  {timings[name]:6.2f}s")
             if not ok:
                 failures.append(name)
                 shown = 0
@@ -96,8 +105,13 @@ def main() -> int:
                         shown += 1
         except Exception as exc:  # noqa: BLE001 — report and continue
             failures.append(name)
+            timings[name] = time.perf_counter() - t0
             print(f"{name:24s} ERROR: {exc}")
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} green"
+    total = sum(timings.values())
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    print(f"\ntotal {total:.1f}s; slowest: "
+          + ", ".join(f"{n}={s:.1f}s" for n, s in slow))
+    print(f"{len(queries) - len(failures)}/{len(queries)} green"
           + (f"; failing: {failures}" if failures else ""))
     spark.stop()
     return 1 if failures else 0
