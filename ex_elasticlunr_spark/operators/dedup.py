@@ -10,9 +10,11 @@ Scale notes:
     shuffle is the band-bucket self-join, whose keys are hash-uniform.
     Candidate verification (exact Jaccard) runs only on bucket pairs.
   * SimHash: per-row map work + optional band join, same shape.
-  * duplicate_clusters: iterative min-label propagation — per round one
-    join + min-aggregate over the edge list (pair-sized, not corpus-
-    sized), O(component diameter) rounds with a fixpoint early-stop.
+  * duplicate_clusters: driver-side union-find when the verified edge
+    list fits a row cap (a literal relation replaces O(diameter)
+    shuffle rounds); else iterative min-label propagation — per round
+    one join + min-aggregate over the edge list (pair-sized, not
+    corpus-sized), O(component diameter) rounds, fixpoint early-stop.
 """
 
 from __future__ import annotations
@@ -20,6 +22,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, StringType
+
+from ..functions.literals import inline_rows
 
 
 def normalized(col):
@@ -264,7 +268,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "docid",
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20,
+                       driver_max_edges: int = 100_000) -> DataFrame:
     """Connected components over duplicate pairs -> (docid, cluster_id).
 
     The step after candidate generation + verification in a dedup
@@ -272,16 +277,48 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     per cluster is kept. ``cluster_id`` is the MIN docid (string order)
     of the component, so ``docid == cluster_id`` marks the keeper.
 
-    Scale shape: min-label propagation over the (bidirectional,
-    deduplicated) edge list — each iteration is one shuffle join plus a
-    min-aggregate, and it converges in O(component diameter) iterations
-    with a fixpoint early-stop. Duplicate clusters are shallow (near-dup
-    groups, not a social graph), so the iteration count stays small at
-    any corpus size; each iteration's volume is bounded by the edge
-    list, never the corpus.
+    Adaptive execution (same discipline as the WAND driver-serve cap):
+    the verified edge list is usually minuscule next to the corpus —
+    LSH banding plus exact verification prunes to actual near-dups — so
+    when it fits under ``driver_max_edges`` rows the components are
+    solved with union-find on the driver and returned as a literal
+    relation (zero shuffle rounds, broadcastable downstream). The probe
+    is ``limit(cap+1)``: getting <= cap rows back proves the collected
+    list is complete. Past the cap, distributed min-label propagation
+    runs — each iteration one shuffle join plus a min-aggregate over
+    the edge list, O(component diameter) rounds with a fixpoint
+    early-stop. Duplicate clusters are shallow (near-dup groups, not a
+    social graph), so the iteration count stays small at any corpus
+    size; each iteration's volume is bounded by the edge list, never
+    the corpus.
     """
     fwd = pairs.select(F.col("docid_a").cast("string").alias("src"),
                        F.col("docid_b").cast("string").alias("dst"))
+    head = fwd.limit(driver_max_edges + 1).collect()
+    if len(head) <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in head:
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        label: dict = {}
+        for n in parent:
+            root = find(n)
+            if root not in label or n < label[root]:
+                label[root] = n
+        rows = sorted((n, label[find(n)]) for n in parent)
+        return inline_rows(pairs.sparkSession, rows,
+                           "docid string, cluster_id string")
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()

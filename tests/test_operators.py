@@ -94,14 +94,40 @@ def test_duplicate_clusters_connected_components(spark):
 
 def test_duplicate_clusters_chain_beyond_one_hop(spark):
     """A 6-node path needs several propagation rounds — exercises the
-    fixpoint loop, not just a single join."""
+    distributed fixpoint loop (driver_max_edges=0 forces past the
+    union-find fast path), not just a single join."""
     from ex_elasticlunr_spark.operators import dedup
 
     chain = [(str(i), str(i + 1)) for i in range(1, 6)]  # 1-2-3-4-5-6
     pairs = spark.createDataFrame(chain, "docid_a string, docid_b string")
     got = {r["docid"]: r["cluster_id"]
-           for r in dedup.duplicate_clusters(pairs).collect()}
+           for r in dedup.duplicate_clusters(
+               pairs, driver_max_edges=0).collect()}
     assert got == {str(i): "1" for i in range(1, 7)}
+
+
+def test_duplicate_clusters_driver_vs_distributed_referee(spark):
+    """The driver union-find fast path and the distributed min-label
+    propagation are the same operator: identical (docid, cluster_id)
+    maps on random graphs (chains, triangles, stars, singleton edges,
+    duplicate + self edges)."""
+    import random
+
+    from ex_elasticlunr_spark.operators import dedup
+
+    rng = random.Random(40413)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        edges = [(f"d{rng.randint(0, n)}", f"d{rng.randint(0, n)}")
+                 for _ in range(rng.randint(1, 60))]
+        pairs = spark.createDataFrame(
+            edges, "docid_a string, docid_b string")
+        fast = {r["docid"]: r["cluster_id"]
+                for r in dedup.duplicate_clusters(pairs).collect()}
+        slow = {r["docid"]: r["cluster_id"]
+                for r in dedup.duplicate_clusters(
+                    pairs, driver_max_edges=0).collect()}
+        assert fast == slow, f"trial {trial}: {fast} != {slow}"
 
 
 def test_pii_scrub_counts_and_redaction(spark):
