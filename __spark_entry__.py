@@ -638,17 +638,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import shutil as _sh
 
     def _await_stop(sq, secs: int) -> None:
-        """A gate stream must TERMINATE — a query that out-lives its
-        awaitTermination window would keep scheduling micro-batch jobs
-        in the driver's shared session and poison every later entry's
-        runtime (the exact failure mode sessionize_stream had with
-        processing-time timers under availableNow). Stop it before
-        raising so the session stays clean either way."""
-        if not sq.awaitTermination(secs):
-            sq.stop()
-            sq.awaitTermination(60)
-            raise RuntimeError(
-                f"gate stream {sq.name!r} did not terminate in {secs}s")
+        # stop-then-fail termination guard, shared with the test suite
+        from ex_elasticlunr_spark.streaming.ingest import await_terminated
+
+        await_terminated(sq, secs)
 
     def stream_index_eq(s, d):
         """stream_to_index: base save + delta generation per micro-batch

@@ -294,13 +294,15 @@ def bind_generations(inv, spark, path: str, manifest: dict) -> None:
 
     tomb_ords = None
     if tomb_ord_parts:
-        # localCheckpoint, not persist: the checkpoint's blocks are
-        # ContextCleaner-collected when this DF goes unreferenced, so a
-        # long-lived session that loads/rebinds many tombstone-bearing
-        # warehouses doesn't accrete cached blocks nobody unpersists
-        # (same reasoning that moved phrase hits and LSH banding off
-        # persist())
-        tomb_ords = _union_all(tomb_ord_parts).localCheckpoint(eager=True)
+        # persist, not localCheckpoint: checkpoint blocks are
+        # unrecoverable on executor loss (a decommissioned node would
+        # fail every later query on the bound index, where persist
+        # recomputes from lineage) and eager=True would run Spark jobs
+        # inside this metadata-only bind. The cache-block lifecycle is
+        # explicit instead: InvertedIndex.unpersist and _rebind_from
+        # unpersist the old tomb_ords, so long-lived sessions that
+        # rebind many tombstone-bearing warehouses don't accrete blocks
+        tomb_ords = _union_all(tomb_ord_parts).persist()
 
     def _anti_ord(df):
         if tomb_ords is None:

@@ -123,6 +123,7 @@ class InvertedIndex:
         self._delta_adds: list = []  # pending fresh sub-indexes (in order)
         self._delta_tombs = None  # pending removal docids (DataFrame)
         self._tomb_ords = None  # live tombstoned ords on a multi-gen load
+        self._tomb_local_cache = None  # wand's collected-set memo
 
     @property
     def field_stats(self) -> DataFrame:
@@ -268,13 +269,15 @@ class InvertedIndex:
         # _field_stats directly: unpersisting must not trigger the lazy
         # multi-generation field-stats job just to unpersist its result
         for df in (self.postings, self.doc_stats, self._field_stats,
-                   self.term_stats, self.docs, self._seg_lens):
+                   self.term_stats, self.docs, self._seg_lens,
+                   self._tomb_ords):
             if df is not None:
                 df.unpersist()
 
     def save(self, path: str, timings: Optional[dict] = None,
              with_segments: bool = True, block_size: int = 4096,
-             term_salt: int = 8) -> None:
+             term_salt: int = 8,
+             manifest_extra: Optional[dict] = None) -> None:
         """Persist as a partitioned parquet warehouse (Iceberg-shaped
         layout; reference analogue: storage/disk.ex:22-31).
 
@@ -711,6 +714,11 @@ class InvertedIndex:
                 for f, c in self.analyzers.items()
             },
         }
+        # caller-supplied manifest keys (e.g. the streaming sink's
+        # base_tag / compaction's merged_tags replay guards) ride the
+        # SAME atomic manifest write — a second rewrite after save()
+        # would reopen the crash window the guard exists to close
+        manifest.update(manifest_extra or {})
         with open(os.path.join(staging, "manifest.json"), "w") as fh:
             json.dump(manifest, fh, indent=2)
 
@@ -768,7 +776,12 @@ class InvertedIndex:
         self._delta_adds = []
         self._delta_tombs = None
         self._fs_thunk = None
+        if self._tomb_ords is not None:
+            # the previous binding's persisted tombstone ords — drop the
+            # cache blocks before rebinding replaces the reference
+            self._tomb_ords.unpersist()
         self._tomb_ords = None
+        self._tomb_local_cache = None
         version = manifest.get("version", 2)
         if version >= 5:
             # v5 layout: NARROW term-clustered postings (field, term,
@@ -975,8 +988,25 @@ class InvertedIndex:
         commit-point retention."""
         if not self._path:
             raise ValueError("compact() needs an index loaded from disk")
+        # preserve the streaming sink's replay guards across the fresh
+        # manifest: the folded generations' tags move to merged_tags so
+        # a replayed micro-batch whose generation was compacted away is
+        # still recognized and skipped (streaming/ingest.py)
+        extra: dict = {}
+        try:
+            with open(os.path.join(self._path, "manifest.json")) as fh:
+                cur = json.load(fh)
+            if cur.get("base_tag"):
+                extra["base_tag"] = cur["base_tag"]
+            merged = list(cur.get("merged_tags", []))
+            merged += [e["tag"] for e in cur.get("generations", [])
+                       if e.get("tag")]
+            if merged:
+                extra["merged_tags"] = merged
+        except FileNotFoundError:
+            pass
         self.save(self._path, with_segments=with_segments,
-                  block_size=block_size)
+                  block_size=block_size, manifest_extra=extra or None)
 
 
 def build_index(

@@ -151,10 +151,21 @@ def decode_segments_with_lens(blocks: DataFrame,
     per-posting doc_len without its bytes AND without a second
     mapInPandas + (field, ord) shuffle join at query time: the len
     block is decoded once per (field, block) (cached across the terms
-    sharing it) and doc_len lookup is a vectorized searchsorted —
-    every posting ord is present in its len block by construction
-    (doc has a posting in the field => doc_len >= 1 => len entry)."""
+    sharing it) and doc_len lookup is a vectorized searchsorted.
+
+    Ords with no len entry get doc_len=1 placeholders instead of an
+    error: warehouses written by this codec cover every posting ord by
+    construction (doc has a posting in the field => len entry), but a
+    LAZILY REBUILT len table (bind_generations on a warehouse where
+    some generation predates seg_lens — indexer.seg_len_blocks builds
+    from the tombstone-filtered doc_stats) only covers LIVE docs while
+    posting payloads keep tombstoned ords until compact(). Those rows
+    must decode without crashing; consumers anti-join the tombstone
+    set before scoring (search/wand.py exact_scores), so a placeholder
+    never reaches a score."""
     import numpy as np
+
+    _EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
 
     def run(batches):
         lens_cache: dict = {}
@@ -170,21 +181,27 @@ def decode_segments_with_lens(blocks: DataFrame,
                 lc = lens_cache.get(key)
                 if lc is None:
                     if lp is None:
-                        raise ValueError(
-                            f"missing len block for field={f} "
-                            f"block_id={bid} (codec v2 warehouses write "
-                            "seg_lens next to segments)")
-                    lo, lv = decode_block(bytes(lp), int(bid) * block_size)
-                    lc = (np.asarray(lo, dtype=np.int64),
-                          np.asarray(lv, dtype=np.int64))
+                        # a lazily rebuilt len table has NO row for a
+                        # posting block whose docs are all tombstoned
+                        lc = _EMPTY
+                    else:
+                        lo, lv = decode_block(bytes(lp),
+                                              int(bid) * block_size)
+                        lc = (np.asarray(lo, dtype=np.int64),
+                              np.asarray(lv, dtype=np.int64))
                     lens_cache[key] = lc
                 lo, lv = lc
-                pos = np.searchsorted(lo, np.asarray(o, dtype=np.int64))
+                oa = np.asarray(o, dtype=np.int64)
+                if lo.size:
+                    pos = np.minimum(np.searchsorted(lo, oa), lo.size - 1)
+                    dl = np.where(lo[pos] == oa, lv[pos], 1)
+                else:
+                    dl = np.ones(oa.size, dtype=np.int64)
                 fields.extend([f] * len(o))
                 terms.extend([t] * len(o))
                 ords.extend(o)
                 tfs.extend(tf)
-                dls.extend(lv[pos].tolist())
+                dls.extend(dl.tolist())
             yield pd.DataFrame(
                 {"field": fields, "term": terms, "ord": ords,
                  "tf_raw": tfs, "doc_len": dls}

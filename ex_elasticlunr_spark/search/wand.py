@@ -82,6 +82,7 @@ two.
 from __future__ import annotations
 
 import math
+import threading
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -137,6 +138,10 @@ _META_SCHEMA = (
 )
 _PRUNE_SCHEMA = "cid int, term string, pbound double"
 
+# serializes the session-conf set/collect/restore in
+# _collect_limit_one_job (the conf is session-global)
+_LIMIT_CONF_LOCK = threading.Lock()
+
 
 @dataclass
 class WandClause:
@@ -184,21 +189,29 @@ def _collect_limit_one_job(df: DataFrame, n: int) -> list:
     huge inputs but wrong for a serving-path metadata collect over a
     pushed-filter scan: it turns one cheap job into five. The initial
     partition count is a runtime SQL conf — raise it for just this
-    collect so the first round covers every partition."""
+    collect so the first round covers every partition.
+
+    The set/collect/restore triple runs under a module lock: the conf
+    is session-global, and two serving threads interleaving it could
+    leak the raised value into the session (thread B reads A's 1<<20
+    as its restore target) or run their own collect with the default.
+    These are short metadata collects, so serializing them costs far
+    less than the 5-job incremental limit the helper exists to avoid."""
     spark = df.sparkSession
     key = "spark.sql.limit.initialNumPartitions"
-    try:
-        old = spark.conf.get(key, None)
-    except Exception:  # conf not present on this Spark build
-        return df.limit(n).collect()
-    try:
-        spark.conf.set(key, str(1 << 20))
-        return df.limit(n).collect()
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+    with _LIMIT_CONF_LOCK:
+        try:
+            old = spark.conf.get(key, None)
+        except Exception:  # conf not present on this Spark build
+            return df.limit(n).collect()
+        try:
+            spark.conf.set(key, str(1 << 20))
+            return df.limit(n).collect()
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
 def _tomb_ords_local(index) -> Optional[set]:

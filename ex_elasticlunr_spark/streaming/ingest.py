@@ -65,6 +65,23 @@ def ingest_stream(
     return writer.start()
 
 
+def await_terminated(query, secs: int) -> None:
+    """Await a BOUNDED (availableNow) stream's termination — and stop
+    it before raising if it overruns. ``awaitTermination(timeout)``
+    returning False is not a pass: the query keeps scheduling
+    micro-batches in its (usually shared) SparkSession and degrades
+    everything that runs after it — the failure mode
+    ``sessionize_stream`` had with processing-time timers under
+    availableNow replays. One definition serves the test suite and the
+    gate battery."""
+    if not query.awaitTermination(secs):
+        query.stop()
+        query.awaitTermination(60)
+        raise RuntimeError(
+            f"stream {query.name!r} still running after {secs}s — "
+            "bounded availableNow replays must drain and terminate")
+
+
 def stream_to_index(
     stream_df: DataFrame,
     fields,
@@ -107,29 +124,25 @@ def stream_to_index(
         tag = f"batch-{batch_id}"
         manifest_path = os.path.join(warehouse, "manifest.json")
         if not os.path.exists(manifest_path):
+            # base_tag records which batch became the base, riding
+            # save()'s single atomic manifest write: a replayed FIRST
+            # batch (crash between this save and the checkpoint
+            # advance) must be skipped like any other replay — without
+            # the stamp it would take the delta path and commit an
+            # empty tagged generation, drifting gen counts and
+            # compact_every triggers
             build_index(
                 batch_df, fields=fields, docid_col=docid_col,
                 analyzers=analyzers, store_positions=store_positions,
                 dedupe=dedupe,
-            ).save(warehouse)
-            # record which batch became the base: a replayed FIRST
-            # batch (crash between this save and the checkpoint
-            # advance) must be skipped like any other replay — without
-            # this stamp it would take the delta path and commit an
-            # empty tagged generation, drifting gen counts and
-            # compact_every triggers
-            with open(manifest_path) as fh:
-                manifest = json.load(fh)
-            manifest["base_tag"] = tag
-            tmp = manifest_path + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(manifest, fh)
-            os.replace(tmp, manifest_path)
+            ).save(warehouse, manifest_extra={"base_tag": tag})
             return
         with open(manifest_path) as fh:
             manifest = json.load(fh)
         if manifest.get("base_tag") == tag:
             return  # replayed base batch: already the base save
+        if tag in manifest.get("merged_tags", []):
+            return  # replayed batch whose generation was compacted away
         if any(e.get("tag") == tag
                for e in manifest.get("generations", [])):
             return  # replayed batch: generation already committed

@@ -516,3 +516,66 @@ class TestDriverServe:
             {"query": {"terms": {"text": ["elixir", "tool"]}}},
             top_k=5, mode="bm25").collect()]
         assert got == want and got
+
+
+class TestLazyLenRebuildTombstones:
+    """A warehouse where a generation predates the codec-v2 seg_lens
+    table forces bind_generations to drop to the lazy doc_stats len
+    rebuild — which only covers LIVE docs, while posting payloads keep
+    tombstoned ords until compact(). The decode must tolerate the
+    missing entries (placeholders, filtered by the tombstone anti-join
+    downstream), not crash."""
+
+    def test_decode_tolerates_missing_and_null_len_entries(self, spark):
+        from ex_elasticlunr_spark.build.segments import (
+            decode_segments_with_lens)
+
+        post = codec.encode_block([0, 3, 7], [2, 1, 5], 0)
+        # len block misses ord 3 (tombstoned) entirely
+        lens = codec.encode_block([0, 7], [11, 13], 0)
+        rows = [
+            ("text", "a", 0, bytearray(post), bytearray(lens)),
+            ("text", "b", 0, bytearray(post), None),  # fully-dead block
+        ]
+        df = spark.createDataFrame(
+            rows, "field string, term string, block_id long, "
+                  "payload binary, len_payload binary")
+        got = {(r["term"], r["ord"]): r["doc_len"]
+               for r in decode_segments_with_lens(df, 64).collect()}
+        assert got == {("a", 0): 11, ("a", 3): 1, ("a", 7): 13,
+                       ("b", 0): 1, ("b", 3): 1, ("b", 7): 1}
+
+    @pytest.mark.parametrize("mode", ["bm25", "elasticlunr"])
+    def test_wand_on_lazy_len_rebuild_equals_exhaustive(
+            self, spark, tmp_path, monkeypatch, mode):
+        monkeypatch.setattr(wand_mod, "SINGLE_PHASE_ENTRIES", 0)
+        monkeypatch.setattr(wand_mod, "DRIVER_SERVE_BYTES", 0)
+        src = with_docid(transcripts_df(spark, n_convs=20,
+                                        turns_per_conv=5))
+        idx = Index(name="lazylen").add_field("text")
+        idx.add_documents(src, docid_col="docid")
+        path = str(tmp_path / "lazylen")
+        idx.inverted.save(path, block_size=64)
+        loaded = Index.load(spark, path)
+        gone = loaded.search_bm25("elixir", top_k=5).collect()
+        assert gone
+        loaded.remove_documents(
+            spark.createDataFrame([(r["docid"],) for r in gone],
+                                  "docid string"))
+        loaded.inverted.save_delta()
+        re = Index.load(spark, path)
+        # simulate the pre-seg_lens generation: throw the bound len
+        # union away so seg_len_blocks() lazily rebuilds from the
+        # tombstone-filtered doc_stats
+        if re.inverted._seg_lens is not None:
+            re.inverted._seg_lens.unpersist()
+        re.inverted._seg_lens = None
+        wand = re.search_wand("elixir tool", "text", top_k=10,
+                              mode=mode, block_size=64)
+        got = [(r["docid"], round(r["score"], 9)) for r in wand.collect()]
+        want = [(r["docid"], round(r["score"], 9)) for r in re.search(
+            {"query": {"terms": {"text": ["elixir", "tool"]}}},
+            top_k=10, mode=mode).collect()]
+        assert got == want and got
+        gone_ids = {r["docid"] for r in gone}
+        assert not gone_ids & {d for d, _ in got}

@@ -196,3 +196,60 @@ def test_quality_operators_compose_on_streams(spark, tmp_path):
     await_terminated(q, 120)
     got = sorted(map(tuple, spark.sql("SELECT * FROM qs_mem").collect()))
     assert got == expected
+
+
+def test_stream_replay_after_checkpoint_loss_commits_nothing(
+        spark, tmp_path):
+    """The replay guards survive every manifest rewrite: wiping the
+    checkpoint replays EVERY micro-batch — the base batch (base_tag
+    rides save()'s atomic manifest write), batches folded away by
+    compaction (merged_tags), and live generations (their tags) must
+    all be skipped, so generation counts and the queryable index do
+    not drift."""
+    import json
+    import shutil
+
+    from ex_elasticlunr_spark.streaming.ingest import stream_to_index
+
+    src_dir = str(tmp_path / "in")
+    wh = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    full = with_docid(transcripts_df(spark, n_convs=12, turns_per_conv=3))
+    parts = [full.where(f"conv_id < 'conv-{i * 4:06d}' AND "
+                        f"conv_id >= 'conv-{(i - 1) * 4:06d}'")
+             for i in (1, 2, 3)]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, f"f{i}.parquet"))
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", "1").parquet(src_dir + "/*.parquet")
+        q = stream_to_index(stream, ["text"], wh, checkpoint_dir=ckpt,
+                            compact_every=2)
+        await_terminated(q, 240)
+
+    run()
+    manifest = json.load(open(os.path.join(wh, "manifest.json")))
+    # 3 batches, compact_every=2: base + 2 gens -> compacted on the
+    # third batch; the folded tags must live on as merged_tags
+    assert manifest.get("base_tag") == "batch-0"
+    assert set(manifest.get("merged_tags", [])) >= {"batch-1", "batch-2"}
+    before = Index.load(spark, wh)
+    want = sorted((r["docid"], round(r["score"], 9)) for r in
+                  before.search_bm25("elixir", top_k=50).collect())
+    n_docs_before = before.inverted.docs.count()
+
+    # checkpoint loss: every batch replays from scratch
+    shutil.rmtree(ckpt)
+    run()
+    manifest2 = json.load(open(os.path.join(wh, "manifest.json")))
+    assert manifest2.get("base_tag") == "batch-0"
+    assert manifest2.get("generations", []) == []  # no drift
+    after = Index.load(spark, wh)
+    got = sorted((r["docid"], round(r["score"], 9)) for r in
+                 after.search_bm25("elixir", top_k=50).collect())
+    assert got == want
+    assert after.inverted.docs.count() == n_docs_before
