@@ -363,23 +363,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 8-char shingles + 4 rows/band: band-collision probability ~ sim^4
     # (3-char shingles over the tiny synthetic vocabulary collide almost
     # everywhere -> quadratic candidate blowup)
-    q["dedup_minhash_lsh"] = lambda s, d: dedup.lsh_candidate_pairs(
-        _documents(s, d), num_hashes=16, bands=4, k=8)
+    #
+    # the LSH candidate pairs feed FOUR gate entries (minhash_lsh,
+    # ngram_jaccard, clusters, keep_canonical) — compute the
+    # minhash+banding chain once per sf_dir and localCheckpoint it
+    # (ContextCleaner-collected, no leaked cache blocks)
+    def _lsh_cands(s, d):
+        key = (s.sparkContext.applicationId, d, "lsh_cands")
+        cands = _CACHE.get(key)
+        if cands is None:
+            cands = dedup.lsh_candidate_pairs(
+                _documents(s, d), num_hashes=16, bands=4,
+                k=8).localCheckpoint(eager=True)
+            _CACHE[key] = cands
+        return cands
 
-    # the verified near-dup pair list feeds THREE gate entries
-    # (ngram_jaccard, clusters, keep_canonical) — compute the
-    # minhash+banding+verify chain once per sf_dir and localCheckpoint
-    # it (ContextCleaner-collected, no leaked cache blocks)
+    q["dedup_minhash_lsh"] = _lsh_cands
+
     def _verified_pairs(s, d):
         key = (s.sparkContext.applicationId, d, "lsh_pairs")
         pairs = _CACHE.get(key)
         if pairs is None:
-            docs = _documents(s, d)
-            cands = dedup.lsh_candidate_pairs(
-                docs, num_hashes=16, bands=4, k=8) \
-                .select("docid_a", "docid_b")
             pairs = dedup.ngram_jaccard_pairs(
-                docs, cands, n=8, threshold=0.5).localCheckpoint(eager=True)
+                _documents(s, d),
+                _lsh_cands(s, d).select("docid_a", "docid_b"),
+                n=8, threshold=0.5).localCheckpoint(eager=True)
             _CACHE[key] = pairs
         return pairs
 
@@ -1000,53 +1008,66 @@ bits AS (
 SELECT docid, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY docid
 """
-    shingles = (
-        f"list_distinct(list_transform(range(1, greatest(length({norm}) - 7, 1) + 1), "
-        f"i -> substr({norm}, i, 8)))"
-    )
-    minhash16 = ", ".join(
-        "list_min(list_transform(sh, s -> substr(md5('{seed}:' || s), {off}, 8)))".format(
-            seed=h // 4, off=1 + 8 * (h % 4))
-        for h in range(16)
-    )
-    o["dedup_minhash_lsh"] = f"""
-WITH sh AS (
-  SELECT CAST(doc_id AS VARCHAR) AS docid, {shingles} AS sh FROM documents
+    # minhash over exploded (docid, shingle) rows, not per-doc list
+    # lambdas: DuckDB's list_transform/list_min path re-evaluates the
+    # shingle lists at every CTE reference and costs ~17s at sf0.01;
+    # hashing only DISTINCT shingles (13x fewer md5s here) and
+    # min-aggregating the exploded join is bit-identical and ~60x
+    # faster, keeping the whole dedup family inside the driver's gate
+    # budget. MATERIALIZED pins each stage to one evaluation.
+    mh_mins = ", ".join(
+        f"min(substr(d.h{h // 4}, {1 + 8 * (h % 4)}, 8)) AS m{h}"
+        for h in range(16))
+    mh_cols = ", ".join(f"m{h}" for h in range(16))
+    lsh_pre = f"""
+WITH ex AS MATERIALIZED (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS docid, substr(n, i, 8) AS s
+  FROM (SELECT doc_id, {norm} AS n FROM documents),
+       LATERAL (SELECT unnest(range(1, greatest(length(n) - 7, 1) + 1)) AS i) ix
 ),
-sig AS (SELECT docid, [{minhash16}] AS mh FROM sh),
-banded AS (
+dist AS MATERIALIZED (
+  SELECT s, md5('0:' || s) AS h0, md5('1:' || s) AS h1,
+         md5('2:' || s) AS h2, md5('3:' || s) AS h3
+  FROM (SELECT DISTINCT s FROM ex)
+),
+sig AS MATERIALIZED (
+  SELECT e.docid, {mh_mins}
+  FROM ex e JOIN dist d ON d.s = e.s GROUP BY e.docid
+),
+banded AS MATERIALIZED (
   SELECT docid, b AS band_idx,
          mh[4*b + 1] || '|' || mh[4*b + 2] || '|' || mh[4*b + 3] || '|' || mh[4*b + 4] AS band_key
-  FROM sig, (SELECT unnest(range(4)) AS b) bands
-)
+  FROM (SELECT docid, [{mh_cols}] AS mh FROM sig) s,
+       (SELECT unnest(range(4)) AS b) bands
+)"""
+    o["dedup_minhash_lsh"] = f"""{lsh_pre}
 SELECT a.docid AS docid_a, c.docid AS docid_b, COUNT(*) AS shared_bands
 FROM banded a JOIN banded c
   ON a.band_idx = c.band_idx AND a.band_key = c.band_key AND a.docid < c.docid
 GROUP BY 1, 2
 """
-    o["dedup_ngram_jaccard"] = f"""
-WITH sh AS (
-  SELECT CAST(doc_id AS VARCHAR) AS docid, {shingles} AS sh FROM documents
-),
-sig AS (SELECT docid, [{minhash16}] AS mh FROM sh),
-banded AS (
-  SELECT docid, b AS band_idx,
-         mh[4*b + 1] || '|' || mh[4*b + 2] || '|' || mh[4*b + 3] || '|' || mh[4*b + 4] AS band_key
-  FROM sig, (SELECT unnest(range(4)) AS b) bands
-),
-cands AS (
+    # exact verify on the LSH candidates: |A∩B| via the exploded rows,
+    # |A∪B| = |A| + |B| − |A∩B| (set identity; ex is DISTINCT per doc)
+    o["dedup_ngram_jaccard"] = f"""{lsh_pre},
+cands AS MATERIALIZED (
   SELECT DISTINCT a.docid AS docid_a, c.docid AS docid_b
   FROM banded a JOIN banded c
     ON a.band_idx = c.band_idx AND a.band_key = c.band_key AND a.docid < c.docid
+),
+sizes AS MATERIALIZED (SELECT docid, COUNT(*) AS n FROM ex GROUP BY docid),
+inter AS (
+  SELECT c.docid_a, c.docid_b, COUNT(*) AS i
+  FROM cands c
+  JOIN ex ea ON ea.docid = c.docid_a
+  JOIN ex eb ON eb.docid = c.docid_b AND eb.s = ea.s
+  GROUP BY 1, 2
 )
-SELECT cands.docid_a, cands.docid_b,
-       ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
-FROM cands
-JOIN sh sa ON sa.docid = cands.docid_a
-JOIN sh sb ON sb.docid = cands.docid_b
-WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
-      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+SELECT i.docid_a, i.docid_b,
+       ROUND(i.i::DOUBLE / (na.n + nb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.docid = i.docid_a
+JOIN sizes nb ON nb.docid = i.docid_b
+WHERE i.i::DOUBLE / (na.n + nb.n - i.i) >= 0.5
 """
     # connected components over the verified pairs: the recursive CTE
     # computes the reachability closure (edges are bidirectional + a
