@@ -342,10 +342,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _tf.gettempdir(),
                 "ex_spark_delta_gate_" + d.strip("/").replace("/", "_"))
             _sh.rmtree(wh, ignore_errors=True)
-            half = Index(name="delta-base").add_field("text")
+            # positions are not needed for the terms-only check query;
+            # skipping them drops the positional clustering shuffle from
+            # both saves in this entry
+            half = Index(name="delta-base",
+                         store_positions=False).add_field("text")
             half.add_documents(docs.where(F.col("doc_id") % 2 == 0),
                                docid_col="docid", dedupe=False)
-            half.save(wh)
+            # skip the WAND segment encode too (terms-only query); the
+            # delta manifest records segments=False so save_delta's
+            # generations follow suit
+            half.inverted.save(wh, with_segments=False)
             loaded = Index.load(s, wh)
             loaded.add_documents(docs.where(F.col("doc_id") % 2 == 1),
                                  docid_col="docid", dedupe=False)
@@ -673,8 +680,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stream = s.readStream.schema(docs.schema) \
                 .option("maxFilesPerTrigger", "1") \
                 .parquet(src + "/*.parquet")
+            # the equivalence query is terms-only: skip the positional
+            # clustering shuffle and the WAND segment encode in both the
+            # base save and the per-batch save_delta (pure gate-time cut;
+            # the full positional/segment streaming path is pinned in
+            # tests/test_streaming.py)
             _await_stop(stream_to_index(stream, ["text"], wh,
-                                        docid_col="docid", dedupe=False),
+                                        docid_col="docid", dedupe=False,
+                                        store_positions=False,
+                                        with_segments=False),
                         600)
             idx = Index.load(s, wh)
             _CACHE[key] = idx

@@ -322,9 +322,15 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20,
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
+    # localCheckpoint, not persist: each round's plan would otherwise
+    # nest the previous round's join+union+agg, and the lineage depth
+    # after O(diameter) rounds overflows the driver stack when Spark
+    # renders/plans the tree (seen as a generateTreeString
+    # StackOverflow in long sessions). Checkpointing truncates the
+    # plan to the materialized blocks; ContextCleaner reclaims them.
     labels = (edges.select(F.col("src").alias("docid")).distinct()
               .withColumn("cluster_id", F.col("docid"))
-              .persist())
+              .localCheckpoint(eager=True))
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges["src"] == labels["docid"])
@@ -333,10 +339,9 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20,
         new = (labels.unionByName(prop)
                .groupBy("docid")
                .agg(F.min("cluster_id").alias("cluster_id"))
-               .persist())
+               .localCheckpoint(eager=True))
         changed = (new.join(labels, ["docid", "cluster_id"], "left_anti")
                    .limit(1).count())
-        labels.unpersist()
         labels = new
         if changed == 0:
             break

@@ -90,6 +90,7 @@ def stream_to_index(
     checkpoint_dir: Optional[str] = None,
     analyzers: Optional[Dict[str, AnalyzerConfig]] = None,
     store_positions: bool = True,
+    with_segments: bool = True,
     dedupe: bool = False,
     compact_every: int = 0,
     trigger_available_now: bool = True,
@@ -131,11 +132,14 @@ def stream_to_index(
             # the stamp it would take the delta path and commit an
             # empty tagged generation, drifting gen counts and
             # compact_every triggers
+            # with_segments rides the base manifest: save_delta reads
+            # manifest["segments"] so later generations follow suit
             build_index(
                 batch_df, fields=fields, docid_col=docid_col,
                 analyzers=analyzers, store_positions=store_positions,
                 dedupe=dedupe,
-            ).save(warehouse, manifest_extra={"base_tag": tag})
+            ).save(warehouse, with_segments=with_segments,
+                   manifest_extra={"base_tag": tag})
             return
         with open(manifest_path) as fh:
             manifest = json.load(fh)

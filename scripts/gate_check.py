@@ -87,6 +87,7 @@ def main() -> int:
                 print(f"{name:24s} rows={len(srows):6d}  (no oracle)"
                       f"  {timings[name]:6.2f}s")
                 continue
+            t_spark = time.perf_counter() - t0
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             order = sorted(range(len(ocols)), key=lambda i: ocols[i])
@@ -95,7 +96,9 @@ def main() -> int:
             ok = srows == orows
             timings[name] = time.perf_counter() - t0
             print(f"{name:24s} spark={len(srows):6d} oracle={len(orows):6d} "
-                  f"{'OK' if ok else 'MISMATCH'}  {timings[name]:6.2f}s")
+                  f"{'OK' if ok else 'MISMATCH'}  {timings[name]:6.2f}s"
+                  f" (spark {t_spark:5.2f}s / oracle"
+                  f" {timings[name] - t_spark:5.2f}s)")
             if not ok:
                 failures.append(name)
                 shown = 0
