@@ -51,17 +51,18 @@ parquet scan in the union + a broadcast anti-join when tombstones
 exist — which is why compact() exists for when generations accumulate.
 
 Concurrency model: SINGLE WRITER, many readers — the same contract as
-Lucene's write.lock. ``save_delta`` is reader-safe at any time (the
-manifest rewrite is the atomic commit; an in-flight generation
-directory is invisible until committed). ``compact()`` is NOT: it
-delegates to a full ``save``, which swaps table directories with
-per-table renames before rewriting the manifest, so a reader that
-opened the manifest just before compaction can scan half-renamed
-directories — quiesce readers around compaction (see
-InvertedIndex.compact). Two concurrent writers could both claim the
-same generation name and the last manifest write would orphan the
-other's directory. Serialize writers externally (the streaming sink
-is naturally serial per query).
+Lucene's write.lock. ``save_delta`` AND ``compact()``/``save()`` are
+reader-safe at any time: every commit is one atomic root-manifest
+replace — a delta commit appends an (invisible-until-committed)
+generation directory, and a full save moves its tables into a fresh
+snapshot subdirectory first (build/indexer.py save). Artifacts a
+retired manifest referenced (the previous snapshot, compacted-away
+generations) are swept only at the START of the next save, so a reader
+holding the previous commit's manifest gets one full commit cycle of
+grace — Iceberg snapshot expiry with retention 1, in parquet. Two
+concurrent writers could still both claim the same generation name and
+the last manifest write would orphan the other's directory. Serialize
+writers externally (the streaming sink is naturally serial per query).
 """
 
 from __future__ import annotations
@@ -142,15 +143,27 @@ def save_delta(inv, tag: Optional[str] = None) -> str:
     else:
         prev_max = manifest.get("max_ord")
         if prev_max is None:  # legacy base manifest: one tiny agg
-            prev_max = (spark.read.parquet(os.path.join(path, "ordinals"))
-                        .agg(F.max("ord").alias("m")).first()["m"]) or 0
+            from .indexer import tables_dir
+
+            prev_max = (spark.read.parquet(
+                os.path.join(tables_dir(path, manifest), "ordinals"))
+                .agg(F.max("ord").alias("m")).first()["m"]) or 0
         prev_max = int(prev_max)
 
     batches = adds or [None]  # tombstone-only delta: one table-less gen
     last_dir = ""
+    # monotone generation counter (survives compaction via the base
+    # manifest): a reader of the pre-compaction manifest may still be
+    # scanning the folded-away gen directories during their GC grace
+    # window, so a fresh generation must never REUSE one of their names.
+    # Legacy manifests without the counter fall back to len(gens) —
+    # their historical naming, correct because their save() deleted
+    # deltas/ at commit.
+    gen_seq = int(manifest.get("gen_seq", len(gens)))
     for i, sub in enumerate(batches):
         ord_base = ((prev_max // block_size) + 1) * block_size
-        name = "gen-%05d" % (len(gens) + 1)
+        gen_seq += 1
+        name = "gen-%05d" % gen_seq
         gen_dir = os.path.join(path, DELTAS_DIR, name)
         os.makedirs(gen_dir, exist_ok=True)
         entry = {
@@ -188,6 +201,7 @@ def save_delta(inv, tag: Optional[str] = None) -> str:
         last_dir = gen_dir
 
     manifest["generations"] = gens
+    manifest["gen_seq"] = gen_seq
     _write_manifest_atomic(path, manifest)  # the commit point
     inv._rebind_from(path, manifest, spark=spark)
     return last_dir
@@ -227,8 +241,18 @@ def bind_generations(inv, spark, path: str, manifest: dict) -> None:
         seg_lens=inv._seg_lens,
     )]
     tomb_dfs: list = [None]
+    from .indexer import tables_dir
+
     for e in entries:
         gd = os.path.join(path, DELTAS_DIR, e["name"])
+        # tombstones are written directly at the gen root; the gen's
+        # TABLE set was written by a nested save() and resolves through
+        # the gen's own manifest (snapshot subdir on current writers,
+        # the gen root on legacy layouts / table-less tombstone gens)
+        try:
+            gt = tables_dir(gd, _read_manifest(gd))
+        except FileNotFoundError:
+            gt = gd
         tomb_dfs.append(
             spark.read.parquet(os.path.join(gd, "tombstones"))
             if e.get("tombstones") else None)
@@ -236,36 +260,36 @@ def bind_generations(inv, spark, path: str, manifest: dict) -> None:
             parts.append(None)
             continue
         base = int(e["ord_base"])
-        post = _tf(_shift(spark.read.parquet(os.path.join(gd, "postings")),
+        post = _tf(_shift(spark.read.parquet(os.path.join(gt, "postings")),
                           base))
         pos = post
-        if os.path.exists(os.path.join(gd, "positions")):
+        if os.path.exists(os.path.join(gt, "positions")):
             pos = _tf(_shift(
-                spark.read.parquet(os.path.join(gd, "positions")), base))
+                spark.read.parquet(os.path.join(gt, "positions")), base))
         seg = None
-        if os.path.exists(os.path.join(gd, "segments")):
+        if os.path.exists(os.path.join(gt, "segments")):
             # block-aligned ord_base: the payload decodes relative to
             # block_id * block_size, so shifting block_id re-bases the
             # whole block without touching the compressed bytes
-            seg = (spark.read.parquet(os.path.join(gd, "segments"))
+            seg = (spark.read.parquet(os.path.join(gt, "segments"))
                    .withColumn("block_id",
                                F.col("block_id") + F.lit(base // block_size))
                    .withColumn("min_ord", F.col("min_ord") + F.lit(base))
                    .withColumn("max_ord", F.col("max_ord") + F.lit(base)))
         lens = None
-        if os.path.exists(os.path.join(gd, "seg_lens")):
+        if os.path.exists(os.path.join(gt, "seg_lens")):
             # same block-aligned re-base as the posting segments
-            lens = (spark.read.parquet(os.path.join(gd, "seg_lens"))
+            lens = (spark.read.parquet(os.path.join(gt, "seg_lens"))
                     .withColumn("block_id",
                                 F.col("block_id") + F.lit(base // block_size)))
         parts.append(dict(
             postings=post, positions=pos,
             ordinals=_shift(
-                spark.read.parquet(os.path.join(gd, "ordinals")), base),
-            doc_stats=spark.read.parquet(os.path.join(gd, "doc_stats"))
+                spark.read.parquet(os.path.join(gt, "ordinals")), base),
+            doc_stats=spark.read.parquet(os.path.join(gt, "doc_stats"))
             .select("field", "docid", "doc_len"),
-            docs=spark.read.parquet(os.path.join(gd, "docs")),
-            term_stats=spark.read.parquet(os.path.join(gd, "term_stats"))
+            docs=spark.read.parquet(os.path.join(gt, "docs")),
+            term_stats=spark.read.parquet(os.path.join(gt, "term_stats"))
             .select("field", "term", "df"),
             segments=seg,
             seg_lens=lens,

@@ -58,6 +58,65 @@ from ..functions.udfs import AnalyzerConfig, analyze_postings
 
 
 
+# every table directory name a warehouse snapshot can contain (across
+# layout versions) — the GC sweep and legacy-layout retirement key off it
+KNOWN_TABLES = (
+    "postings", "positions", "flat", "docs", "doc_stats", "field_stats",
+    "term_stats", "ordinals", "ordinals_extra", "segments", "seg_lens",
+)
+
+
+def tables_dir(path: str, manifest: dict) -> str:
+    """Directory holding ``manifest``'s table set: the manifest's
+    snapshot subdirectory for snapshot-versioned warehouses, the
+    warehouse root for legacy layouts (tables written in place)."""
+    snap = manifest.get("snapshot_dir")
+    return os.path.join(path, snap) if snap else path
+
+
+def table_path(path: str, name: str) -> str:
+    """Resolve table ``name`` under warehouse ``path`` through the
+    committed manifest (tests/tools convenience — library code resolves
+    through the manifest it already holds)."""
+    with open(os.path.join(path, "manifest.json")) as fh:
+        return os.path.join(tables_dir(path, json.load(fh)), name)
+
+
+def _gc_stale_artifacts(path: str, manifest: dict) -> None:
+    """Delete everything the CURRENT committed manifest does not
+    reference: older snapshot directories, delta generations dropped by
+    a compaction, legacy root-level tables superseded by a snapshot,
+    and crashed staging dirs. Called at the START of the next save —
+    never at commit — so anything a reader of the previous manifest can
+    still be scanning survives one full commit cycle (the same grace
+    contract as Iceberg snapshot expiry with retention 1)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    cur_snap = manifest.get("snapshot_dir")
+    for d in _glob.glob(os.path.join(path, "snap-*")):
+        if os.path.basename(d) != cur_snap:
+            _shutil.rmtree(d, ignore_errors=True)
+    live_gens = {e["name"] for e in manifest.get("generations", [])}
+    ddir = os.path.join(path, "deltas")
+    if os.path.isdir(ddir):
+        if not live_gens:
+            _shutil.rmtree(ddir, ignore_errors=True)
+        else:
+            for d in _glob.glob(os.path.join(ddir, "gen-*")):
+                if os.path.basename(d) not in live_gens:
+                    _shutil.rmtree(d, ignore_errors=True)
+    if cur_snap:
+        # a snapshot manifest never references root-level tables: retire
+        # a legacy in-place layout left by an older writer
+        for name in KNOWN_TABLES:
+            p = os.path.join(path, name)
+            if os.path.exists(p):
+                _shutil.rmtree(p, ignore_errors=True)
+    for junk in (".staging", ".old"):
+        _shutil.rmtree(os.path.join(path, junk), ignore_errors=True)
+
+
 class InvertedIndex:
     """A built index: five DataFrames + per-field analyzer configs.
 
@@ -350,6 +409,17 @@ class InvertedIndex:
 
         spark = self.postings.sparkSession
         os.makedirs(path, exist_ok=True)
+        # the previously COMMITTED manifest: GC source of truth (sweep
+        # what it no longer references — grace for in-flight readers of
+        # the commit before it) and carrier of the monotone sequence
+        # numbers that survive compaction
+        prev_manifest: dict = {}
+        try:
+            with open(os.path.join(path, "manifest.json")) as fh:
+                prev_manifest = json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        _gc_stale_artifacts(path, prev_manifest)
         staging = os.path.join(path, ".staging")
         shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging)
@@ -719,24 +789,41 @@ class InvertedIndex:
         # SAME atomic manifest write — a second rewrite after save()
         # would reopen the crash window the guard exists to close
         manifest.update(manifest_extra or {})
-        with open(os.path.join(staging, "manifest.json"), "w") as fh:
-            json.dump(manifest, fh, indent=2)
 
-        # atomic-ish swap: retire old tables, move staging into place
-        old = os.path.join(path, ".old")
-        shutil.rmtree(old, ignore_errors=True)
-        os.makedirs(old)
-        for name in tables + ["manifest.json"]:
-            dst = os.path.join(path, name)
-            if os.path.exists(dst):
-                os.rename(dst, os.path.join(old, name))
-            os.rename(os.path.join(staging, name), dst)
-        shutil.rmtree(old, ignore_errors=True)
+        # snapshot-versioned commit: move the staged tables into a fresh
+        # snapshot directory (invisible to readers — nothing references
+        # it yet), then make the ATOMIC root-manifest replace the single
+        # commit point. Readers holding the previous manifest keep
+        # scanning the previous snapshot (and its delta generations,
+        # when this save is a compaction) untouched until the NEXT
+        # save's GC sweep — so save()/compact() are reader-safe with
+        # one commit cycle of grace, the parquet stand-in for an
+        # Iceberg/metastore snapshot commit.
+        seq = int(prev_manifest.get("snapshot_seq", -1)) + 1
+        snap_name = "snap-%06d" % seq
+        snap_dir = os.path.join(path, snap_name)
+        shutil.rmtree(snap_dir, ignore_errors=True)
+        os.makedirs(snap_dir)
+        for name in tables:
+            os.rename(os.path.join(staging, name),
+                      os.path.join(snap_dir, name))
+        manifest["snapshot_dir"] = snap_name
+        manifest["snapshot_seq"] = seq
+        # monotone generation counter: survives compaction so a future
+        # save_delta never reuses a gen directory a previous-manifest
+        # reader may still be scanning (names stay unique for the
+        # lifetime of the warehouse)
+        manifest.setdefault("gen_seq", int(prev_manifest.get("gen_seq", 0)))
+        mtmp = os.path.join(path, "manifest.json.tmp")
+        with open(mtmp, "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        os.replace(mtmp, os.path.join(path, "manifest.json"))  # commit
         shutil.rmtree(staging, ignore_errors=True)
-        # a full save IS a compaction: every generation's rows were read
-        # in phase 1 and now live in the base tables (the fresh manifest
-        # carries no "generations"), so retire the delta directories
-        shutil.rmtree(os.path.join(path, "deltas"), ignore_errors=True)
+        # NOTE deliberately NO deletion of the previous snapshot or the
+        # deltas/ directory here: a full save IS a compaction (the fresh
+        # manifest carries no "generations"), but the retired artifacts
+        # must outlive in-flight readers of the previous commit — the
+        # next save's _gc_stale_artifacts sweep reclaims them.
 
         # repoint self at the durable layout (fresh lineage — safe to
         # keep querying/merging/saving this object)
@@ -783,23 +870,26 @@ class InvertedIndex:
         self._tomb_ords = None
         self._tomb_local_cache = None
         version = manifest.get("version", 2)
+        # snapshot-versioned warehouses keep their tables under the
+        # manifest's snapshot subdirectory; legacy layouts at the root
+        tp = tables_dir(path, manifest)
         if version >= 5:
             # v5 layout: NARROW term-clustered postings (field, term,
             # ord, tf_raw, doc_len — no docid: result rows translate via
             # the ordinals table) + the term-clustered positional table
             # (same keys/sort, carrying positions+ords) as postings_full
             self.postings = spark.read.parquet(
-                os.path.join(path, "postings")
+                os.path.join(tp, "postings")
             ).withColumn("tf", F.sqrt(F.col("tf_raw")))
             if manifest.get("clustered_positions") and os.path.exists(
-                    os.path.join(path, "positions")):
+                    os.path.join(tp, "positions")):
                 self.postings_full = spark.read.parquet(
-                    os.path.join(path, "positions")
+                    os.path.join(tp, "positions")
                 ).withColumn("tf", F.sqrt(F.col("tf_raw")))
             else:
                 self.postings_full = self.postings
-            self._ordinals = spark.read.parquet(os.path.join(path, "ordinals"))
-            extra_p = os.path.join(path, "ordinals_extra")
+            self._ordinals = spark.read.parquet(os.path.join(tp, "ordinals"))
+            extra_p = os.path.join(tp, "ordinals_extra")
             if (manifest.get("ordinals_extra")
                     and not manifest.get("generations")
                     and os.path.exists(extra_p)):
@@ -813,16 +903,16 @@ class InvertedIndex:
             # v4 split layout: narrow clustered postings (hot path),
             # positions in the doc-ordered flat ingest table (cold path)
             self.postings = spark.read.parquet(
-                os.path.join(path, "postings")
+                os.path.join(tp, "postings")
             ).withColumn("tf", F.sqrt(F.col("tf_raw")))
             self.postings_full = (
-                spark.read.parquet(os.path.join(path, "flat"))
+                spark.read.parquet(os.path.join(tp, "flat"))
                 .where(F.col("term").isNotNull())
                 .withColumn("tf", F.sqrt(F.col("tf_raw")))
             )
-            self._ordinals = spark.read.parquet(os.path.join(path, "ordinals"))
+            self._ordinals = spark.read.parquet(os.path.join(tp, "ordinals"))
         else:
-            raw = spark.read.parquet(os.path.join(path, "postings"))
+            raw = spark.read.parquet(os.path.join(tp, "postings"))
             if manifest.get("doc_rows_in_postings"):
                 raw = raw.where(F.col("term").isNotNull())
             if "tf" not in raw.columns:
@@ -830,10 +920,10 @@ class InvertedIndex:
             self.postings = raw
             self.postings_full = raw
             self._ordinals = None
-        self.doc_stats = spark.read.parquet(os.path.join(path, "doc_stats"))
-        self.field_stats = spark.read.parquet(os.path.join(path, "field_stats"))
-        self.term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
-        self.docs = spark.read.parquet(os.path.join(path, "docs"))
+        self.doc_stats = spark.read.parquet(os.path.join(tp, "doc_stats"))
+        self.field_stats = spark.read.parquet(os.path.join(tp, "field_stats"))
+        self.term_stats = spark.read.parquet(os.path.join(tp, "term_stats"))
+        self.docs = spark.read.parquet(os.path.join(tp, "docs"))
         if self._segments is not None:
             self._segments[1].unpersist()
             self._segments[2].unpersist()
@@ -845,15 +935,15 @@ class InvertedIndex:
         # ignore their segments — the lazy streaming rebuild re-encodes
         # from the clustered postings in the current format
         if (manifest.get("segments") and manifest.get("codec", 1) >= 2
-                and os.path.exists(os.path.join(path, "segments"))):
+                and os.path.exists(os.path.join(tp, "segments"))):
             self._segments = (
                 manifest.get("block_size", 4096),
-                spark.read.parquet(os.path.join(path, "segments")),
-                spark.read.parquet(os.path.join(path, "ordinals")),
+                spark.read.parquet(os.path.join(tp, "segments")),
+                spark.read.parquet(os.path.join(tp, "ordinals")),
             )
-            if os.path.exists(os.path.join(path, "seg_lens")):
+            if os.path.exists(os.path.join(tp, "seg_lens")):
                 self._seg_lens = spark.read.parquet(
-                    os.path.join(path, "seg_lens"))
+                    os.path.join(tp, "seg_lens"))
         if manifest.get("generations"):
             from .deltas import bind_generations
 
@@ -979,13 +1069,14 @@ class InvertedIndex:
         semantics) and re-clusters all postings into one term-sorted
         table.
 
-        NOT reader-safe, unlike ``save_delta``: the full save swaps
-        table directories with per-table renames before the manifest
-        rewrite, so a reader that opens the manifest mid-compaction can
-        scan half-renamed directories. Quiesce readers (or snapshot the
-        warehouse path) around compaction — the same operational
-        contract as a Lucene force-merge on a live directory without
-        commit-point retention."""
+        Reader-safe, like ``save_delta``: the full save stages its
+        tables into a fresh snapshot subdirectory and commits with one
+        atomic root-manifest replace; the folded generations and the
+        previous snapshot stay on disk until the NEXT save's GC sweep,
+        so readers holding the pre-compaction manifest keep a complete,
+        consistent view for one full commit cycle (Lucene force-merge
+        with commit-point retention; Iceberg snapshot expiry with
+        retention 1)."""
         if not self._path:
             raise ValueError("compact() needs an index loaded from disk")
         # preserve the streaming sink's replay guards across the fresh

@@ -46,8 +46,10 @@ def test_delta_add_matches_full_rebuild(spark, corpus, base_path):
         .add_documents(df1, docid_col="docid").save(base_path)
 
     # snapshot the base postings files: save_delta must not touch them
+    from ex_elasticlunr_spark.build.indexer import table_path
+
     def listing(table):
-        d = os.path.join(base_path, table)
+        d = table_path(base_path, table)
         return sorted((f, os.path.getmtime(os.path.join(d, f)))
                       for f in os.listdir(d) if f.endswith(".parquet"))
 
@@ -157,6 +159,11 @@ def test_compact_folds_generations(spark, corpus, base_path):
     re.compact()
     manifest = json.load(open(os.path.join(base_path, "manifest.json")))
     assert "generations" not in manifest
+    # deferred GC: the folded generation dirs OUTLIVE the compaction
+    # commit (grace for readers of the pre-compaction manifest) and are
+    # swept at the start of the NEXT save
+    assert os.path.exists(os.path.join(base_path, "deltas"))
+    Index.load(spark, base_path).inverted.save(base_path)
     assert not os.path.exists(os.path.join(base_path, "deltas"))
 
     # post-compact == full rebuild of the live docs, exact stats included
@@ -230,7 +237,59 @@ def test_chained_pending_ops_one_delta_save(spark, corpus, base_path):
     assert "x2" not in got and "d3" not in got
     assert re.documents_size() == 30 + 2 + 20 - 2
     # the tombstoned pending doc was filtered before disk, not stored
+    from ex_elasticlunr_spark.build.indexer import table_path
+
     gen1 = os.path.join(base_path, "deltas", "gen-00001")
     docs1 = {r["docid"] for r in spark.read.parquet(
-        os.path.join(gen1, "docs")).collect()}
+        table_path(gen1, "docs")).collect()}
     assert docs1 == {"x1"}
+
+
+def test_compact_is_reader_safe_with_one_commit_grace(spark, corpus,
+                                                      base_path):
+    """A reader bound to the pre-compaction manifest keeps a complete,
+    consistent view WHILE compact() commits underneath it: the full
+    save stages into a fresh snapshot directory, the atomic root-
+    manifest replace is the only commit point, and the reader's
+    snapshot + generation dirs survive until the NEXT save's GC sweep
+    (Iceberg snapshot expiry with retention 1)."""
+    df1, df2 = corpus
+    Index(name="d").add_field("text") \
+        .add_documents(df1, docid_col="docid").save(base_path)
+    writer = Index.load(spark, base_path)
+    writer.add_documents(df2, docid_col="docid")
+    writer.inverted.save_delta()
+
+    # reader opens the 2-generation commit
+    reader = Index.load(spark, base_path)
+    before = _scores(reader.search("merge window"), 6)
+
+    # compaction commits a new snapshot under the reader
+    Index.load(spark, base_path).compact()
+
+    # the reader's bound tables are untouched: same results, no error
+    assert _scores(reader.search("merge window"), 6) == before
+    assert reader.documents_size() == 50
+
+    # one manifest on disk, new snapshot committed, old artifacts
+    # still present for the grace window
+    manifest = json.load(open(os.path.join(base_path, "manifest.json")))
+    assert "generations" not in manifest
+    assert os.path.exists(os.path.join(base_path, "deltas"))
+    snaps = sorted(d for d in os.listdir(base_path)
+                   if d.startswith("snap-"))
+    assert len(snaps) == 2 and manifest["snapshot_dir"] == snaps[-1]
+
+    # the NEXT save sweeps what the retired manifest referenced
+    Index.load(spark, base_path).inverted.save(base_path)
+    assert not os.path.exists(os.path.join(base_path, "deltas"))
+    snaps = sorted(d for d in os.listdir(base_path)
+                   if d.startswith("snap-"))
+    assert len(snaps) == 2  # the new snapshot + its grace predecessor
+
+    # a fresh generation after compaction never reuses a swept name
+    w2 = Index.load(spark, base_path)
+    w2.add_documents(_docs(spark, [("z1", "zulu merge")]),
+                     docid_col="docid")
+    gen_dir = w2.inverted.save_delta()
+    assert gen_dir.endswith("gen-00002")

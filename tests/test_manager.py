@@ -2,6 +2,7 @@
 and update_documents (B3: remove-then-re-add semantics)."""
 
 import math
+import os
 
 import pytest
 
@@ -222,7 +223,10 @@ def test_saved_universe_ordinals_are_durable(spark, tmp_path):
     mgr = IndexManager(spark, str(tmp_path / "wh"))
     mgr.save(idx)
 
-    assert (tmp_path / "wh" / "ordx" / "ordinals_extra").exists()
+    from ex_elasticlunr_spark.build.indexer import table_path
+
+    assert os.path.exists(
+        table_path(str(tmp_path / "wh" / "ordx"), "ordinals_extra"))
     idx2 = mgr.get("ordx")
     # load bound the durable union (no lazy anti-join pending)
     assert idx2.inverted._ordinals_all is not None

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ex_elasticlunr_spark import Index
 from ex_elasticlunr_spark.build import codec
+from ex_elasticlunr_spark.build.indexer import table_path
 from ex_elasticlunr_spark.build.ordinals import assign_doc_ordinals
 from ex_elasticlunr_spark.build.segments import (
     build_len_blocks,
@@ -335,7 +336,7 @@ class TestStreamingSegments:
         layout decodes back to exactly the postings (ord, tf) multiset —
         same invariant as the legacy groupBy builder."""
         _, path = v4_index
-        segs = spark.read.parquet(path + "/segments")
+        segs = spark.read.parquet(table_path(path, "segments"))
         decoded = decode_segments(segs, 64)
         got = sorted(
             (r["field"], r["term"], r["ord"], r["tf_raw"])
@@ -343,7 +344,7 @@ class TestStreamingSegments:
         )
         want = sorted(
             (r["field"], r["term"], r["ord"], r["tf_raw"])
-            for r in spark.read.parquet(path + "/postings").collect()
+            for r in spark.read.parquet(table_path(path, "postings")).collect()
         )
         assert got == want
 
@@ -351,9 +352,9 @@ class TestStreamingSegments:
         """save() persists the codec-v2 doc_len side table; it decodes
         back to doc_stats' per-(field, doc) lengths."""
         _, path = v4_index
-        lens = spark.read.parquet(path + "/seg_lens")
+        lens = spark.read.parquet(table_path(path, "seg_lens"))
         decoded = decode_len_blocks(lens, 64)
-        ds = spark.read.parquet(path + "/doc_stats")
+        ds = spark.read.parquet(table_path(path, "doc_stats"))
         got = sorted(
             (r["field"], r["ord"], r["doc_len"]) for r in decoded.collect())
         want = sorted(
@@ -367,9 +368,9 @@ class TestStreamingSegments:
         per posting entry."""
         _, path = v4_index
         lens_entries = (
-            decode_len_blocks(spark.read.parquet(path + "/seg_lens"), 64)
+            decode_len_blocks(spark.read.parquet(table_path(path, "seg_lens")), 64)
             .count())
-        postings_rows = spark.read.parquet(path + "/postings").count()
+        postings_rows = spark.read.parquet(table_path(path, "postings")).count()
         assert lens_entries < postings_rows / 2
 
     def test_streaming_survives_file_splits(self, spark, v4_index):
@@ -381,7 +382,7 @@ class TestStreamingSegments:
         old = spark.conf.get("spark.sql.files.maxPartitionBytes")
         try:
             spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
-            posts = spark.read.parquet(path + "/postings")
+            posts = spark.read.parquet(table_path(path, "postings"))
             segs = build_segments_streaming(posts, 64)
             decoded = decode_segments(segs, 64)
             got = sorted(
@@ -392,7 +393,7 @@ class TestStreamingSegments:
             spark.conf.set("spark.sql.files.maxPartitionBytes", old)
         want = sorted(
             (r["field"], r["term"], r["ord"], r["tf_raw"])
-            for r in spark.read.parquet(path + "/postings").collect()
+            for r in spark.read.parquet(table_path(path, "postings")).collect()
         )
         assert got == want
 

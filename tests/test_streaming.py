@@ -109,7 +109,8 @@ def test_stream_to_index_durable_generations(spark, tmp_path):
     run(compact_every=2)
     manifest = json.load(open(os.path.join(wh, "manifest.json")))
     assert not manifest.get("generations")
-    assert not os.path.exists(os.path.join(wh, "deltas"))
+    # folded generations linger until the next save's GC sweep (reader
+    # grace) but the committed manifest no longer references them
     assert InvertedIndex.load(spark, wh).docs.count() == full.count()
 
 
