@@ -293,3 +293,38 @@ def test_compact_is_reader_safe_with_one_commit_grace(spark, corpus,
                      docid_col="docid")
     gen_dir = w2.inverted.save_delta()
     assert gen_dir.endswith("gen-00002")
+
+
+def test_crashed_save_leaves_previous_commit_intact(spark, corpus,
+                                                    base_path):
+    """A save that dies BEFORE the root-manifest replace leaves only
+    unreferenced debris (a staged snapshot dir, a .staging remnant):
+    loads still see the previous commit exactly, and the next
+    successful save's GC sweep removes the debris."""
+    import shutil
+
+    df1, _ = corpus
+    Index(name="d").add_field("text") \
+        .add_documents(df1, docid_col="docid").save(base_path)
+    before = _scores(Index.load(spark, base_path).search("merge window"))
+
+    # fabricate the on-disk state of a save that crashed after staging
+    # its snapshot but before the manifest commit
+    cur = json.load(open(os.path.join(base_path, "manifest.json")))
+    crashed = os.path.join(base_path, "snap-%06d"
+                           % (cur["snapshot_seq"] + 1))
+    shutil.copytree(os.path.join(base_path, cur["snapshot_dir"]), crashed)
+    os.makedirs(os.path.join(base_path, ".staging", "flat"), exist_ok=True)
+
+    # readers resolve through the committed manifest: identical results
+    assert _scores(Index.load(spark, base_path).search("merge window")) \
+        == before
+
+    # the next save sweeps the unreferenced debris, then RECLAIMS the
+    # crashed save's sequence number for its own committed snapshot
+    Index.load(spark, base_path).inverted.save(base_path)
+    man2 = json.load(open(os.path.join(base_path, "manifest.json")))
+    assert man2["snapshot_dir"] == os.path.basename(crashed)
+    assert not os.path.exists(os.path.join(base_path, ".staging"))
+    assert _scores(Index.load(spark, base_path).search("merge window")) \
+        == before
