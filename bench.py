@@ -211,6 +211,13 @@ def main() -> None:
     # the multi-field WAND fast path: one segments pass, clause sums
     timed("q10_wand_text", lambda: idx.search_wand_text(
         "elixir tool run quick", top_k=10).collect())
+    # q3's bool shape WITHOUT must_not auto-routed through the
+    # required-clause WAND (must -> required clause, shoulds optional);
+    # compare against q3 (must_not keeps it on the exhaustive plan)
+    timed("q11_wand_bool", lambda: idx.search(
+        {"query": {"bool": {"must": {"match": {"text": "elixir"}},
+                              "should": [{"match": {"tool": "search"}}]}}},
+        top_k=10).collect())
 
     # sf-dir operator benches (documents/embeddings tables); skippable
     # for build-scaling runs (BENCH_SKIP_SF=1)

@@ -343,18 +343,70 @@ class Index:
                                          **kw)
         if not (isinstance(query, dict) and "query" in query):
             return None
-        from .dsl.nodes import MatchNode, TermsNode, parse
+        from .dsl.nodes import BoolNode, MatchNode, TermsNode, parse
 
         try:
             node = parse(query["query"])
         except Exception:
             return None  # let the executor raise its own error shape
-        if isinstance(node, MatchNode):
-            from .dsl.nodes import rewrite_match
 
-            node = rewrite_match(
-                node, self.analyzers[node.field].to_query_pipeline())
-        if not isinstance(node, TermsNode) or node.field not in self.analyzers:
+        def _leaf(n):
+            """terms/match leaf -> TermsNode, else None (ineligible)."""
+            if isinstance(n, MatchNode):
+                if n.field not in self.analyzers:
+                    return None
+                from .dsl.nodes import rewrite_match
+
+                n = rewrite_match(
+                    n, self.analyzers[n.field].to_query_pipeline())
+            if (not isinstance(n, TermsNode)
+                    or n.field not in self.analyzers
+                    or not n.boost or n.boost <= 0):
+                # boost <= 0 zeroes clause scores and the executor's
+                # score>0 filter then decides membership — keep that
+                # edge on the exhaustive path
+                return None
+            return n
+
+        if isinstance(node, BoolNode):
+            # bool(must?, should*) of terms/match leaves rides the
+            # multi-clause WAND: must -> a REQUIRED clause, shoulds ->
+            # optional clauses, query msm = the executor's
+            # effective_msm (counts matching optional clauses; base
+            # docs enter the should union with matched=0 —
+            # dsl/executor.py _compile_bool). must_not/filter need the
+            # anti-universe / restricted chain: exhaustive path.
+            if node.must_not is not None or node.filter:
+                return None
+            leaves = []
+            if node.must is not None:
+                m = _leaf(node.must)
+                if m is None:
+                    return None
+                leaves.append((m, True))
+            for c in node.should:
+                s = _leaf(c)
+                if s is None:
+                    return None
+                leaves.append((s, False))
+            if not leaves:
+                return None
+            from .search.wand import resolve_clause, wand_topk_multi
+
+            clauses = [
+                resolve_clause(self.inverted, n.field, list(n.terms),
+                               boost=n.boost,
+                               msm=max(n.minimum_should_match, 1),
+                               expand=n.expand, fuzziness=n.fuzziness,
+                               regex=n.regex, required=req)
+                for n, req in leaves
+            ]
+            return wand_topk_multi(self.inverted, clauses, k=top_k,
+                                   mode=mode, msm=node.effective_msm(),
+                                   **kw)
+
+        node = _leaf(node)
+        if node is None:
             return None
         from .search.wand import wand_topk
 

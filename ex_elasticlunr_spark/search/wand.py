@@ -9,14 +9,20 @@ per-field match clauses behind the string-search sugar,
 index.ex:181-224, with per-field boosts).
 
 Query model: a list of CLAUSES, each (field, resolved terms with
-multiplicities, boost, per-clause msm). A doc's clause score is the
-max (elasticlunr mode, terms_query.ex:80-97) or sum (bm25) of its
-matched entry scores, times the clause boost; a clause matches when
-the doc's matched-entry count (Σ term multiplicities) reaches the
-clause msm; the doc's total is the sum of matching clauses' scores and
-it qualifies when >= ``msm`` clauses match — exactly the exhaustive
-executor's bool/should algebra (dsl/executor.py), so results are
-rank-identical to it (tests/test_segments_wand.py).
+multiplicities, boost, per-clause msm, required?). A doc's clause
+score is the max (elasticlunr mode, terms_query.ex:80-97) or sum
+(bm25) of its matched entry scores, times the clause boost; a clause
+matches when the doc's matched-entry count (Σ term multiplicities)
+reaches the clause msm; the doc's total is the sum of matching
+clauses' scores and it qualifies when every REQUIRED clause matches
+and >= ``msm`` OPTIONAL clauses match — exactly the exhaustive
+executor's bool algebra (a bool ``must`` is a required clause outside
+the msm count; base docs enter the should union with matched=0,
+dsl/executor.py _compile_bool), so results are rank-identical to it
+(tests/test_segments_wand.py, tests/test_wand_routing.py). Clauses
+may repeat a field (bool must + should both on ``text``): the
+candidate scan dedupes physical blocks and the meta join fans entries
+out per clause.
 
 Phases (all pruning decisions are on BLOCK METADATA — payloads of
 pruned blocks are never decoded, and parquet column pruning keeps
@@ -134,7 +140,7 @@ TOMB_LOCAL_CAP = 1 << 20
 
 _META_SCHEMA = (
     "cid int, field string, term string, w double, mult long, "
-    "boost double, cmsm long, avgdl double"
+    "boost double, cmsm long, avgdl double, req int"
 )
 _PRUNE_SCHEMA = "cid int, term string, pbound double"
 
@@ -147,18 +153,26 @@ _LIMIT_CONF_LOCK = threading.Lock()
 class WandClause:
     """One scoring clause: ``terms`` maps each RESOLVED vocabulary term
     to its multiplicity (the number of query terms that matched it —
-    the unit minimum_should_match counts, field.ex:160-205)."""
+    the unit minimum_should_match counts, field.ex:160-205).
+
+    ``required``: a bool-query ``must`` clause — the doc must match it
+    to qualify at all, and it does NOT count toward the query-level
+    ``msm`` (which counts matching OPTIONAL clauses, mirroring the
+    executor's bool algebra where base docs enter the should union with
+    matched=0, dsl/executor.py _compile_bool)."""
 
     field: str
     terms: Dict[str, int]
     boost: float = 1.0
     msm: int = 1
+    required: bool = False
 
 
 def resolve_clause(index, field: str, terms: Sequence[str],
                    boost: float = 1.0, msm: int = 1,
                    expand: bool = False, fuzziness: int = 0,
-                   regex: bool = False) -> WandClause:
+                   regex: bool = False,
+                   required: bool = False) -> WandClause:
     """Build a WandClause from raw query terms. Expansion resolves
     against the VOCABULARY first (term_stats — the same
     edit-ball/prefix/regex resolve as the exhaustive path); a vocab
@@ -179,7 +193,7 @@ def resolve_clause(index, field: str, terms: Sequence[str],
         for t in terms:
             mult[t] = mult.get(t, 0) + 1
     return WandClause(field=field, terms=mult, boost=float(boost),
-                      msm=max(int(msm), 1))
+                      msm=max(int(msm), 1), required=required)
 
 
 def _collect_limit_one_job(df: DataFrame, n: int) -> list:
@@ -281,7 +295,8 @@ def _clause_stats(index, clauses: List[WandClause], mode: str) -> list:
                 w = n * math.log(
                     1.0 + (fr["n_docs"] - tr["df"] + 0.5) / (tr["df"] + 0.5))
             out.append((cid, c.field, t, float(w), int(n), c.boost,
-                        c.msm, float(fr["avg_doc_len"] or 0.0)))
+                        c.msm, float(fr["avg_doc_len"] or 0.0),
+                        int(getattr(c, "required", False))))
     return out
 
 
@@ -383,9 +398,14 @@ def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
                 "block_id", "payload"))
     rows = fetch.collect()  # ONE job
 
-    tmap = {(r[1], r[2]): (r[0], r[3], r[4], r[7]) for r in stats}
+    # (field, term) -> every clause referencing it (same-field clauses
+    # each take their own contribution from one decoded block)
+    tmap: Dict[Tuple[str, str], list] = {}
+    for r in stats:
+        tmap.setdefault((r[1], r[2]), []).append((r[0], r[3], r[4], r[7]))
     cids = sorted(by_cid)
     cinfo = {r[0]: (r[5], r[6]) for r in stats}
+    req_cids = {r[0] for r in stats if r[8]}
     tomb_arr = (np.fromiter(sorted(tomb), dtype=np.int64)
                 if tomb else None)
     lens_map: Dict[Tuple[str, int], Tuple] = {}
@@ -408,7 +428,6 @@ def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
         key = (r["field"], r["term"])
         if key not in tmap:  # candidate block of a term no clause kept
             continue
-        cid, w, mult, avgdl = tmap[key]
         o, tf = decode_block(bytes(r["payload"]),
                              int(r["block_id"]) * block_size)
         if not o:
@@ -421,17 +440,18 @@ def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
                 oa, tfa = oa[keep], tfa[keep]
                 if oa.size == 0:
                     continue
-        if mode == "elasticlunr":
-            sc = np.sqrt(tfa) * w
-        else:
-            lc = lens_map.get((r["field"], r["block_id"]))
-            if lc is None:  # no len block (shouldn't happen; be safe)
-                return None
-            lo, lv = lc
-            dl = lv[np.searchsorted(lo, oa)]
-            sc = w * (tfa * (k1 + 1.0)) / (
-                tfa + k1 * (1.0 - b + b * dl / avgdl))
-        parts[cid].append((oa, sc, int(mult)))
+        for cid, w, mult, avgdl in tmap[key]:
+            if mode == "elasticlunr":
+                sc = np.sqrt(tfa) * w
+            else:
+                lc = lens_map.get((r["field"], r["block_id"]))
+                if lc is None:  # no len block (shouldn't happen; be safe)
+                    return None
+                lo, lv = lc
+                dl = lv[np.searchsorted(lo, oa)]
+                sc = w * (tfa * (k1 + 1.0)) / (
+                    tfa + k1 * (1.0 - b + b * dl / avgdl))
+            parts[cid].append((oa, sc, int(mult)))
 
     # clause msm/boost/query-msm algebra — the exact_scores select,
     # in-process over the union of the clauses' ordinal sets
@@ -457,9 +477,13 @@ def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
     empty = spark.createDataFrame([], "docid string, score double")
     if not per_cid:
         return empty
+    # any required clause with no decoded postings -> nothing qualifies
+    if req_cids - set(per_cid):
+        return empty
     all_ords = np.unique(np.concatenate([v[0] for v in per_cid.values()]))
     score_v = np.zeros(all_ords.size)
     match_v = np.zeros(all_ords.size, dtype=np.int64)
+    reqm_v = np.zeros(all_ords.size, dtype=np.int64)
     for cid in cids:
         if cid not in per_cid:
             continue
@@ -468,8 +492,11 @@ def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
         ok = cnt >= cmsm
         pos = np.searchsorted(all_ords, uo)
         score_v[pos] += np.where(ok, rawv * boost, 0.0)
-        match_v[pos] += ok.astype(np.int64)
-    qual = match_v >= msm
+        if cid in req_cids:
+            reqm_v[pos] += ok.astype(np.int64)
+        else:
+            match_v[pos] += ok.astype(np.int64)
+    qual = (match_v >= msm) & (reqm_v == len(req_cids))
     if not qual.any():
         return empty
     result = dict(zip(all_ords[qual].tolist(), score_v[qual].tolist()))
@@ -507,13 +534,20 @@ def wand_topk_multi(
 ) -> DataFrame:
     """Top-k (docid, score) over the clause list — rank-identical to
     the exhaustive bool/should-of-terms plan (or the bare terms plan
-    for a single clause). Clause fields must be distinct (the sugar's
-    shape; dedupe/merge clauses on the same field before calling)."""
+    for a single clause). Clauses may repeat a field (a bool's must and
+    should both targeting ``text``): the candidate scan is deduplicated
+    per (field, term, block) and the meta join fans each decoded entry
+    out to every clause that references its term.
+
+    ``required`` clauses (bool must) gate qualification and do not
+    count toward ``msm`` (which counts matching OPTIONAL clauses);
+    with required clauses present ``msm`` may be 0 — the executor's
+    must-without-should shape (BoolNode.effective_msm)."""
     spark = index.postings.sparkSession
     empty = spark.createDataFrame([], "docid string, score double")
-    if len({c.field for c in clauses}) != len(clauses):
-        raise ValueError("wand clauses must target distinct fields")
-    msm = max(int(msm), 1)
+    req_cids = {i for i, c in enumerate(clauses)
+                if getattr(c, "required", False)}
+    msm = max(int(msm), 0 if req_cids else 1)
 
     segments, ordinals = index.segments(block_size)
     # decode must use the block size the segments were actually built
@@ -523,20 +557,29 @@ def wand_topk_multi(
     stats = _clause_stats(index, clauses, mode)
     if not stats:
         return empty
+    # a required clause none of whose terms exist in the vocabulary can
+    # never match — and would otherwise silently drop out of the
+    # qualification algebra (no stats rows -> no cid anywhere)
+    if req_cids - {row[0] for row in stats}:
+        return empty
     meta = F.broadcast(inline_rows(spark, stats, _META_SCHEMA))
 
-    # ---- candidate block metadata (one pushed scan branch per clause) --
-    cand = None
+    # ---- candidate block metadata (one pushed scan, deduped terms) ----
     by_cid: Dict[int, dict] = {}
     for row in stats:
         by_cid.setdefault(row[0], {"field": row[1], "terms": []})
         by_cid[row[0]]["terms"].append(row[2])
-    for cid, info in by_cid.items():
-        branch = segments.where(
-            (F.col("field") == info["field"])
-            & F.col("term").isin(info["terms"]))
-        cand = branch if cand is None else cand.unionByName(branch)
-    cand = cand.join(meta, ["field", "term"])
+    terms_by_field: Dict[str, set] = {}
+    for info in by_cid.values():
+        terms_by_field.setdefault(info["field"], set()).update(info["terms"])
+    cond = None
+    for f in sorted(terms_by_field):
+        branch = ((F.col("field") == f)
+                  & F.col("term").isin(sorted(terms_by_field[f])))
+        cond = branch if cond is None else (cond | branch)
+    # ONE scan, each (field, term, block) row exactly once; the meta
+    # join assigns cids (one output row per clause referencing the term)
+    cand = segments.where(cond).join(meta, ["field", "term"])
     if mode == "elasticlunr":
         ub = F.sqrt(F.col("max_tf_raw")) * F.col("w") * F.col("boost")
     else:
@@ -577,12 +620,21 @@ def wand_topk_multi(
         by_b: Dict[int, dict] = {}
         for (bid, cid), e in by_bc.items():
             # NB: never bind plain `b` here — it is the BM25 parameter
-            bb = by_b.setdefault(bid, {"nmatch": 0, "pot": 0.0, "cids": []})
+            bb = by_b.setdefault(bid, {"nmatch": 0, "nreq": 0,
+                                       "pot": 0.0, "cids": []})
             if e["cov"] >= e["cmsm"]:
-                bb["nmatch"] += 1
+                if cid in req_cids:
+                    bb["nreq"] += 1
+                else:
+                    bb["nmatch"] += 1
                 bb["pot"] += e["pot"]
                 bb["cids"].append(cid)
-        good = {bid: e for bid, e in by_b.items() if e["nmatch"] >= msm}
+        # ordinal alignment makes this exact: every entry of a doc
+        # lives at one block_id, so a doc can only qualify at blocks
+        # where ALL required clauses are matchable AND >= msm optional
+        # clauses are matchable
+        good = {bid: e for bid, e in by_b.items()
+                if e["nmatch"] >= msm and e["nreq"] == len(req_cids)}
         if not good:
             return empty
         live_entries = sum(by_bc[(bid, cid)]["nd"]
@@ -617,6 +669,13 @@ def wand_topk_multi(
     tomb_ords = getattr(index, "_tomb_ords", None)
     cids = sorted(by_cid)
     cinfo = {row[0]: (row[5], row[6]) for row in stats}  # cid: boost, cmsm
+    # same-field clauses can reference the same vocabulary term; cand
+    # then carries one row PER CLAUSE for one physical block, and
+    # decoding both would double the entries each clause sees after the
+    # meta fan-out join (breaks bm25 sums; elasticlunr's max hides it).
+    # Decode each physical block once — the dedup shuffle is paid only
+    # when clauses actually share a (field, term).
+    shared_terms = len({(r[1], r[2]) for r in stats}) < len(stats)
 
     def _with_lens(blocks: DataFrame,
                    pairs: Optional[List[Tuple[str, int]]]) -> DataFrame:
@@ -640,6 +699,10 @@ def wand_topk_multi(
 
     def exact_scores(blocks: DataFrame,
                      pairs: Optional[List[Tuple[str, int]]]) -> DataFrame:
+        if shared_terms:
+            blocks = blocks.select(
+                "field", "term", "block_id", "payload"
+            ).dropDuplicates(["field", "term", "block_id"])
         if mode == "elasticlunr":
             decoded = decode_segments(
                 blocks.select("field", "term", "block_id", "payload"),
@@ -675,7 +738,8 @@ def wand_topk_multi(
                 .alias(f"n{cid}"))
         g = decoded.groupBy("ord").agg(*aggs)
         score = None
-        matched = None
+        matched = None  # matching OPTIONAL clauses (the msm currency)
+        reqm = None     # matching REQUIRED clauses (must all match)
         for cid in cids:
             boost, cmsm = cinfo[cid]
             ok = F.col(f"n{cid}") >= F.lit(cmsm)
@@ -683,10 +747,18 @@ def wand_topk_multi(
                 .otherwise(F.lit(0.0))
             cm = F.when(ok, F.lit(1)).otherwise(F.lit(0))
             score = csc if score is None else (score + csc)
-            matched = cm if matched is None else (matched + cm)
+            if cid in req_cids:
+                reqm = cm if reqm is None else (reqm + cm)
+            else:
+                matched = cm if matched is None else (matched + cm)
+        matched = matched if matched is not None else F.lit(0)
+        qual = matched >= F.lit(msm)
+        if req_cids:
+            reqm = reqm if reqm is not None else F.lit(0)
+            qual = qual & (reqm == F.lit(len(req_cids)))
         return (
-            g.select("ord", score.alias("score"), matched.alias("matched"))
-            .where(F.col("matched") >= F.lit(msm))
+            g.select("ord", score.alias("score"), qual.alias("qual"))
+            .where(F.col("qual"))
             .select("ord", "score")
         )
 

@@ -580,3 +580,120 @@ class TestLazyLenRebuildTombstones:
         assert got == want and got
         gone_ids = {r["docid"] for r in gone}
         assert not gone_ids & {d for d, _ in got}
+
+
+class TestWandRequired:
+    """bool(must, should*) on the fast path: the must clause is a
+    REQUIRED WandClause (gates qualification, outside the msm count —
+    the executor's bool algebra where base docs enter the should union
+    with matched=0, dsl/executor.py _compile_bool). Rank identity vs
+    the exhaustive executor, with routing disabled on the exhaustive
+    side so the comparison can never be WAND-vs-WAND."""
+
+    def _exhaustive(self, index, q, mode, monkeypatch, k=10):
+        monkeypatch.setenv("EX_SPARK_NO_WAND_ROUTE", "1")
+        try:
+            return [(r["docid"], round(r["score"], 9))
+                    for r in index.search(q, top_k=k, mode=mode).collect()]
+        finally:
+            monkeypatch.delenv("EX_SPARK_NO_WAND_ROUTE")
+
+    @pytest.mark.parametrize("mode", ["bm25", "elasticlunr"])
+    def test_must_plus_should_equals_exhaustive(self, spark, index, mode,
+                                                monkeypatch):
+        from ex_elasticlunr_spark.search.wand import (
+            resolve_clause,
+            wand_topk_multi,
+        )
+
+        inv = index.inverted
+        clauses = [
+            resolve_clause(inv, "text", ["elixir"], required=True),
+            resolve_clause(inv, "tool", ["search"]),
+            resolve_clause(inv, "text", ["merg"]),
+        ]
+        got = [(r["docid"], round(r["score"], 9))
+               for r in wand_topk_multi(inv, clauses, k=10, mode=mode,
+                                        msm=1, block_size=64).collect()]
+        q = {"query": {"bool": {
+            "must": {"terms": {"text": "elixir"}},
+            "should": [{"terms": {"tool": "search"}},
+                       {"terms": {"text": "merg"}}]}}}
+        assert got == self._exhaustive(index, q, mode, monkeypatch)
+        assert got
+
+    @pytest.mark.parametrize("mode", ["bm25", "elasticlunr"])
+    def test_must_only_equals_exhaustive(self, spark, index, mode,
+                                         monkeypatch):
+        from ex_elasticlunr_spark.search.wand import (
+            resolve_clause,
+            wand_topk_multi,
+        )
+
+        inv = index.inverted
+        clauses = [resolve_clause(inv, "text", ["elixir", "tool"],
+                                  required=True)]
+        # must without should: effective_msm = 0
+        got = [(r["docid"], round(r["score"], 9))
+               for r in wand_topk_multi(inv, clauses, k=10, mode=mode,
+                                        msm=0, block_size=64).collect()]
+        q = {"query": {"bool": {"must": {"terms": {"text": ["elixir",
+                                                            "tool"]}}}}}
+        assert got == self._exhaustive(index, q, mode, monkeypatch)
+        assert got
+
+    def test_unresolvable_must_is_empty(self, spark, index):
+        from ex_elasticlunr_spark.search.wand import (
+            WandClause,
+            wand_topk_multi,
+        )
+
+        clauses = [WandClause(field="text", terms={"zzzmissing": 1},
+                              required=True),
+                   WandClause(field="text", terms={"elixir": 1})]
+        assert wand_topk_multi(index.inverted, clauses, k=10,
+                               mode="bm25", msm=0,
+                               block_size=64).count() == 0
+
+    @pytest.mark.parametrize("mode", ["bm25", "elasticlunr"])
+    def test_random_bool_equals_exhaustive(self, spark, index, mode,
+                                           monkeypatch):
+        from ex_elasticlunr_spark.search.wand import (
+            resolve_clause,
+            wand_topk_multi,
+        )
+
+        rng = random.Random(0xB001 + (0 if mode == "bm25" else 1))
+        vocab = ["elixir", "tool", "run", "index", "search", "merg",
+                 "quick", "stream", "dog", "convers", "transcript"]
+        inv = index.inverted
+        for _ in range(6):
+            n_should = rng.randint(1, 3)
+            fields = [rng.choice(["text", "tool"])
+                      for _ in range(1 + n_should)]
+            must_terms = rng.sample(vocab, rng.randint(1, 3))
+            shoulds = [rng.sample(vocab, rng.randint(1, 2))
+                       for _ in range(n_should)]
+            boosts = [rng.choice([1.0, 2.0, 0.5])
+                      for _ in range(1 + n_should)]
+            msm = rng.randint(1, n_should)
+            clauses = [resolve_clause(inv, fields[0], must_terms,
+                                      boost=boosts[0], required=True)]
+            clauses += [
+                resolve_clause(inv, fields[1 + i], shoulds[i],
+                               boost=boosts[1 + i])
+                for i in range(n_should)
+            ]
+            got = [(r["docid"], round(r["score"], 9))
+                   for r in wand_topk_multi(inv, clauses, k=8, mode=mode,
+                                            msm=msm,
+                                            block_size=64).collect()]
+            q = {"query": {"bool": {
+                "must": {"terms": {fields[0]: {
+                    "value": must_terms, "boost": boosts[0]}}},
+                "should": [{"terms": {fields[1 + i]: {
+                    "value": shoulds[i], "boost": boosts[1 + i]}}}
+                    for i in range(n_should)],
+                "minimum_should_match": msm}}}
+            want = self._exhaustive(index, q, mode, monkeypatch, k=8)
+            assert got == want, q

@@ -22,6 +22,18 @@ QUERIES = [
     {"query": {"match": {"text": "elixir tool run"}}},
     {"query": {"match": {"text": {"query": "elixir tool",
                                   "operator": "and"}}}},
+    # bool(must, should*) of terms/match leaves: must -> a REQUIRED
+    # WandClause, shoulds -> optional clauses (same-field repeats fine)
+    {"query": {"bool": {"must": {"terms": {"text": "elixir"}},
+                        "should": [{"terms": {"tool": "search"}},
+                                   {"terms": {"text": "merg"}}]}}},
+    {"query": {"bool": {"must": {"match": {"text": "elixir tool"}}}}},
+    {"query": {"bool": {"should": [{"terms": {"text": "elixir"}},
+                                   {"terms": {"text": "tool"}}],
+                        "minimum_should_match": 2}}},
+    {"query": {"bool": {"must": {"terms": {"text": {"value": "el",
+                                                    "expand": True}}},
+                        "should": [{"match": {"tool": "search bash"}}]}}},
 ]
 
 
@@ -134,3 +146,80 @@ class TestRoutedRandomOracle:
             want = [(r["ref"], round(r["score"], 9))
                     for r in oracle_search(oview, q, top_k=10)]
             assert got == want, q
+
+
+def test_bool_with_must_not_or_filter_not_routed(saved):
+    """must_not / filter chains need the anti-universe / restricted
+    compile — they stay on the exhaustive executor (and still work)."""
+    from ex_elasticlunr_spark.search import wand as wand_mod
+
+    q1 = {"query": {"bool": {"must": {"terms": {"text": "elixir"}},
+                             "must_not": {"terms": {"text": "dog"}}}}}
+    q2 = {"query": {"bool": {"filter": [{"terms": {"text": "elixir"}}],
+                             "should": [{"terms": {"tool": "search"}}]}}}
+    for q in (q1, q2):
+        assert saved._route_wand(q, 10, None, "bm25", False, {}) is None
+        assert saved.search(q, top_k=10, mode="bm25").count() >= 0
+
+
+class TestRoutedBoolOracle:
+    """Randomized ROUTED bool(must?, should*) queries vs the
+    pure-Python oracle: the required-clause WAND algebra refereed
+    against the reference formulas end-to-end (routable leaves; a
+    non-routable leaf just exercises the exhaustive fallthrough against
+    the same oracle)."""
+
+    @pytest.mark.parametrize("mode", ["elasticlunr", "bm25"])
+    @pytest.mark.parametrize("qi", range(10))
+    def test_routed_bool_equals_oracle(self, corpus_bool, mode, qi):
+        import random as _random
+
+        from tests.oracle.core import search as oracle_search
+        from tests.test_random_queries import _leaf
+
+        idx, oidx, vocab, raw_words = corpus_bool
+        rng = _random.Random(0xB0B0 + qi)
+        oview = oidx.bm25() if mode == "bm25" else oidx
+
+        def routable_leaf():
+            while True:
+                leaf = _leaf(rng, vocab, raw_words)
+                if "match_all" not in leaf:
+                    return leaf
+
+        for _ in range(3):
+            node = {}
+            if rng.random() < 0.7:
+                node["must"] = routable_leaf()
+            n_should = rng.randint(0 if "must" in node else 1, 3)
+            if n_should:
+                node["should"] = [routable_leaf() for _ in range(n_should)]
+                if rng.random() < 0.4:
+                    node["minimum_should_match"] = rng.randint(1, n_should)
+            q = {"query": {"bool": node}}
+            got = [(r["docid"], round(r["score"], 9))
+                   for r in idx.search(q, top_k=10, mode=mode).collect()]
+            want = [(r["ref"], round(r["score"], 9))
+                    for r in oracle_search(oview, q, top_k=10)]
+            assert got == want, q
+
+
+@pytest.fixture(scope="module")
+def corpus_bool(spark, tmp_path_factory):
+    from tests.oracle import OracleIndex
+
+    src = with_docid(transcripts_df(spark, n_convs=40, turns_per_conv=5))
+    idx = Index(name="rbo").add_field("text").add_field("tool")
+    idx.add_documents(src, docid_col="docid")
+    path = str(tmp_path_factory.mktemp("rbo") / "wh")
+    idx.inverted.save(path, block_size=64)
+    loaded = Index.load(spark, path)
+    oidx = OracleIndex().add_field("text").add_field("tool")
+    oidx.add_documents(
+        [{"id": r["docid"], "text": r["text"], "tool": r["tool"]}
+         for r in src.select("docid", "text", "tool").collect()])
+    vocab = {f: sorted(oidx.fields[f].term_docs) for f in ("text", "tool")}
+    raw_words = sorted({
+        w for r in src.select("text").collect()
+        for w in r["text"].split()})[:400]
+    return loaded, oidx, vocab, raw_words
