@@ -183,8 +183,9 @@ _STAMP_FIRST = [
     "ann_quantized_topk", "semantic_dedup", "dedup_keep_canonical",
     "highlight_spans", "hybrid_rrf", "rerank_overlap",
     # new in round 4
-    "wand_match_and", "wand_string_search", "stream_index_batch_eq",
-    "stream_dedup_batch_eq", "stream_sessions_batch_eq",
+    "wand_match_and", "wand_string_search", "wand_bool",
+    "stream_index_batch_eq", "stream_dedup_batch_eq",
+    "stream_sessions_batch_eq",
     # stamped in round 2 only
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb_near_dups",
     "mm_features", "mm_resize", "mm_frame_sample", "snippet_ords",
@@ -283,6 +284,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["wand_string_search"] = lambda s, d: _topk(
         _index2(s, d).search_wand_text("spark src1 merge window",
                                        top_k=10, mode="bm25"), 10)
+
+    # bool(must, should*) auto-routed through the required-clause WAND
+    # (index.py _route_wand -> wand_topk_multi: must = a REQUIRED
+    # clause outside the msm count) — rank-identical to the exhaustive
+    # bool plan, same-field clauses deduped before decode
+    def _wand_bool(s, d):
+        idx = _index(s, d)
+        idx.inverted.segments()  # bind: routing never builds on its own
+        return _topk(idx.search(
+            {"query": {"bool": {"must": {"terms": {"text": "spark"}},
+                                  "should": [{"terms": {"text": "merg"}},
+                                              {"terms": {"text": "window"}}]}}},
+            top_k=10, mode="bm25"), 10)
+
+    q["wand_bool"] = _wand_bool
     q["bm25_full"] = lambda s, d: _search(
         s, d, {"query": {"match": {"text": "spark merge window"}}}, mode="bm25")
     # bulk multi-query top-k: all SM_QUERIES scored in ONE postings
@@ -1557,6 +1573,25 @@ FROM ({terms_scores_sql(wa_terms,
                         minimum_should_match=len(wa_terms),
                         mode="bm25")}) r
 ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10
+""")
+    # bool(must spark, should merg/window) in bm25 routed through the
+    # required-clause WAND — must gates qualification (outside the msm
+    # count), doc total = must + matching shoulds, top-10
+    o["wand_bool"] = _wrap(pre, f"""
+, base AS ({terms_scores_sql(["spark"], mode="bm25")})
+, sh AS (
+  SELECT docid, SUM(score) AS should_score, COUNT(*) AS matched FROM (
+    {terms_scores_sql(["merg"], restrict="base", mode="bm25")}
+    UNION ALL
+    {terms_scores_sql(["window"], restrict="base", mode="bm25")}
+  ) u GROUP BY docid
+)
+SELECT b.docid, ROUND(b.score + coalesce(sh.should_score, 0), 6) AS score
+FROM base b LEFT JOIN sh USING (docid)
+WHERE coalesce(sh.matched, 0) >= 1
+  AND b.score + coalesce(sh.should_score, 0) > 0
+ORDER BY ROUND(b.score + coalesce(sh.should_score, 0), 6) DESC, b.docid ASC
+LIMIT 10
 """)
     # multi-field string-search sugar over the two-field (text, source)
     # index: per-field bm25 clause sums, doc total = Σ matching clauses.
