@@ -307,7 +307,13 @@ class Index:
                                "expand": expand}}}
                 for f, content in query.items()
             ]
-            return ex.execute({"query": {"bool": {"should": should}}}, top_k=top_k)
+            boolq = {"query": {"bool": {"should": should}}}
+            # the desugared bool-of-match is itself a routable shape
+            routed = self._route_wand(boolq, top_k, None, mode,
+                                      include_details, kw)
+            if routed is not None:
+                return routed
+            return ex.execute(boolq, top_k=top_k)
         raise ValueError("Root object must have a query element")
 
     def _route_wand(self, query, top_k, options, mode: str,

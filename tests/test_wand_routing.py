@@ -223,3 +223,15 @@ def corpus_bool(spark, tmp_path_factory):
         w for r in src.select("text").collect()
         for w in r["text"].split()})[:400]
     return loaded, oidx, vocab, raw_words
+
+
+@pytest.mark.parametrize("mode", ["bm25", "elasticlunr"])
+def test_map_sugar_routes_and_matches(saved, mode, monkeypatch):
+    """The field-map sugar desugars to bool(should: match*) — now a
+    routable shape; routed == unrouted."""
+    q = {"text": "elixir tool", "tool": "search"}
+    opts = {"bool": "or", "expand": True}
+    got = _rows(saved.search(q, top_k=10, options=opts, mode=mode))
+    monkeypatch.setenv("EX_SPARK_NO_WAND_ROUTE", "1")
+    want = _rows(saved.search(q, top_k=10, options=opts, mode=mode))
+    assert got == want and got
