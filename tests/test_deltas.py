@@ -328,3 +328,67 @@ def test_crashed_save_leaves_previous_commit_intact(spark, corpus,
     assert not os.path.exists(os.path.join(base_path, ".staging"))
     assert _scores(Index.load(spark, base_path).search("merge window")) \
         == before
+
+
+def test_live_readers_survive_concurrent_maintenance(spark, corpus,
+                                                     base_path):
+    """The single-writer/many-readers contract under actual
+    concurrency: reader threads repeatedly load + query the warehouse
+    while the writer commits delta saves and a compaction. Every read
+    must succeed and observe one of the committed states (monotone
+    doc counts here: the writer only adds), never a torn directory —
+    the property the snapshot-versioned commit exists for."""
+    import threading
+
+    df1, df2 = corpus
+    Index(name="d").add_field("text") \
+        .add_documents(df1, docid_col="docid").save(base_path)
+
+    stop = threading.Event()
+    errors: list = []
+    seen_counts: set = set()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                r = Index.load(spark, base_path)
+                n = r.search({"query": {"terms": {"text": "merg"}}}).count()
+                seen_counts.add(n)
+                # committed states only: 30 base, +15 ("e10".."e19" sort
+                # below "e5"), +5, then 50 through compact + update
+                assert r.documents_size() in (30, 45, 50)
+            except Exception as exc:  # noqa: BLE001 — the test's point
+                errors.append(repr(exc))
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        # writer: two delta commits + a compaction + another delta,
+        # with live readers load/query-ing throughout
+        w = Index.load(spark, base_path)
+        w.add_documents(df2.where(F.col("docid") < "e5"),
+                        docid_col="docid")
+        w.inverted.save_delta()
+        w2 = Index.load(spark, base_path)
+        w2.add_documents(df2.where(F.col("docid") >= "e5"),
+                         docid_col="docid")
+        w2.inverted.save_delta()
+        Index.load(spark, base_path).compact()
+        w3 = Index.load(spark, base_path)
+        w3.update_documents(_docs(spark, [("d0", "freshly zebra text")]),
+                            docid_col="docid")
+        w3.inverted.save_delta()
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(60)
+    assert not errors, errors
+    # readers really ran and only ever saw committed states ("merg"
+    # matches every doc except d0 post-update: 30/45/50 -> 30/45/50|49)
+    assert seen_counts and seen_counts <= {30, 45, 49, 50}
+
+    final = Index.load(spark, base_path)
+    assert final.documents_size() == 50
+    assert [r["docid"] for r in final.search("zebra").collect()] == ["d0"]
