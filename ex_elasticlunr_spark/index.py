@@ -372,6 +372,15 @@ class Index:
                 # score>0 filter then decides membership — keep that
                 # edge on the exhaustive path
                 return None
+            if n.expand:
+                # prefix expansion resolves to MANY vocabulary terms:
+                # the WAND candidate set is then wide and individually
+                # rare, diluting block pruning, while the exhaustive
+                # plan is one pushed-StartsWith scan + one aggregation
+                # — measured 2-4x faster at bench scale (fuzzy/regex
+                # stay routed: their edit-ball/match sets are small).
+                # search_wand(expand=True) remains for explicit use.
+                return None
             return n
 
         if isinstance(node, BoolNode):
