@@ -323,7 +323,11 @@ lines += [
     "unpruned columns into the segment encoder) — see",
     "build/indexer.py, build/segments.py, functions/literals.py.",
 ]
-OUT = os.environ.get("OUT", "BENCH/BASELINE.md")
+# default OUT derives from PREFIX: BENCH/BASELINE.md is the CURATED
+# headline document (criterion tables + host forensics) and must not
+# be clobbered by a raw regeneration — a run's measurement tables land
+# next to its per-run JSONs instead (override with OUT=... explicitly)
+OUT = os.environ.get("OUT", f"BENCH/BASELINE_{PREFIX}.md")
 open(OUT, "w").write("\n".join(lines) + "\n")
 print(f"wrote {OUT}")
 for label, (m, b) in effs.items():
