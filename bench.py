@@ -179,6 +179,10 @@ def main() -> None:
         {"query": {"match": {"text": {"query": "elixir tool",
                                        "operator": "and"}}}},
         top_k=10).collect())
+    # full bool shape: since the negative-clause WAND landed, search()
+    # auto-routes must+must_not+should (must -> required clause,
+    # must_not -> pruning-exempt negative clause) — measured ~2x the
+    # exhaustive plan, rank-identical (EX_SPARK_NO_WAND_ROUTE compares)
     timed("q3_bool", lambda: idx.search(
         {"query": {"bool": {"must": {"match": {"text": "elixir"}},
                               "must_not": {"match": {"text": "dog"}},

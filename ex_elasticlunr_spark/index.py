@@ -384,26 +384,36 @@ class Index:
             return n
 
         if isinstance(node, BoolNode):
-            # bool(must?, should*) of terms/match leaves rides the
-            # multi-clause WAND: must -> a REQUIRED clause, shoulds ->
+            # bool(must?, must_not?, should*) of terms/match leaves
+            # rides the multi-clause WAND: must -> a REQUIRED clause,
+            # must_not -> a NEGATIVE clause (pure exclusion — the
+            # executor replaces the NotNode's score with the must
+            # result, so it needs a must to ride with), shoulds ->
             # optional clauses, query msm = the executor's
             # effective_msm (counts matching optional clauses; base
             # docs enter the should union with matched=0 —
-            # dsl/executor.py _compile_bool). must_not/filter need the
-            # anti-universe / restricted chain: exhaustive path.
-            if node.must_not is not None or node.filter:
+            # dsl/executor.py _compile_bool). filter chains and
+            # must_not-without-must (whose NotNode score SEEDS the
+            # base) keep the exhaustive path.
+            if node.filter or (node.must_not is not None
+                               and node.must is None):
                 return None
             leaves = []
             if node.must is not None:
                 m = _leaf(node.must)
                 if m is None:
                     return None
-                leaves.append((m, True))
+                leaves.append((m, "required"))
+            if node.must_not is not None:
+                n_ = _leaf(node.must_not)
+                if n_ is None:
+                    return None
+                leaves.append((n_, "negative"))
             for c in node.should:
                 s = _leaf(c)
                 if s is None:
                     return None
-                leaves.append((s, False))
+                leaves.append((s, "optional"))
             if not leaves:
                 return None
             from .search.wand import resolve_clause, wand_topk_multi
@@ -413,8 +423,9 @@ class Index:
                                boost=n.boost,
                                msm=max(n.minimum_should_match, 1),
                                expand=n.expand, fuzziness=n.fuzziness,
-                               regex=n.regex, required=req)
-                for n, req in leaves
+                               regex=n.regex, required=(role == "required"),
+                               negative=(role == "negative"))
+                for n, role in leaves
             ]
             return wand_topk_multi(self.inverted, clauses, k=top_k,
                                    mode=mode, msm=node.effective_msm(),

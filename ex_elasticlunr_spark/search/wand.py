@@ -140,7 +140,7 @@ TOMB_LOCAL_CAP = 1 << 20
 
 _META_SCHEMA = (
     "cid int, field string, term string, w double, mult long, "
-    "boost double, cmsm long, avgdl double, req int"
+    "boost double, cmsm long, avgdl double, req int, neg int"
 )
 _PRUNE_SCHEMA = "cid int, term string, pbound double"
 
@@ -159,20 +159,29 @@ class WandClause:
     to qualify at all, and it does NOT count toward the query-level
     ``msm`` (which counts matching OPTIONAL clauses, mirroring the
     executor's bool algebra where base docs enter the should union with
-    matched=0, dsl/executor.py _compile_bool)."""
+    matched=0, dsl/executor.py _compile_bool).
+
+    ``negative``: a bool-query ``must_not`` clause alongside a must —
+    a doc matching it is EXCLUDED; it contributes no score and never
+    counts toward msm (the executor's filter-chain NotNode where the
+    not's score is replaced by the must result). Its blocks are exempt
+    from threshold pruning: a pruned negative block would fail to
+    exclude a doc it should."""
 
     field: str
     terms: Dict[str, int]
     boost: float = 1.0
     msm: int = 1
     required: bool = False
+    negative: bool = False
 
 
 def resolve_clause(index, field: str, terms: Sequence[str],
                    boost: float = 1.0, msm: int = 1,
                    expand: bool = False, fuzziness: int = 0,
                    regex: bool = False,
-                   required: bool = False) -> WandClause:
+                   required: bool = False,
+                   negative: bool = False) -> WandClause:
     """Build a WandClause from raw query terms. Expansion resolves
     against the VOCABULARY first (term_stats — the same
     edit-ball/prefix/regex resolve as the exhaustive path); a vocab
@@ -193,7 +202,8 @@ def resolve_clause(index, field: str, terms: Sequence[str],
         for t in terms:
             mult[t] = mult.get(t, 0) + 1
     return WandClause(field=field, terms=mult, boost=float(boost),
-                      msm=max(int(msm), 1), required=required)
+                      msm=max(int(msm), 1), required=required,
+                      negative=negative)
 
 
 def _collect_limit_one_job(df: DataFrame, n: int) -> list:
@@ -296,7 +306,8 @@ def _clause_stats(index, clauses: List[WandClause], mode: str) -> list:
                     1.0 + (fr["n_docs"] - tr["df"] + 0.5) / (tr["df"] + 0.5))
             out.append((cid, c.field, t, float(w), int(n), c.boost,
                         c.msm, float(fr["avg_doc_len"] or 0.0),
-                        int(getattr(c, "required", False))))
+                        int(getattr(c, "required", False)),
+                        int(getattr(c, "negative", False))))
     return out
 
 
@@ -405,7 +416,8 @@ def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
         tmap.setdefault((r[1], r[2]), []).append((r[0], r[3], r[4], r[7]))
     cids = sorted(by_cid)
     cinfo = {r[0]: (r[5], r[6]) for r in stats}
-    req_cids = {r[0] for r in stats if r[8]}
+    neg_cids = {r[0] for r in stats if r[9]}
+    req_cids = {r[0] for r in stats if r[8]} - neg_cids
     tomb_arr = (np.fromiter(sorted(tomb), dtype=np.int64)
                 if tomb else None)
     lens_map: Dict[Tuple[str, int], Tuple] = {}
@@ -484,6 +496,7 @@ def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
     score_v = np.zeros(all_ords.size)
     match_v = np.zeros(all_ords.size, dtype=np.int64)
     reqm_v = np.zeros(all_ords.size, dtype=np.int64)
+    negm_v = np.zeros(all_ords.size, dtype=np.int64)
     for cid in cids:
         if cid not in per_cid:
             continue
@@ -491,12 +504,17 @@ def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
         uo, rawv, cnt = per_cid[cid]
         ok = cnt >= cmsm
         pos = np.searchsorted(all_ords, uo)
+        if cid in neg_cids:
+            # exclusion only: no score, no msm contribution
+            negm_v[pos] += ok.astype(np.int64)
+            continue
         score_v[pos] += np.where(ok, rawv * boost, 0.0)
         if cid in req_cids:
             reqm_v[pos] += ok.astype(np.int64)
         else:
             match_v[pos] += ok.astype(np.int64)
-    qual = (match_v >= msm) & (reqm_v == len(req_cids))
+    qual = ((match_v >= msm) & (reqm_v == len(req_cids))
+            & (negm_v == 0))
     if not qual.any():
         return empty
     result = dict(zip(all_ords[qual].tolist(), score_v[qual].tolist()))
@@ -545,8 +563,15 @@ def wand_topk_multi(
     must-without-should shape (BoolNode.effective_msm)."""
     spark = index.postings.sparkSession
     empty = spark.createDataFrame([], "docid string, score double")
+    neg_cids = {i for i, c in enumerate(clauses)
+                if getattr(c, "negative", False)}
     req_cids = {i for i, c in enumerate(clauses)
-                if getattr(c, "required", False)}
+                if getattr(c, "required", False)} - neg_cids
+    if neg_cids and not req_cids:
+        # without a must, the executor seeds base docs with the
+        # NotNode's own score (universe minus matched, score 1.0) —
+        # a different algebra; callers route that shape exhaustively
+        raise ValueError("negative wand clauses need a required clause")
     msm = max(int(msm), 0 if req_cids else 1)
 
     segments, ordinals = index.segments(block_size)
@@ -622,6 +647,8 @@ def wand_topk_multi(
             # NB: never bind plain `b` here — it is the BM25 parameter
             bb = by_b.setdefault(bid, {"nmatch": 0, "nreq": 0,
                                        "pot": 0.0, "cids": []})
+            if cid in neg_cids:
+                continue  # exclusion never makes a block matchable
             if e["cov"] >= e["cmsm"]:
                 if cid in req_cids:
                     bb["nreq"] += 1
@@ -637,6 +664,14 @@ def wand_topk_multi(
                 if e["nmatch"] >= msm and e["nreq"] == len(req_cids)}
         if not good:
             return empty
+        # negative clauses ride along at every good block: their
+        # entries must be DECODED there to exclude matching docs
+        # (a block with no positive candidates needs no exclusions)
+        if neg_cids:
+            for bid, e in good.items():
+                for cid in neg_cids:
+                    if (bid, cid) in by_bc:
+                        e["cids"].append(cid)
         live_entries = sum(by_bc[(bid, cid)]["nd"]
                            for bid, e in good.items() for cid in e["cids"])
         single_phase = live_entries <= SINGLE_PHASE_ENTRIES
@@ -729,10 +764,11 @@ def wand_topk_multi(
         aggs = []
         for cid in cids:
             is_c = F.col("cid") == cid
-            raw_agg = (F.max(F.when(is_c, entry))
-                       if mode == "elasticlunr"
-                       else F.sum(F.when(is_c, entry)))
-            aggs.append(raw_agg.alias(f"raw{cid}"))
+            if cid not in neg_cids:
+                raw_agg = (F.max(F.when(is_c, entry))
+                           if mode == "elasticlunr"
+                           else F.sum(F.when(is_c, entry)))
+                aggs.append(raw_agg.alias(f"raw{cid}"))
             aggs.append(
                 F.sum(F.when(is_c, F.col("mult")).otherwise(F.lit(0)))
                 .alias(f"n{cid}"))
@@ -740,12 +776,16 @@ def wand_topk_multi(
         score = None
         matched = None  # matching OPTIONAL clauses (the msm currency)
         reqm = None     # matching REQUIRED clauses (must all match)
+        negm = None     # matching NEGATIVE clauses (must all miss)
         for cid in cids:
             boost, cmsm = cinfo[cid]
             ok = F.col(f"n{cid}") >= F.lit(cmsm)
+            cm = F.when(ok, F.lit(1)).otherwise(F.lit(0))
+            if cid in neg_cids:
+                negm = cm if negm is None else (negm + cm)
+                continue  # exclusion only: no score, no msm count
             csc = F.when(ok, F.col(f"raw{cid}") * F.lit(boost)) \
                 .otherwise(F.lit(0.0))
-            cm = F.when(ok, F.lit(1)).otherwise(F.lit(0))
             score = csc if score is None else (score + csc)
             if cid in req_cids:
                 reqm = cm if reqm is None else (reqm + cm)
@@ -756,6 +796,8 @@ def wand_topk_multi(
         if req_cids:
             reqm = reqm if reqm is not None else F.lit(0)
             qual = qual & (reqm == F.lit(len(req_cids)))
+        if negm is not None:
+            qual = qual & (negm == F.lit(0))
         return (
             g.select("ord", score.alias("score"), qual.alias("qual"))
             .where(F.col("qual"))
@@ -784,14 +826,26 @@ def wand_topk_multi(
         # all bounds already sit on the driver: compute the surviving
         # (clause, term, block) triples here and push ONE broadcast
         # semi-join — no gub job, no pmeta joins
+        # bounds exclude negative clauses (they contribute 0 to any
+        # doc's score — including them would only loosen the prune)
         gubd: Dict[Tuple[int, str], float] = {}
         for bid, e in good.items():
             for cid in e["cids"]:
+                if cid in neg_cids:
+                    continue
                 for t, u in by_bc[(bid, cid)]["terms"]:
                     k2 = (cid, t)
                     if u > gubd.get(k2, 0.0):
                         gubd[k2] = u
         surv: List[Tuple[int, str, int]] = []
+        # negative blocks are EXEMPT from threshold pruning: a doc
+        # above θ in a surviving positive block must still be
+        # excludable, so every negative entry at a good block survives
+        for bid, e in good.items():
+            for cid in e["cids"]:
+                if cid in neg_cids:
+                    for t, _u in by_bc[(bid, cid)]["terms"]:
+                        surv.append((cid, t, bid))
         if mode == "elasticlunr":
             cgub: Dict[int, float] = {}
             # per clause: best and second-best term bound (for "max
@@ -807,6 +861,8 @@ def wand_topk_multi(
             total_cgub = sum(cgub.values())
             for bid, e in good.items():
                 for cid in e["cids"]:
+                    if cid in neg_cids:
+                        continue  # already kept unconditionally above
                     b1, bt, b2 = best[cid]
                     oadd = total_cgub - cgub[cid]
                     for t, u in by_bc[(bid, cid)]["terms"]:
@@ -817,6 +873,8 @@ def wand_topk_multi(
             total_gub = sum(gubd.values())
             for bid, e in good.items():
                 for cid in e["cids"]:
+                    if cid in neg_cids:
+                        continue  # already kept unconditionally above
                     for t, u in by_bc[(bid, cid)]["terms"]:
                         if u + (total_gub - gubd[(cid, t)]) >= theta - EPS:
                             surv.append((cid, t, bid))
@@ -831,29 +889,34 @@ def wand_topk_multi(
         for r in cand.groupBy("cid", "term").agg(
                 F.max("ub").alias("g")).collect():
             gub[(r["cid"], r["term"])] = r["g"]
+        inf = float("inf")  # negative rows: pruning-exempt (see above)
         if mode == "elasticlunr":
             cgub: Dict[int, float] = {}
             for (cid, _t), g in gub.items():
-                cgub[cid] = max(cgub.get(cid, 0.0), g)
+                if cid not in neg_cids:  # negatives add 0 to any score
+                    cgub[cid] = max(cgub.get(cid, 0.0), g)
             total_cgub = sum(cgub.values())
             # keep-rule: max(ub, best OTHER term in this clause) plus
             # the other clauses' ceilings must clear θ
             pmeta = F.broadcast(inline_rows(
                 spark,
                 [(cid, t,
+                  0.0 if cid in neg_cids else
                   max([g2 for (c2, t2), g2 in gub.items()
                        if c2 == cid and t2 != t] or [0.0]),
-                  total_cgub - cgub[cid])
+                  inf if cid in neg_cids else total_cgub - cgub[cid])
                  for (cid, t) in sorted(gub)],
                 "cid int, term string, cmaxo double, oadd double"))
             scored = cand.join(pmeta, ["cid", "term"])
             keep = (F.greatest(F.col("ub"), F.col("cmaxo"))
                     + F.col("oadd")) >= theta - EPS
         else:
-            total_gub = sum(gub.values())
+            total_gub = sum(g for (cid, _t), g in gub.items()
+                            if cid not in neg_cids)
             pmeta = F.broadcast(inline_rows(
                 spark,
-                sorted((cid, t, total_gub - g)
+                sorted((cid, t,
+                        inf if cid in neg_cids else total_gub - g)
                        for (cid, t), g in gub.items()),
                 _PRUNE_SCHEMA))
             scored = cand.join(pmeta, ["cid", "term"])

@@ -697,3 +697,116 @@ class TestWandRequired:
                 "minimum_should_match": msm}}}
             want = self._exhaustive(index, q, mode, monkeypatch, k=8)
             assert got == want, q
+
+
+class TestWandNegative:
+    """must_not alongside must on the fast path: a NEGATIVE clause —
+    pure exclusion, no score, exempt from threshold pruning (a pruned
+    negative block would fail to exclude a doc it should). Identity vs
+    the exhaustive executor with routing disabled on the want side."""
+
+    def _exhaustive(self, index, q, mode, monkeypatch, k=10):
+        monkeypatch.setenv("EX_SPARK_NO_WAND_ROUTE", "1")
+        try:
+            return [(r["docid"], round(r["score"], 9))
+                    for r in index.search(q, top_k=k, mode=mode).collect()]
+        finally:
+            monkeypatch.delenv("EX_SPARK_NO_WAND_ROUTE")
+
+    @pytest.mark.parametrize("mode", ["bm25", "elasticlunr"])
+    def test_must_not_equals_exhaustive(self, spark, index, mode,
+                                        monkeypatch):
+        from ex_elasticlunr_spark.search.wand import (
+            resolve_clause,
+            wand_topk_multi,
+        )
+
+        inv = index.inverted
+        clauses = [
+            resolve_clause(inv, "text", ["elixir"], required=True),
+            resolve_clause(inv, "text", ["dog"], negative=True),
+            resolve_clause(inv, "tool", ["search"]),
+        ]
+        got = [(r["docid"], round(r["score"], 9))
+               for r in wand_topk_multi(inv, clauses, k=10, mode=mode,
+                                        msm=1, block_size=64).collect()]
+        q = {"query": {"bool": {
+            "must": {"terms": {"text": "elixir"}},
+            "must_not": {"terms": {"text": "dog"}},
+            "should": [{"terms": {"tool": "search"}}]}}}
+        assert got == self._exhaustive(index, q, mode, monkeypatch)
+        assert got
+
+    def test_negative_without_required_raises(self, spark, index):
+        from ex_elasticlunr_spark.search.wand import (
+            WandClause,
+            wand_topk_multi,
+        )
+
+        with pytest.raises(ValueError):
+            wand_topk_multi(index.inverted, [
+                WandClause(field="text", terms={"elixir": 1}),
+                WandClause(field="text", terms={"dog": 1}, negative=True),
+            ], k=10, mode="bm25", msm=1, block_size=64)
+
+    def test_unresolvable_must_not_excludes_nothing(self, spark, index,
+                                                    monkeypatch):
+        from ex_elasticlunr_spark.search.wand import (
+            resolve_clause,
+            wand_topk_multi,
+        )
+
+        inv = index.inverted
+        clauses = [resolve_clause(inv, "text", ["elixir"], required=True),
+                   resolve_clause(inv, "text", ["zzzmissing"],
+                                  negative=True)]
+        got = [(r["docid"], round(r["score"], 9))
+               for r in wand_topk_multi(inv, clauses, k=10, mode="bm25",
+                                        msm=0, block_size=64).collect()]
+        q = {"query": {"bool": {"must": {"terms": {"text": "elixir"}},
+                                "must_not": {"terms": {"text":
+                                                       "zzzmissing"}}}}}
+        assert got == self._exhaustive(index, q, "bm25", monkeypatch)
+        assert got
+
+    @pytest.mark.parametrize("mode", ["bm25", "elasticlunr"])
+    def test_random_must_not_equals_exhaustive(self, spark, index, mode,
+                                               monkeypatch):
+        from ex_elasticlunr_spark.search.wand import (
+            resolve_clause,
+            wand_topk_multi,
+        )
+
+        rng = random.Random(0xD0D0 + (0 if mode == "bm25" else 1))
+        vocab = ["elixir", "tool", "run", "index", "search", "merg",
+                 "quick", "stream", "dog", "convers", "transcript"]
+        inv = index.inverted
+        for _ in range(6):
+            n_should = rng.randint(0, 2)
+            must_terms = rng.sample(vocab, rng.randint(1, 3))
+            not_terms = rng.sample(vocab, rng.randint(1, 2))
+            not_field = rng.choice(["text", "tool"])
+            shoulds = [rng.sample(vocab, rng.randint(1, 2))
+                       for _ in range(n_should)]
+            msm = rng.randint(1, n_should) if n_should else 0
+            clauses = [resolve_clause(inv, "text", must_terms,
+                                      required=True),
+                       resolve_clause(inv, not_field, not_terms,
+                                      negative=True)]
+            clauses += [resolve_clause(inv, rng.choice(["text", "tool"]),
+                                       s) for s in shoulds]
+            got = [(r["docid"], round(r["score"], 9))
+                   for r in wand_topk_multi(inv, clauses, k=8, mode=mode,
+                                            msm=msm,
+                                            block_size=64).collect()]
+            node = {"must": {"terms": {"text": must_terms}},
+                    "must_not": {"terms": {not_field: not_terms}}}
+            if n_should:
+                node["should"] = [
+                    {"terms": {c.field: list(c.terms)}}
+                    for c in clauses[2:]
+                ]
+                node["minimum_should_match"] = msm
+            q = {"query": {"bool": node}}
+            want = self._exhaustive(index, q, mode, monkeypatch, k=8)
+            assert got == want, q

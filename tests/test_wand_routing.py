@@ -34,6 +34,15 @@ QUERIES = [
     {"query": {"bool": {"must": {"terms": {"text": {"value": "el",
                                                     "expand": True}}},
                         "should": [{"match": {"tool": "search bash"}}]}}},
+    # must_not alongside must: a NEGATIVE clause (pure exclusion)
+    {"query": {"bool": {"must": {"terms": {"text": "elixir"}},
+                        "must_not": {"terms": {"text": "dog"}},
+                        "should": [{"terms": {"tool": "search"}}]}}},
+    {"query": {"bool": {"must": {"match": {"text": "elixir tool"}},
+                        "must_not": {"match": {"text": "quick run"}}}}},
+    # must_not on the SAME field/terms overlap as the must
+    {"query": {"bool": {"must": {"terms": {"text": ["elixir", "run"]}},
+                        "must_not": {"terms": {"text": "quick"}}}}},
 ]
 
 
@@ -148,13 +157,11 @@ class TestRoutedRandomOracle:
             assert got == want, q
 
 
-def test_bool_with_must_not_or_filter_not_routed(saved):
-    """must_not / filter chains need the anti-universe / restricted
-    compile — they stay on the exhaustive executor (and still work)."""
-    from ex_elasticlunr_spark.search import wand as wand_mod
-
-    q1 = {"query": {"bool": {"must": {"terms": {"text": "elixir"}},
-                             "must_not": {"terms": {"text": "dog"}}}}}
+def test_filter_and_bare_must_not_not_routed(saved):
+    """filter chains and must_not-WITHOUT-must (whose NotNode score
+    seeds the base) keep the exhaustive executor (and still work)."""
+    q1 = {"query": {"bool": {"must_not": {"terms": {"text": "dog"}},
+                             "should": [{"terms": {"text": "elixir"}}]}}}
     q2 = {"query": {"bool": {"filter": [{"terms": {"text": "elixir"}}],
                              "should": [{"terms": {"tool": "search"}}]}}}
     for q in (q1, q2):
@@ -191,6 +198,9 @@ class TestRoutedBoolOracle:
             node = {}
             if rng.random() < 0.7:
                 node["must"] = routable_leaf()
+                if rng.random() < 0.5:
+                    # negative clause rides only alongside a must
+                    node["must_not"] = routable_leaf()
             n_should = rng.randint(0 if "must" in node else 1, 3)
             if n_should:
                 node["should"] = [routable_leaf() for _ in range(n_should)]
