@@ -184,7 +184,7 @@ _STAMP_FIRST = [
     "highlight_spans", "hybrid_rrf", "rerank_overlap",
     # new in round 4
     "wand_match_and", "wand_string_search", "wand_bool",
-    "stream_index_batch_eq", "stream_dedup_batch_eq",
+    "wand_bool_not", "stream_index_batch_eq", "stream_dedup_batch_eq",
     "stream_sessions_batch_eq",
     # stamped in round 2 only
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb_near_dups",
@@ -299,6 +299,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             top_k=10, mode="bm25"), 10)
 
     q["wand_bool"] = _wand_bool
+
+    # the FULL bool shape (must + must_not + should) auto-routed:
+    # must_not rides as a pruning-exempt NEGATIVE clause (search/wand.py)
+    def _wand_bool_not(s, d):
+        idx = _index(s, d)
+        idx.inverted.segments()
+        return _topk(idx.search(
+            {"query": {"bool": {"must": {"terms": {"text": "spark"}},
+                                  "must_not": {"terms": {"text": "window"}},
+                                  "should": [{"terms": {"text": "merg"}}]}}},
+            top_k=10, mode="bm25"), 10)
+
+    q["wand_bool_not"] = _wand_bool_not
     q["bm25_full"] = lambda s, d: _search(
         s, d, {"query": {"match": {"text": "spark merge window"}}}, mode="bm25")
     # bulk multi-query top-k: all SM_QUERIES scored in ONE postings
@@ -1573,6 +1586,29 @@ FROM ({terms_scores_sql(wa_terms,
                         minimum_should_match=len(wa_terms),
                         mode="bm25")}) r
 ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10
+""")
+    # the full bool shape in bm25 routed through WAND: must required,
+    # must_not a negative clause (pure exclusion), should summed
+    o["wand_bool_not"] = _wrap(pre, f"""
+, notf AS (
+  SELECT docid, 1.0 AS score FROM ids
+  WHERE docid NOT IN (SELECT docid FROM ({terms_scores_sql(["window"])}) w)
+)
+, base AS (
+  SELECT docid, score
+  FROM ({terms_scores_sql(["spark"], restrict="notf", mode="bm25")}) m
+)
+, sh AS (
+  SELECT docid, SUM(score) AS should_score, COUNT(*) AS matched FROM (
+    {terms_scores_sql(["merg"], restrict="base", mode="bm25")}
+  ) u GROUP BY docid
+)
+SELECT b.docid, ROUND(b.score + coalesce(sh.should_score, 0), 6) AS score
+FROM base b LEFT JOIN sh USING (docid)
+WHERE coalesce(sh.matched, 0) >= 1
+  AND b.score + coalesce(sh.should_score, 0) > 0
+ORDER BY ROUND(b.score + coalesce(sh.should_score, 0), 6) DESC, b.docid ASC
+LIMIT 10
 """)
     # bool(must spark, should merg/window) in bm25 routed through the
     # required-clause WAND — must gates qualification (outside the msm
