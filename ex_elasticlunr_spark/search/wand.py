@@ -14,10 +14,12 @@ score is the max (elasticlunr mode, terms_query.ex:80-97) or sum
 (bm25) of its matched entry scores, times the clause boost; a clause
 matches when the doc's matched-entry count (Σ term multiplicities)
 reaches the clause msm; the doc's total is the sum of matching
-clauses' scores and it qualifies when every REQUIRED clause matches
-and >= ``msm`` OPTIONAL clauses match — exactly the exhaustive
-executor's bool algebra (a bool ``must`` is a required clause outside
-the msm count; base docs enter the should union with matched=0,
+clauses' scores and it qualifies when every REQUIRED clause matches,
+NO NEGATIVE clause matches (a bool ``must_not`` riding with a must:
+pure exclusion, zero score, pruning-exempt blocks), and >= ``msm``
+OPTIONAL clauses match — exactly the exhaustive executor's bool
+algebra (a bool ``must`` is a required clause outside the msm count;
+base docs enter the should union with matched=0,
 dsl/executor.py _compile_bool), so results are rank-identical to it
 (tests/test_segments_wand.py, tests/test_wand_routing.py). Clauses
 may repeat a field (bool must + should both on ``text``): the
