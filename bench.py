@@ -205,6 +205,13 @@ def main() -> None:
     timed("q8_phrase", lambda: idx.search(
         {"query": {"match_phrase": {"text": "elixir tool"}}},
         top_k=10).collect())
+    # selective phrase: the terms' summed df fits under
+    # PHRASE_DRIVER_MAX_ROWS, so this rides the driver-serve fast path
+    # (one Arrow collect of the pruned positions scan + numpy adjacency)
+    # instead of the checkpoint/agg pipeline q8's high-df terms require
+    timed("q8b_phrase_selective", lambda: idx.search(
+        {"query": {"match_phrase": {"text": "compress ipsum"}}},
+        top_k=10).collect())
     # q2's query shape on the WAND fast path: operator="and" rides the
     # block-granular coverage prune (every term must be present at the
     # doc's block_id) instead of the exhaustive msm plan

@@ -46,6 +46,33 @@ from ..functions.literals import inline_rows
 
 CHECKPOINT_PHRASE_HITS = True  # see phrase_scores
 
+# phrase driver-serve caps (see _phrase_per_doc_driver): collect at most
+# this many (doc, term) position rows to the driver, and inline at most
+# this many per-doc hit rows back (beyond either, the distributed plan
+# runs — the caps only ever trade latency, never semantics). The row
+# cap is checked against the query terms' exact document frequencies
+# BEFORE any bulk transfer, so exceeding it costs at most one metadata
+# job. 32k rows sits just under the measured crossover (local[32],
+# 100k-turn corpus: sumdf 27k -> driver 0.49s vs distributed 0.60s;
+# sumdf 154k -> driver 1.9s vs 0.8s — the Arrow transfer grows linearly
+# while the distributed plan aggregates before moving anything); on a
+# multi-node cluster the crossover is higher (each distributed job adds
+# scheduling + network-shuffle latency), so this is the conservative
+# end. 4096 hit docs mirrors wand.py's RESOLVE_INLINE_CAP (a larger
+# VALUES relation costs more to parse than the distributed aggregation
+# it replaces, per the WAND hot-term fix).
+PHRASE_DRIVER_MAX_ROWS = 1 << 15
+PHRASE_DRIVER_MAX_DOCS = 4096
+
+# per-index (field, term) -> df memo for the driver-path gate: hot
+# phrases repeat in a serving workload, and a PRESENT term's df only
+# ever affects the cost decision (the post-collect row-count guard owns
+# semantics), so present entries are safe to reuse across maintenance.
+# ABSENT terms are never cached — absence is semantics-bearing (it
+# short-circuits to an empty result) and a later add_documents could
+# introduce the term. Cleared wholesale past this many entries.
+_PHRASE_DF_CACHE_MAX = 1 << 16
+
 
 def _empty_schema(key: str, with_details: bool) -> str:
     s = ("ord long" if key == "ord" else "docid string") + ", score double"
@@ -230,6 +257,121 @@ def terms_scores(
     return per_doc.select(*out_cols)
 
 
+def _phrase_per_doc_driver(index, field: str, post, key: str,
+                           terms: List[str], k: int):
+    """Driver-serve fast path for phrase hit detection: ONE row-capped
+    Arrow collect of the query terms' position rows, then the same
+    adjacency algebra as the distributed plan — distinct
+    (doc, tok_ord - qi, qi) triples, a base matches when all ``k`` query
+    indexes are present — vectorized in numpy over the Arrow buffers
+    (no per-row Python). Returns ``(per_doc_rows, pdf)`` where
+    per_doc_rows are ``(key, pf, doc_len)`` INTEGER hit statistics, or
+    ``None`` when a cap is exceeded (the caller falls back to the
+    distributed plan, so this is only ever a latency fast path, never a
+    semantics change).
+
+    Cost is GATED before anything heavy moves: the query terms'
+    document frequencies (one term-count-sized term_stats lookup, the
+    same vocabulary currency fuzzy/expand resolve against) bound the
+    positions-row count exactly, so an over-cap phrase pays one
+    metadata job — never a wasted bulk collect (measured: the ungated
+    version spent ~8s row-pickling 130k position rows only to fall
+    back). A term with no stats row cannot match anywhere — that is an
+    immediate empty result, saving the scan entirely.
+
+    The caller feeds the returned stats into the SAME Spark scoring
+    expressions the distributed plan uses, so scores stay bit-identical
+    between the two paths (pinned by tests/test_phrase_driver.py).
+    Serving latency is job-count-bound (see wand.py's driver-serve
+    rationale): this replaces the eager hit-set checkpoint job + the
+    pdf aggregation job + the per-doc aggregation's shuffle with one
+    Arrow transfer over the term-clustered positions scan."""
+    import numpy as np
+
+    from .wand import _arrow_limit_one_job
+
+    uniq_terms = sorted(set(terms))
+    cache = index.__dict__.setdefault("_phrase_df_cache", {})
+    dfs = {t: cache[(field, t)] for t in uniq_terms if (field, t) in cache}
+    missing = [t for t in uniq_terms if t not in dfs]
+    if missing:
+        looked = {
+            r["term"]: r["df"]
+            for r in index.term_stats
+            .where(F.col("field") == field)
+            .where(F.col("term").isin(missing))
+            .select("term", "df").collect()
+        }
+        if len(cache) > _PHRASE_DF_CACHE_MAX:
+            cache.clear()
+        for t, d in looked.items():  # present terms only (see cache note)
+            cache[(field, t)] = d
+        dfs.update(looked)
+    if any(t not in dfs for t in uniq_terms):
+        return [], 0  # a vocabulary-absent term: no doc can match
+    if sum(dfs.values()) > PHRASE_DRIVER_MAX_ROWS:
+        return None
+    tbl = _arrow_limit_one_job(
+        post.select(key, "term", "ords", "doc_len"),
+        PHRASE_DRIVER_MAX_ROWS + 1)
+    # num_rows <= cap proves the limit truncated nothing (belt over the
+    # stats gate: serving a TRUNCATED scan would change semantics)
+    if tbl is None or tbl.num_rows > PHRASE_DRIVER_MAX_ROWS:
+        return None
+    if tbl.num_rows == 0:
+        return [], 0
+    tbl = tbl.combine_chunks()
+    keyd = tbl.column(0).chunk(0).dictionary_encode()
+    doc_code = keyd.indices.to_numpy()          # per input row
+    doc_keys = keyd.dictionary.to_pylist()
+    termd = tbl.column(1).chunk(0).dictionary_encode()
+    term_code = termd.indices.to_numpy()
+    term_names = termd.dictionary.to_pylist()
+    import pyarrow.compute as pc
+
+    oc = tbl.column(2).chunk(0)
+    lens = pc.list_value_length(oc).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+    values = oc.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    dl = tbl.column(3).chunk(0).to_numpy(zero_copy_only=False)
+    n = tbl.num_rows
+    dl_by_code = np.zeros(len(doc_keys), dtype=np.int64)
+    dl_by_code[doc_code] = dl.astype(np.int64)
+    row_of_val = np.repeat(np.arange(n, dtype=np.int64), lens)
+    tcode_of_val = term_code[row_of_val]
+    dcode_of_val = doc_code[row_of_val]
+    qis: dict = {}
+    for qi, t in enumerate(terms):
+        qis.setdefault(t, []).append(qi)
+    cparts, bparts, qparts = [], [], []
+    for tc, tname in enumerate(term_names):
+        tqis = qis.get(tname)
+        if not tqis:
+            continue
+        mask = tcode_of_val == tc
+        v = values[mask]
+        d = dcode_of_val[mask]
+        for qi in tqis:
+            cparts.append(d)
+            bparts.append(v - qi)
+            qparts.append(np.full(v.size, qi, dtype=np.int64))
+    if not cparts or not sum(p.size for p in cparts):
+        return [], 0
+    trip = np.unique(np.stack([np.concatenate(cparts),
+                               np.concatenate(bparts),
+                               np.concatenate(qparts)], axis=1), axis=0)
+    cb, nq = np.unique(trip[:, :2], axis=0, return_counts=True)
+    hit_codes = cb[nq == k, 0]
+    if hit_codes.size == 0:
+        return [], 0
+    uc, pf = np.unique(hit_codes, return_counts=True)
+    if uc.size > PHRASE_DRIVER_MAX_DOCS:
+        return None
+    per_doc = [(doc_keys[int(c)], int(p), int(dl_by_code[int(c)]))
+               for c, p in zip(uc, pf)]
+    return per_doc, int(uc.size)
+
+
 def phrase_scores(
     index,
     field: str,
@@ -279,51 +421,75 @@ def phrase_scores(
             "without positions (store_positions=False) or saved by a "
             "pre-ordinal version — rebuild to enable match_phrase")
     k = len(terms)
-    qdf = inline_rows(spark, list(enumerate(terms)), "qi int, term string")
-
     post = src.where(F.col("field") == field) \
               .where(F.col("term").isin(terms)) \
               .where(F.col("ords").isNotNull())
-    # NB: the doc key may itself be named "ord" (doc ordinal) while the
-    # exploded token ordinal is aliased "tok_ord" — disjoint names
-    occ_cols = [F.col(key), F.col("term"), F.col("doc_len")]
-    if with_details:
-        occ_cols.append(F.col("positions"))
-    occ = post.select(*occ_cols,
-                      F.posexplode("ords").alias("occ_i", "tok_ord"))
-    occ = occ.join(F.broadcast(qdf), "term")
 
-    hit_key = (F.col("tok_ord") - F.col("qi")).alias("base")
-    aggs = [F.count_distinct(F.col("qi")).alias("nq"),
-            F.first("doc_len").alias("doc_len")]
-    if with_details:
-        aggs.append(F.collect_list(F.struct(
-            F.element_at("positions", F.col("occ_i") * 2 + 1).alias("s"),
-            F.element_at("positions", F.col("occ_i") * 2 + 2).alias("l"),
-        )).alias("occ_pos"))
-    hits = (occ.groupBy(key, hit_key).agg(*aggs)
-            .where(F.col("nq") == k))
-    # two consumers (pdf broadcast + per-doc agg): materialize the hit
-    # set once — it is at most phrase-doc-frequency sized. localCheckpoint
-    # (GC-cleaned by the ContextCleaner) instead of persist, which would
-    # accumulate storage across queries in a long-lived session.
-    # CHECKPOINT_PHRASE_HITS=False keeps the full lineage visible for
-    # plan-shape tests (tests/test_pushdown.py pins the pushed In(term)
-    # on the positions-table scan, which the checkpoint would hide).
-    if CHECKPOINT_PHRASE_HITS:
-        hits = hits.localCheckpoint(eager=True)
-    pdf_df = hits.agg(F.count_distinct(key).alias("pdf"))
+    served = None
+    if (CHECKPOINT_PHRASE_HITS and not with_details
+            and PHRASE_DRIVER_MAX_ROWS > 0):
+        # CHECKPOINT_PHRASE_HITS=False doubles as the "keep the full
+        # distributed lineage inspectable" switch (plan-shape tests) —
+        # the driver path, like the checkpoint, would hide the scan
+        served = _phrase_per_doc_driver(index, field, post, key, terms, k)
+    if served is not None:
+        # integer hit stats computed on the driver; the SAME scoring
+        # expressions below make the scores bit-identical to the
+        # distributed plan's
+        per_rows, pdf = served
+        dtypes = dict(post.select(key, "doc_len").dtypes)
+        per_doc = inline_rows(
+            spark, per_rows,
+            f"{key} {dtypes[key]}, pf bigint, doc_len {dtypes['doc_len']}")
+        pdf_df = inline_rows(spark, [(pdf,)], "pdf bigint")
+        if restrict is not None:
+            per_doc = per_doc.join(restrict.select(key), key, "left_semi")
+    else:
+        qdf = inline_rows(spark, list(enumerate(terms)),
+                          "qi int, term string")
+        # NB: the doc key may itself be named "ord" (doc ordinal) while
+        # the exploded token ordinal is aliased "tok_ord" — disjoint
+        occ_cols = [F.col(key), F.col("term"), F.col("doc_len")]
+        if with_details:
+            occ_cols.append(F.col("positions"))
+        occ = post.select(*occ_cols,
+                          F.posexplode("ords").alias("occ_i", "tok_ord"))
+        occ = occ.join(F.broadcast(qdf), "term")
 
-    if restrict is not None:
-        hits = hits.join(restrict.select(key), key, "left_semi")
-    per_aggs = [F.count(F.lit(1)).alias("pf"),
+        hit_key = (F.col("tok_ord") - F.col("qi")).alias("base")
+        aggs = [F.count_distinct(F.col("qi")).alias("nq"),
                 F.first("doc_len").alias("doc_len")]
-    if with_details:
-        per_aggs.append(F.flatten(F.transform(
-            F.array_sort(F.flatten(F.collect_list("occ_pos"))),
-            lambda s: F.array(s["s"], s["l"]),
-        )).alias("pos_arr"))
-    per_doc = hits.groupBy(key).agg(*per_aggs)
+        if with_details:
+            aggs.append(F.collect_list(F.struct(
+                F.element_at("positions",
+                             F.col("occ_i") * 2 + 1).alias("s"),
+                F.element_at("positions",
+                             F.col("occ_i") * 2 + 2).alias("l"),
+            )).alias("occ_pos"))
+        hits = (occ.groupBy(key, hit_key).agg(*aggs)
+                .where(F.col("nq") == k))
+        # two consumers (pdf broadcast + per-doc agg): materialize the
+        # hit set once — it is at most phrase-doc-frequency sized.
+        # localCheckpoint (GC-cleaned by the ContextCleaner) instead of
+        # persist, which would accumulate storage across queries in a
+        # long-lived session. CHECKPOINT_PHRASE_HITS=False keeps the
+        # full lineage visible for plan-shape tests
+        # (tests/test_pushdown.py pins the pushed In(term) on the
+        # positions-table scan, which the checkpoint would hide).
+        if CHECKPOINT_PHRASE_HITS:
+            hits = hits.localCheckpoint(eager=True)
+        pdf_df = hits.agg(F.count_distinct(key).alias("pdf"))
+
+        if restrict is not None:
+            hits = hits.join(restrict.select(key), key, "left_semi")
+        per_aggs = [F.count(F.lit(1)).alias("pf"),
+                    F.first("doc_len").alias("doc_len")]
+        if with_details:
+            per_aggs.append(F.flatten(F.transform(
+                F.array_sort(F.flatten(F.collect_list("occ_pos"))),
+                lambda s: F.array(s["s"], s["l"]),
+            )).alias("pos_arr"))
+        per_doc = hits.groupBy(key).agg(*per_aggs)
 
     fstats = F.broadcast(
         index.field_stats.where(F.col("field") == field)

@@ -223,16 +223,32 @@ def _collect_limit_one_job(df: DataFrame, n: int) -> list:
     as its restore target) or run their own collect with the default.
     These are short metadata collects, so serializing them costs far
     less than the 5-job incremental limit the helper exists to avoid."""
+    return _limit_one_job(df, n, lambda d: d.collect())
+
+
+def _arrow_limit_one_job(df: DataFrame, n: int):
+    """``df.limit(n).toArrow()`` in ONE Spark job (same incremental-limit
+    rationale as _collect_limit_one_job). Arrow transfer matters when the
+    rows carry ARRAY columns: py4j row pickling measured ~8s for 130k
+    position rows where toArrow moves the same batch in ~0.7s. Returns
+    ``None`` when this Spark build has no DataFrame.toArrow (callers
+    fall back to their distributed plan)."""
+    if not hasattr(df, "toArrow"):
+        return None
+    return _limit_one_job(df, n, lambda d: d.toArrow())
+
+
+def _limit_one_job(df: DataFrame, n: int, run):
     spark = df.sparkSession
     key = "spark.sql.limit.initialNumPartitions"
     with _LIMIT_CONF_LOCK:
         try:
             old = spark.conf.get(key, None)
         except Exception:  # conf not present on this Spark build
-            return df.limit(n).collect()
+            return run(df.limit(n))
         try:
             spark.conf.set(key, str(1 << 20))
-            return df.limit(n).collect()
+            return run(df.limit(n))
         finally:
             if old is None:
                 spark.conf.unset(key)
