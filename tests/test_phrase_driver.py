@@ -11,6 +11,8 @@ in both scoring modes, under bool composition (restrict), on fresh
 fallbacks.
 """
 
+import random
+
 import pytest
 
 from ex_elasticlunr_spark import Index
@@ -110,3 +112,76 @@ def test_details_keeps_distributed_path(idx):
     for d, r in got.items():
         assert r["score"] == plain[d]
         assert r["positions"]["content"]  # positions present
+
+
+# ---------------------------------------------------------------------------
+# Randomized referee: served == distributed on a seeded-random corpus and
+# phrases (the fixture above covers hand-picked shapes; identity bugs in
+# the adjacency algebra — duplicate query terms, overlapping bases,
+# partial matches, vocabulary-absent terms — hide in the random space).
+
+SEED = 0x9A3E
+
+
+@pytest.fixture(scope="module")
+def rand_idx(spark):
+    from ex_elasticlunr_spark.sources.transcripts import (
+        transcripts_df,
+        with_docid,
+    )
+
+    src = with_docid(transcripts_df(spark, n_convs=30, turns_per_conv=5,
+                                    seed=SEED))
+    ix = Index(name="phrase_rand").add_field("text")
+    ix.add_documents(src, docid_col="docid")
+    ix.materialize()
+    texts = [r["text"] for r in src.select("text").collect()]
+    return ix, texts
+
+
+def _rand_phrases(texts, n=24):
+    rng = random.Random(SEED)
+    phrases = []
+    for _ in range(n):
+        kind = rng.random()
+        toks = rng.choice(texts).split()
+        if not toks:
+            continue
+        if kind < 0.55:  # real adjacent n-gram -> likely hits
+            k = rng.randint(2, min(4, len(toks)))
+            i = rng.randrange(0, len(toks) - k + 1)
+            phrases.append(" ".join(toks[i:i + k]))
+        elif kind < 0.8:  # shuffled words -> partial/overlap misses
+            k = rng.randint(2, min(3, len(toks)))
+            phrases.append(" ".join(rng.sample(toks, k)))
+        elif kind < 0.9:  # duplicate-term phrase (qi multiplicity)
+            w = rng.choice(toks)
+            phrases.append(f"{w} {w}")
+        else:  # vocabulary-absent term
+            phrases.append(f"{rng.choice(toks)} zqxv{rng.randrange(99)}")
+    return phrases
+
+
+def test_random_phrases_identity(rand_idx):
+    ix, texts = rand_idx
+    served_calls = {"n": 0}
+    orig = scorer._phrase_per_doc_driver
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        if out is not None:
+            served_calls["n"] += 1
+        return out
+
+    scorer._phrase_per_doc_driver = spy
+    try:
+        for mode in ("elasticlunr", "bm25"):
+            for p in _rand_phrases(texts):
+                q = {"query": {"match_phrase": {"text": p}}}
+                served, dist = _both(ix, q, mode=mode)
+                assert served == dist, (p, mode)
+    finally:
+        scorer._phrase_per_doc_driver = orig
+    # the referee is vacuous if every query fell back to the
+    # distributed plan — the small corpus must serve driver-side
+    assert served_calls["n"] > 20
