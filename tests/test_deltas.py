@@ -125,6 +125,12 @@ def test_delta_remove_tombstones(spark, corpus, base_path):
     assert "d5" not in wand and "e0" not in wand
     # match_all universe shrinks with the tombstones
     assert re.search({"query": {"match_all": {}}}).count() == 48
+    # the positional path (incl. the phrase driver-serve gate, whose
+    # collect reads the same tombstone-anti-joined postings_full and
+    # whose df gate reads the tombstone-exact term_stats) excludes them
+    ph = {r["docid"] for r in re.search(
+        {"query": {"match_phrase": {"text": "merge window"}}}).collect()}
+    assert "d5" not in ph and "e0" not in ph and len(ph) == 48
 
 
 def test_delta_update_same_generation(spark, corpus, base_path):
