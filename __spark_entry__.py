@@ -185,7 +185,7 @@ _STAMP_FIRST = [
     # new in round 4
     "wand_match_and", "wand_string_search", "wand_bool",
     "wand_bool_not", "stream_index_batch_eq", "stream_dedup_batch_eq",
-    "stream_sessions_batch_eq",
+    "stream_sessions_batch_eq", "event_funnel", "event_retention",
     # stamped in round 2 only
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb_near_dups",
     "mm_features", "mm_resize", "mm_frame_sample", "snippet_ords",
@@ -672,6 +672,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.date_format("window_start",
                           "yyyy-MM-dd HH:mm:ss").alias("window_start_s"),
             "event_type", "n_events", "sum_value")
+    # ordered-step conversion funnel (strict-order min-ts cascade)
+    q["event_funnel"] = lambda s, d: ev_ops.funnel(
+        s.read.parquet(f"{d}/events.parquet"),
+        ["view", "click", "purchase"])
+    # first-active-date cohort retention (dates project as strings)
+    q["event_retention"] = lambda s, d: ev_ops.retention(
+        s.read.parquet(f"{d}/events.parquet"))
 
     # ---- streaming == batch gate entries --------------------------------
     # Each runs the streaming operator over a bounded 2-file replay of
@@ -2028,6 +2035,39 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
        COUNT(*)::BIGINT AS n_events,
        ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+    # strict-order funnel: each step's qualifying event must be strictly
+    # after the user's earliest qualifying event of the previous step
+    o["event_funnel"] = """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id
+)
+SELECT 0::INT AS step_idx, 'view' AS step,
+       (SELECT COUNT(*) FROM s0)::BIGINT AS users
+UNION ALL SELECT 1::INT, 'click', (SELECT COUNT(*) FROM s1)::BIGINT
+UNION ALL SELECT 2::INT, 'purchase', (SELECT COUNT(*) FROM s2)::BIGINT
+ORDER BY step_idx
+"""
+    o["event_retention"] = """
+WITH act AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+), f AS (
+  SELECT u, MIN(d) AS d0 FROM act GROUP BY u
+)
+SELECT CAST(d0 AS VARCHAR) AS cohort_date,
+       (d - d0)::INT AS day_offset,
+       COUNT(*)::BIGINT AS users
+FROM act JOIN f USING (u)
+GROUP BY 1, 2 ORDER BY 1, 2
 """
     # ---- streaming == batch: the oracles are the BATCH operators' SQL
     # a streamed 2-micro-batch replay of the same rows must reproduce

@@ -8,7 +8,11 @@ These operators give that log the two canonical time-series shapes:
 * ``sessionize`` / ``session_stats`` — gap-based sessions per user
   (a 30-min silence starts a new session), the standard clickstream /
   conversation-boundary primitive;
-* ``windowed_counts`` — tumbling event-time windows per event type.
+* ``windowed_counts`` — tumbling event-time windows per event type;
+* ``funnel`` / ``retention`` — the two canonical behavioral rollups:
+  strict-order conversion funnels (a min-ts join cascade that narrows
+  monotonically) and first-active-date cohort retention (one distinct
+  + one self-join on the user key).
 
 Batch and streaming variants share semantics: the streaming
 sessionizer (``sessionize_stream``) is an ``applyInPandasWithState``
@@ -292,3 +296,83 @@ def sessionize_stream(
         timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
                      if idle_timeout_ms else GroupStateTimeout.NoTimeout),
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel + retention: the two canonical behavioral-analytics rollups
+# ---------------------------------------------------------------------------
+
+
+def funnel(
+    events: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-step funnel: for each step i, the number of users who
+    performed steps[0..i] in STRICT timestamp order (a later step's
+    event must be strictly AFTER the user's earliest qualifying event
+    of the previous step — equal timestamps do not chain, so the result
+    is deterministic under ties). Returns
+    DataFrame(step_idx int, step string, users bigint), one row per
+    step, ordered by step_idx — the classic conversion funnel.
+
+    Plan shape (100 TB rationale): step 0 is one filtered groupBy on
+    the user key (hash-uniform, no skew); each later step is a filtered
+    scan joined against the PREVIOUS step's per-user min-timestamp
+    relation — funnels narrow monotonically, so every join's right side
+    shrinks and AQE turns the tail joins into broadcasts. No windows
+    over whole user histories, no per-user event-list materialization.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    counts = []
+    prev = None  # per-user min ts of the previous step
+    for i, step in enumerate(steps):
+        cur = events.where(F.col(type_col) == step)
+        if prev is not None:
+            cur = (cur.join(prev, user_col)
+                      .where(F.col(ts_col) > F.col("_prev_ts")))
+        cur = (cur.groupBy(user_col)
+                  .agg(F.min(ts_col).alias("_prev_ts")))
+        counts.append(cur.agg(
+            F.lit(i).cast("int").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).alias("users")))
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("step_idx")
+
+
+def retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users are cohorted by their FIRST active
+    calendar date; for every (cohort_date, day_offset) the count of
+    cohort users active day_offset days after their first day (offset
+    0 is the cohort size). Returns DataFrame(cohort_date string,
+    day_offset int, users bigint) — dates projected as 'yyyy-MM-dd'
+    strings so the result hashes identically across engines.
+
+    Plan shape: one distinct over (user, date) — map-side partial —
+    then a per-user min and one self-join on the user key, then a
+    count per (cohort, offset): two user-keyed shuffles total, output
+    cardinality #cohorts x #offsets. No windows, no skew (user keys
+    are hash-uniform; a celebrity user still contributes one row per
+    active day, not per event)."""
+    act = (events.select(F.col(user_col).alias("u"),
+                         F.to_date(ts_col).alias("d"))
+                 .distinct())
+    first = act.groupBy("u").agg(F.min("d").alias("d0"))
+    return (act.join(first, "u")
+               .groupBy(F.col("d0").cast("string").alias("cohort_date"),
+                        F.datediff("d", "d0").cast("int")
+                         .alias("day_offset"))
+               .agg(F.count(F.lit(1)).alias("users"))
+               .orderBy("cohort_date", "day_offset"))

@@ -212,3 +212,52 @@ def test_sessionize_stream_idle_timeout_flush(spark, tmp_path):
         assert all(r["sum_value"] == 3.0 for r in final)
     finally:
         q.stop()
+
+
+def test_funnel_strict_order_and_ties(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:01:00", 1, "click"),
+        (3, "2024-01-01 00:02:00", 1, "purchase"),
+        # u2: click BEFORE first view -> stops after view
+        (4, "2024-01-01 00:01:00", 2, "click"),
+        (5, "2024-01-01 00:02:00", 2, "view"),
+        # u3: click at the SAME instant as the first view -> ties do
+        # not chain (strict >)
+        (6, "2024-01-01 00:00:00", 3, "view"),
+        (7, "2024-01-01 00:00:00", 3, "click"),
+        # u4: purchase only -> no step at all
+        (8, "2024-01-01 00:00:00", 4, "purchase"),
+        # u5: view, then a LATER second click chains even though an
+        # earlier click existed pre-view
+        (9, "2024-01-01 00:00:00", 5, "click"),
+        (10, "2024-01-01 00:01:00", 5, "view"),
+        (11, "2024-01-01 00:02:00", 5, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = [(r["step_idx"], r["step"], r["users"])
+           for r in ev.funnel(df, ["view", "click", "purchase"]).collect()]
+    # views: u1,u2,u3,u5; clicks after view: u1,u5; purchases: u1
+    assert got == [(0, "view", 4), (1, "click", 2), (2, "purchase", 1)]
+
+
+def test_retention_cohorts(spark):
+    rows = [
+        # u1: first day 01-01, active again 01-02 and 01-04
+        (1, "2024-01-01 08:00:00", 1, "view"),
+        (2, "2024-01-02 09:00:00", 1, "view"),
+        (3, "2024-01-02 10:00:00", 1, "click"),   # same day: one row
+        (4, "2024-01-04 09:00:00", 1, "view"),
+        # u2: cohort 01-02 only
+        (5, "2024-01-02 23:00:00", 2, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = [(r["cohort_date"], r["day_offset"], r["users"])
+           for r in ev.retention(df).collect()]
+    assert got == [("2024-01-01", 0, 1), ("2024-01-01", 1, 1),
+                   ("2024-01-01", 3, 1), ("2024-01-02", 0, 1)]
