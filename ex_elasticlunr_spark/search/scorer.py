@@ -292,7 +292,14 @@ def _phrase_per_doc_driver(index, field: str, post, key: str,
 
     uniq_terms = sorted(set(terms))
     cache = index.__dict__.setdefault("_phrase_df_cache", {})
-    dfs = {t: cache[(field, t)] for t in uniq_terms if (field, t) in cache}
+    # .get, not check-then-read: a concurrent serving thread's wholesale
+    # clear() between the two would KeyError; a racily-missed entry just
+    # re-looks-up (cache never stores None — df is a positive count)
+    dfs = {}
+    for t in uniq_terms:
+        v = cache.get((field, t))
+        if v is not None:
+            dfs[t] = v
     missing = [t for t in uniq_terms if t not in dfs]
     if missing:
         looked = {

@@ -235,7 +235,13 @@ def _arrow_limit_one_job(df: DataFrame, n: int):
     fall back to their distributed plan)."""
     if not hasattr(df, "toArrow"):
         return None
-    return _limit_one_job(df, n, lambda d: d.toArrow())
+    try:
+        return _limit_one_job(df, n, lambda d: d.toArrow())
+    except ImportError:
+        # toArrow exists but pyarrow is not installed (an optional
+        # extra on plain pip installs) — PySpark raises its
+        # PySparkImportError subclass of ImportError at call time
+        return None
 
 
 def _limit_one_job(df: DataFrame, n: int, run):
