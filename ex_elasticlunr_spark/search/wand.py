@@ -312,6 +312,17 @@ def _clause_stats(index, clauses: List[WandClause], mode: str) -> list:
         for r in index.term_stats.where(cond)
         .select("field", "term", "df", "idf").collect()
     }
+    # share the (field, term) -> df rows with the phrase driver-serve
+    # gate (scorer._phrase_per_doc_driver): same term_stats currency,
+    # present terms only (the cache's semantics rule) — a phrase over
+    # terms a WAND query already resolved skips its gate lookup job
+    from .scorer import _PHRASE_DF_CACHE_MAX
+
+    pcache = index.__dict__.setdefault("_phrase_df_cache", {})
+    if len(pcache) > _PHRASE_DF_CACHE_MAX:
+        pcache.clear()
+    for (f, t), r in trows.items():
+        pcache[(f, t)] = r["df"]
     out = []
     for cid, c in enumerate(clauses):
         fr = frows.get(c.field)
