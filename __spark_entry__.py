@@ -186,6 +186,7 @@ _STAMP_FIRST = [
     "wand_match_and", "wand_string_search", "wand_bool",
     "wand_bool_not", "stream_index_batch_eq", "stream_dedup_batch_eq",
     "stream_sessions_batch_eq", "event_funnel", "event_retention",
+    "did_you_mean",
     # stamped in round 2 only
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb_near_dups",
     "mm_features", "mm_resize", "mm_frame_sample", "snippet_ords",
@@ -225,6 +226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prefix autocomplete from term_stats alone (Index.suggest)
     q["suggest_prefix"] = lambda s, d: _index(s, d).suggest(
         "sp", "text", top_n=10)
+    # spell suggestions: vocabulary edit-ball ranked (dist, df, term)
+    q["did_you_mean"] = lambda s, d: _index(s, d).did_you_mean(
+        "spak", "text", top_n=5)
     # per-doc tf-idf keyword extraction (one window over the postings)
     q["keywords_tfidf"] = lambda s, d: _index(s, d).keywords("text", top_n=3)
     # count-only serving path: the compiled subtree aggregated, never
@@ -999,6 +1003,13 @@ ORDER BY ROUND(score, 6) DESC, docid ASC LIMIT 10
     o["suggest_prefix"] = _wrap(pre, """
 SELECT term, df FROM tstats WHERE term LIKE 'sp%'
 ORDER BY df DESC, term ASC LIMIT 10
+""")
+    # 'spak' analyzes to itself (no stopword, stem-stable); dist > 0
+    # excludes the input term like the engine
+    o["did_you_mean"] = _wrap(pre, """
+SELECT term, df, levenshtein(term, 'spak')::INT AS dist FROM tstats
+WHERE levenshtein(term, 'spak') BETWEEN 1 AND 1
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5
 """)
     # per-doc tf-idf keywords: one window over postings x vocabulary
     o["keywords_tfidf"] = _wrap(pre, """

@@ -514,6 +514,38 @@ class Index:
         return (t.select("term", "df")
                 .orderBy(F.desc("df"), F.asc("term")).limit(top_n))
 
+    def did_you_mean(self, word: str, field: str, top_n: int = 5,
+                     max_edits: int = 1) -> DataFrame:
+        """Spell suggestions (the term-suggester companion of
+        ``suggest``): DataFrame(term, df, dist) of the vocabulary terms
+        within ``max_edits`` Levenshtein edits of the ANALYZED input
+        word — the word itself excluded — ranked (distance asc, df
+        desc, term asc), fully deterministic (term is unique).
+
+        Served from vocabulary-sized ``term_stats`` alone, like
+        ``suggest``: a length-banded scan + a JVM-side levenshtein —
+        the same edit-ball resolve terms_fuzzy uses
+        (search/scorer.py), surfaced as its own API. An input whose
+        analysis yields no term (stopword, empty) suggests nothing."""
+        from pyspark.sql import functions as F
+
+        terms = self.analyzers[field].to_query_pipeline().run_terms(word)
+        spark = self.inverted.term_stats.sparkSession
+        if not terms:
+            return spark.createDataFrame(
+                [], "term string, df bigint, dist int")
+        term = terms[0]
+        t = self.inverted.term_stats.where(F.col("field") == field).where(
+            F.length("term").between(len(term) - max_edits,
+                                     len(term) + max_edits))
+        return (t.withColumn(
+                    "dist",
+                    F.levenshtein(F.col("term"), F.lit(term)).cast("int"))
+                .where((F.col("dist") > 0) & (F.col("dist") <= max_edits))
+                .select("term", "df", "dist")
+                .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+                .limit(top_n))
+
     def search_bm25(self, query, top_k: Optional[int] = None,
                     k1: float = 1.2, b: float = 0.75) -> DataFrame:
         return self.search(query, top_k=top_k, mode="bm25", k1=k1, b=b)

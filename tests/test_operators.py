@@ -466,3 +466,27 @@ def test_shuffle_shards_deterministic_and_balanced(spark):
     assert max(sizes.values()) < 2 * (2000 / 8)   # hash-uniform, no skew
     keys = [k for _, k in a.values()]
     assert len(set(keys)) == len(keys)            # 48-bit keys, no ties
+
+
+def test_did_you_mean_ranking_and_edges(spark):
+    from ex_elasticlunr_spark import Index
+
+    docs = spark.createDataFrame(
+        [("1", "spark spam spa soak shark spark"),
+         ("2", "spark spam"),
+         ("3", "spa unrelated")],
+        "id string, text string")
+    ix = Index(name="dym").add_field("text")
+    ix.add_documents(docs, docid_col="id")
+    got = [(r["term"], r["df"], r["dist"])
+           for r in ix.did_you_mean("spak", "text", top_n=5).collect()]
+    # dist-1 neighbors of 'spak': spa (delete), spam (sub), spark
+    # (insert) all df 2 -> alphabetical; soak (sub) df 1 last; shark
+    # is dist 2 and excluded
+    assert got == [("spa", 2, 1), ("spam", 2, 1), ("spark", 2, 1),
+                   ("soak", 1, 1)]
+    # the input term itself is excluded even when in-vocabulary
+    got2 = [r["term"] for r in ix.did_you_mean("spark", "text").collect()]
+    assert "spark" not in got2 and got2 == ["shark"]
+    # stopword input analyzes to nothing -> empty suggestion set
+    assert ix.did_you_mean("the", "text").count() == 0
