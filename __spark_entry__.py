@@ -186,7 +186,7 @@ _STAMP_FIRST = [
     "wand_match_and", "wand_string_search", "wand_bool",
     "wand_bool_not", "stream_index_batch_eq", "stream_dedup_batch_eq",
     "stream_sessions_batch_eq", "event_funnel", "event_retention",
-    "did_you_mean",
+    "did_you_mean", "search_after_page2",
     # stamped in round 2 only
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb_near_dups",
     "mm_features", "mm_resize", "mm_frame_sample", "snippet_ords",
@@ -244,6 +244,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                   "slop": 4}}}})
     q["match_or"] = lambda s, d: _search(
         s, d, {"query": {"match": {"text": "spark merge window"}}})
+
+    # cursor pagination: page 2 of the match_or ranking — the entry
+    # collects page 1's last sort values (exact doubles) and passes
+    # them as the search_after cursor; no offset scan anywhere
+    def search_after_page2(s, d):
+        ix = _index(s, d)
+        qq = {"query": {"match": {"text": "spark merge window"}}}
+        p1 = ix.search(qq, top_k=5).collect()
+        cur = (p1[-1]["score"], p1[-1]["docid"])
+        return _rounded(ix.search(qq, top_k=5, search_after=cur))
+
+    q["search_after_page2"] = search_after_page2
     q["match_and"] = lambda s, d: _search(
         s, d, {"query": {"match": {"text": {"query": "fast join",
                                              "operator": "and"}}}})
@@ -903,6 +915,15 @@ FROM (
 WHERE dist <= 4
 """.strip())
     o["match_or"] = _score_query(terms_scores_sql(_analyze("spark merge window")))
+    # cursor page 2 = ranks 6-10 of the same (raw score desc, docid asc)
+    # ordering; the engine's cursor filter reproduces exactly this slice
+    o["search_after_page2"] = _wrap(index_prefix(), f"""
+SELECT docid, score FROM (
+  SELECT r.docid, ROUND(r.score, 6) AS score,
+         ROW_NUMBER() OVER (ORDER BY r.score DESC, r.docid ASC) AS rn
+  FROM ({terms_scores_sql(_analyze("spark merge window"))}) r
+) p WHERE rn BETWEEN 6 AND 10
+""")
     # facet: per-term doc counts over the match's doc set; postings are
     # unique per (term, doc) so COUNT(*) is the doc count
     o["facet_terms"] = _wrap(pre, f"""

@@ -55,7 +55,8 @@ class QueryExecutor:
 
     # -- public ----------------------------------------------------------
     def execute(self, query: dict, top_k: Optional[int] = None,
-                include_details: bool = False) -> DataFrame:
+                include_details: bool = False,
+                search_after: Optional[tuple] = None) -> DataFrame:
         """query: {"query": {...}} or the inner node map. Returns
         DataFrame(docid, score) sorted (score desc, docid asc), limited
         to top_k when given (the reference has no limit, index.ex:262-265;
@@ -81,12 +82,27 @@ class QueryExecutor:
             full = self._has_universe(node)
             df = (df.join(self.index.ordinals_df(full=full), "ord")
                   .select("docid", *rest))
+        if search_after is not None:
+            # ES-style cursor pagination: keep only docs strictly AFTER
+            # the cursor in (score desc, docid asc) order. The cursor is
+            # the last row's EXACT sort values (Python float <-> JVM
+            # double round-trips bit-exactly), so pages tile the full
+            # ordering with no offset scan — the filter prunes BEFORE
+            # the TakeOrdered, which is what makes page 1000 cost the
+            # same as page 1 at 100 TB (offset pagination re-sorts and
+            # skips N*k rows; this never materializes skipped pages)
+            s, d = search_after
+            df = df.where(
+                (F.col("score") < F.lit(float(s)))
+                | ((F.col("score") == F.lit(float(s)))
+                   & (F.col("docid") > F.lit(str(d)))))
         out = df.orderBy(F.desc("score"), F.asc("docid"))
         # `is not None`: top_k=0 means "zero rows", not "no limit"
         return out.limit(top_k) if top_k is not None else out
 
     def search_text(self, text: str, top_k: Optional[int] = None,
-                    field_boosts: Optional[dict] = None) -> DataFrame:
+                    field_boosts: Optional[dict] = None,
+                    search_after: Optional[tuple] = None) -> DataFrame:
         """String-search sugar: bool/should of match over every indexed
         field (index.ex:181-224), optional per-field boosts (boost <= 0
         drops the field)."""
@@ -98,7 +114,8 @@ class QueryExecutor:
             ]
         else:
             should = [{"match": {f: text}} for f in self.index.analyzers]
-        return self.execute({"query": {"bool": {"should": should}}}, top_k=top_k)
+        return self.execute({"query": {"bool": {"should": should}}},
+                            top_k=top_k, search_after=search_after)
 
     def _has_universe(self, node) -> bool:
         """True when the tree can emit docs with NO postings (match_all /

@@ -269,14 +269,22 @@ class Index:
 
     def search(self, query, top_k: Optional[int] = None,
                options: Optional[dict] = None, mode: str = "elasticlunr",
-               include_details: bool = False, **kw) -> DataFrame:
+               include_details: bool = False,
+               search_after: Optional[tuple] = None, **kw) -> DataFrame:
         """DSL map / string / field-map search -> DataFrame(docid, score)
         ordered (score desc, docid asc), mirroring index.ex:177-266 (plus
         the top-k the reference lacks).
 
         ``include_details``: emit the reference's full result shape
         %{ref, score, matched, positions} (index.ex:258-266) as extra
-        ``matched``/``positions`` columns (DSL-map queries only)."""
+        ``matched``/``positions`` columns (DSL-map queries only).
+
+        ``search_after``: ES-style cursor pagination — a ``(score,
+        docid)`` pair (the previous page's LAST row, exact values);
+        only docs strictly after it in the result order are returned,
+        so deep pages never pay an offset scan. Cursor queries stay on
+        the exhaustive executor (WAND's threshold pruning is seeded per
+        page independently; routing them is future work)."""
         if self.inverted is None:
             raise RuntimeError(
                 f"index {self.name!r} has no documents — call "
@@ -285,18 +293,22 @@ class Index:
         if query is None:
             spark = self.inverted.postings.sparkSession
             return spark.createDataFrame([], "docid string, score double")
-        routed = self._route_wand(query, top_k, options, mode,
-                                  include_details, kw)
-        if routed is not None:
-            return routed
+        if search_after is None:
+            routed = self._route_wand(query, top_k, options, mode,
+                                      include_details, kw)
+            if routed is not None:
+                return routed
         if isinstance(query, str):
             if options and "fields" in options:
                 boosts = {f: v.get("boost", 0) for f, v in options["fields"].items()}
-                return ex.search_text(query, top_k=top_k, field_boosts=boosts)
-            return ex.search_text(query, top_k=top_k)
+                return ex.search_text(query, top_k=top_k, field_boosts=boosts,
+                                      search_after=search_after)
+            return ex.search_text(query, top_k=top_k,
+                                  search_after=search_after)
         if isinstance(query, dict) and "query" in query:
             return ex.execute(query, top_k=top_k,
-                              include_details=include_details)
+                              include_details=include_details,
+                              search_after=search_after)
         if isinstance(query, dict):
             # map-query sugar (index.ex:229-256)
             opts = options or {}
@@ -309,11 +321,13 @@ class Index:
             ]
             boolq = {"query": {"bool": {"should": should}}}
             # the desugared bool-of-match is itself a routable shape
-            routed = self._route_wand(boolq, top_k, None, mode,
-                                      include_details, kw)
-            if routed is not None:
-                return routed
-            return ex.execute(boolq, top_k=top_k)
+            if search_after is None:
+                routed = self._route_wand(boolq, top_k, None, mode,
+                                          include_details, kw)
+                if routed is not None:
+                    return routed
+            return ex.execute(boolq, top_k=top_k,
+                              search_after=search_after)
         raise ValueError("Root object must have a query element")
 
     def _route_wand(self, query, top_k, options, mode: str,

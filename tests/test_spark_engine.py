@@ -264,3 +264,43 @@ def test_all_stopword_match_rewrites_to_universe(spark):
            for r in idx.search(
                {"query": {"match": {"text": "quick fox"}}}).collect()]
     assert got == ["1"]
+
+
+class TestSearchAfter:
+    """Cursor pagination: pages tile the full ordering exactly."""
+
+    def test_pages_tile_the_full_ordering(self, transcripts):
+        ix, _ = transcripts
+        q = {"query": {"match": {"text": "spark merge window"}}}
+        full = [(r["docid"], r["score"])
+                for r in ix.search(q, top_k=15).collect()]
+        assert len(full) == 15
+        pages, cur = [], None
+        for _ in range(3):
+            rows = ix.search(q, top_k=5, search_after=cur).collect()
+            pages.extend((r["docid"], r["score"]) for r in rows)
+            cur = (rows[-1]["score"], rows[-1]["docid"])
+        assert pages == full
+        # a cursor past the last result yields an empty page
+        tail = ix.search(q, search_after=cur)
+        last = [(r["docid"], r["score"]) for r in tail.collect()]
+        all_rows = [(r["docid"], r["score"])
+                    for r in ix.search(q).collect()]
+        assert full + last == all_rows  # pages + tail == everything
+        end = all_rows[-1]
+        assert ix.search(q, top_k=5,
+                         search_after=(end[1], end[0])).count() == 0
+
+    def test_cursor_disables_wand_route(self, transcripts, monkeypatch):
+        ix, _ = transcripts
+        called = {"n": 0}
+        orig = ix.search_wand_text
+
+        def spy(*a, **kw):
+            called["n"] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(ix, "search_wand_text", spy)
+        ix.search("spark merge", top_k=5,
+                  search_after=(1e9, "")).collect()
+        assert called["n"] == 0  # cursor queries stay exhaustive
