@@ -270,3 +270,27 @@ def test_random_tree_details_identity(corpus, qi, mode):
             for f, pos in w.get("positions", {}).items() if pos
         }
         assert got_pos == want_pos, (qd, docid)
+
+
+@pytest.mark.parametrize("qi", range(8))
+def test_random_tree_cursor_pages_tile(corpus, qi):
+    """search_after pagination over random trees: successive cursor
+    pages must tile the engine's full (score desc, docid asc) ordering
+    exactly — engine-vs-engine, so float clause-sum ordering is
+    identical on both sides and the check is exact."""
+    idx, oidx, vocab, raw_words = corpus
+    rng = random.Random(SEED ^ 0xA9E5)
+    for _ in range(qi):
+        _tree(rng, vocab, raw_words)
+    qd = {"query": _tree(rng, vocab, raw_words)}
+
+    full = [(r["docid"], r["score"]) for r in idx.search(qd).collect()]
+    pages, cur = [], None
+    while True:
+        rows = idx.search(qd, top_k=7, search_after=cur).collect()
+        if not rows:
+            break
+        pages.extend((r["docid"], r["score"]) for r in rows)
+        cur = (rows[-1]["score"], rows[-1]["docid"])
+        assert len(pages) <= len(full), qd  # no duplicates past the end
+    assert pages == full, qd
