@@ -186,7 +186,7 @@ _STAMP_FIRST = [
     "wand_match_and", "wand_string_search", "wand_bool",
     "wand_bool_not", "stream_index_batch_eq", "stream_dedup_batch_eq",
     "stream_sessions_batch_eq", "event_funnel", "event_retention",
-    "did_you_mean", "search_after_page2",
+    "did_you_mean", "search_after_page2", "percolate_rules",
     # stamped in round 2 only
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb_near_dups",
     "mm_features", "mm_resize", "mm_frame_sample", "snippet_ords",
@@ -256,6 +256,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _rounded(ix.search(qq, top_k=5, search_after=cur))
 
     q["search_after_page2"] = search_after_page2
+
+    # percolation (reverse search): registered alert rules matched
+    # against the raw documents table — no index built or consulted
+    def percolate_rules(s, d):
+        from ex_elasticlunr_spark.search.percolate import percolate
+
+        docs = s.read.parquet(f"{d}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("docid"), "text")
+        rules = {"r_and": "spark merge", "r_pair": "fast join",
+                 "r_one": "window"}
+        return percolate(docs, rules, field="text")
+
+    q["percolate_rules"] = percolate_rules
     q["match_and"] = lambda s, d: _search(
         s, d, {"query": {"match": {"text": {"query": "fast join",
                                              "operator": "and"}}}})
@@ -915,6 +928,30 @@ FROM (
 WHERE dist <= 4
 """.strip())
     o["match_or"] = _score_query(terms_scores_sql(_analyze("spark merge window")))
+    # percolation: registered rules vs the documents table — a rule
+    # matches a doc when ALL its analyzed terms occur in the doc
+    # (operator="and"); rule terms are analyzed at SQL-build time with
+    # the same driver-side pipeline the engine's dict path uses
+    def _rule_values() -> str:
+        rules = {"r_and": "spark merge", "r_pair": "fast join",
+                 "r_one": "window"}
+        vals = []
+        for qid, text in sorted(rules.items()):
+            terms = sorted(set(_analyze(text)))
+            for t in terms:
+                vals.append(f"('{qid}', '{t}', {len(terms)})")
+        return ", ".join(vals)
+
+    o["percolate_rules"] = _wrap(pre, f"""
+, rules(query_id, term, n_terms) AS (VALUES {_rule_values()})
+SELECT r.query_id, p.docid,
+       COUNT(DISTINCT p.term)::BIGINT AS n_matched,
+       r.n_terms::BIGINT AS n_terms
+FROM rules r
+JOIN (SELECT DISTINCT docid, term FROM postings) p USING (term)
+GROUP BY r.query_id, p.docid, r.n_terms
+HAVING COUNT(DISTINCT p.term) >= r.n_terms
+""")
     # cursor page 2 = ranks 6-10 of the same (raw score desc, docid asc)
     # ordering; the engine's cursor filter reproduces exactly this slice
     o["search_after_page2"] = _wrap(index_prefix(), f"""

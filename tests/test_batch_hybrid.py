@@ -215,3 +215,47 @@ def test_related_documents_excludes_self(idx):
     # best is d1 via "fast" (df=2 — rarer than "sort", df=3)
     assert sorted(by_q["d1"])[0][1] == "d4"
     assert sorted(by_q["d3"])[0][1] == "d1"
+
+
+class TestPercolate:
+    """Reverse search: registered rules vs incoming docs, no index."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [("1", "the quick brown fox jumps"),
+             ("2", "quick silver surfers"),
+             ("3", "slow red fox"),
+             ("4", "")],
+            "docid string, text string")
+
+    def test_and_semantics_and_msm(self, spark):
+        from ex_elasticlunr_spark.search.percolate import percolate
+
+        docs = self._docs(spark)
+        rules = {"both": "quick fox", "one": "fox", "none": "zebra"}
+        got = {(r["query_id"], r["docid"]): (r["n_matched"], r["n_terms"])
+               for r in percolate(docs, rules, field="text").collect()}
+        # all-terms default: 'both' needs quick AND fox
+        assert got == {("both", "1"): (2, 2),
+                       ("one", "1"): (1, 1), ("one", "3"): (1, 1)}
+        # msm=1 relaxes 'both' to either term
+        m = {(r["query_id"], r["docid"])
+             for r in percolate(docs, rules, field="text",
+                                minimum_should_match=1).collect()}
+        assert ("both", "2") in m and ("both", "3") in m
+        # msm beyond the rule's term count is unmatchable (no clamping)
+        assert percolate(docs, {"r": "fox"}, field="text",
+                         minimum_should_match=2).count() == 0
+        # a rule that analyzes to zero terms matches nothing
+        assert percolate(docs, {"r": "the"}, field="text").count() == 0
+
+    def test_dataframe_rule_set(self, spark):
+        from ex_elasticlunr_spark.search.percolate import percolate
+
+        docs = self._docs(spark)
+        rules_df = spark.createDataFrame(
+            [("both", "quick fox"), ("one", "fox")],
+            "query_id string, query_text string")
+        got = {(r["query_id"], r["docid"])
+               for r in percolate(docs, rules_df, field="text").collect()}
+        assert got == {("both", "1"), ("one", "1"), ("one", "3")}
