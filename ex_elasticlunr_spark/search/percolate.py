@@ -9,19 +9,23 @@ incoming doc?" asked for a whole batch at once. No index over the
 documents is needed or built.
 
 Plan shape (100 TB rationale — a firehose of incoming docs against
-millions of rules):
-  * incoming docs are analyzed ONCE with the same Arrow-batched
-    analyzer as ingest (functions/udfs.analyze_postings) — one
-    map-only pass, one row per (doc, distinct term);
-  * driver-side rules inline as a JVM literal relation and BROADCAST
-    into the term join (rules x terms is tiny next to the doc stream);
-    corpus-sized rule sets arrive as a DataFrame and hash-join on the
-    term key instead — either way the doc stream is touched exactly
-    once and never shuffled on anything wider than (query_id, docid);
-  * the match test is ONE aggregation: count of distinct rule terms
-    present per (rule, doc) vs the rule's term count (operator="and"
-    semantics, the alerting default) or an explicit
-    minimum_should_match.
+registered rules):
+  * driver-side rules (the alerting case) compile to a ZERO-SHUFFLE
+    map-only plan: one Arrow-batched analyzer pass produces each doc's
+    distinct-term array, each rule becomes a JVM
+    ``size(array_intersect(doc_terms, <rule literals>))`` test, and the
+    matches explode out — the doc stream is touched once and never
+    shuffled, which also makes this path STREAMING-SAFE as-is (a
+    stateless per-row transform: append-mode readStream docs percolate
+    with no watermark or state store; tests/test_batch_hybrid.py pins
+    stream == batch);
+  * corpus-sized rule sets arrive as a DataFrame instead: docs explode
+    to (doc, distinct term) rows, rules hash-join on the term key, and
+    the match test is one aggregation per (rule, doc) — the only
+    shuffle is on (query_id, docid);
+  * either way a rule matches on count-of-distinct-terms-present vs
+    its term count (operator="and" semantics, the alerting default) or
+    an explicit minimum_should_match.
 """
 
 from __future__ import annotations
@@ -30,7 +34,6 @@ from typing import Optional, Union
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.literals import inline_rows
 from ..functions.udfs import AnalyzerConfig, analyze_postings
 
 
@@ -62,7 +65,52 @@ def percolate(
     text_col = text_col or field
     out_schema = ("query_id string, docid string, n_matched bigint, "
                   "n_terms bigint")
+    msm = minimum_should_match
 
+    if isinstance(queries, dict):
+        # zero-shuffle map-only plan (streaming-safe): per-doc distinct
+        # term array once, then one array_intersect test per rule.
+        # msm > n_terms is unmatchable, like the terms-query msm
+        # contract (search/scorer.py terms_scores) — no clamping.
+        pipeline = cfg.to_query_pipeline()
+        from ..functions.udfs import analyze_udf
+
+        tok = analyze_udf(cfg, positions=False)
+        tests = []
+        for qid, text in sorted(queries.items()):
+            terms = sorted(set(pipeline.run_terms(text)))
+            if not terms:
+                continue  # zero-term rules match nothing
+            required = len(terms) if msm is None else int(msm)
+            inter = F.size(F.array_intersect(
+                F.col("_dterms"), F.array(*[F.lit(t) for t in terms])))
+            tests.append(F.when(inter >= F.lit(required), F.struct(
+                F.lit(str(qid)).alias("query_id"),
+                inter.cast("long").alias("n_matched"),
+                F.lit(len(terms)).cast("long").alias("n_terms"))))
+        if not tests:
+            return spark.createDataFrame([], out_schema)
+        hits = (docs.select(
+                    F.col(docid_col).cast("string").alias("docid"),
+                    F.array_distinct(
+                        tok(F.col(text_col).cast("string")))
+                    .alias("_dterms"))
+                .select("docid",
+                        F.explode(F.array_compact(F.array(*tests)))
+                        .alias("m")))
+        return hits.select("m.query_id", "docid",
+                           "m.n_matched", "m.n_terms")
+
+    # DataFrame rule set: explode docs to (doc, distinct term) rows and
+    # hash-join on the term key — one shuffle, on (query_id, docid)
+    if cfg.query_pipeline is not None:
+        # the vectorized analyzer ships (stages, separator, extra);
+        # a custom query Pipeline is a driver-side object the
+        # executors cannot replay (same contract as search_many)
+        raise ValueError(
+            "percolate with a DataFrame rule set analyzes with the "
+            "index pipeline; this analyzer has a distinct "
+            "query_pipeline — pass queries as a dict instead")
     stacked = docs.select(
         F.col(docid_col).cast("string").alias("docid"),
         F.lit(field).alias("field"),
@@ -73,49 +121,24 @@ def percolate(
         .where(F.col("term").isNotNull())
         .select("docid", "term")
     )
+    qstacked = queries.select(
+        F.col("query_id").cast("string").alias("docid"),
+        F.lit(field).alias("field"),
+        F.col("query_text").cast("string").alias("content"),
+    )
+    qrows = (analyze_postings(qstacked, {field: cfg}, positions=False)
+             .where(F.col("term").isNotNull())
+             .select(F.col("docid").alias("query_id"), "term")
+             .distinct())
+    nt = qrows.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    qterms = qrows.join(nt, "query_id")
 
-    broadcast_rules = isinstance(queries, dict)
-    if broadcast_rules:
-        pipeline = cfg.to_query_pipeline()
-        rows = []
-        for qid, text in sorted(queries.items()):
-            terms = sorted(set(pipeline.run_terms(text)))
-            for t in terms:
-                rows.append((str(qid), t, len(terms)))
-        if not rows:
-            return spark.createDataFrame([], out_schema)
-        qterms = inline_rows(
-            spark, rows, "query_id string, term string, n_terms long")
-    else:
-        if cfg.query_pipeline is not None:
-            # the vectorized analyzer ships (stages, separator, extra);
-            # a custom query Pipeline is a driver-side object the
-            # executors cannot replay (same contract as search_many)
-            raise ValueError(
-                "percolate with a DataFrame rule set analyzes with the "
-                "index pipeline; this analyzer has a distinct "
-                "query_pipeline — pass queries as a dict instead")
-        qstacked = queries.select(
-            F.col("query_id").cast("string").alias("docid"),
-            F.lit(field).alias("field"),
-            F.col("query_text").cast("string").alias("content"),
-        )
-        qrows = (analyze_postings(qstacked, {field: cfg}, positions=False)
-                 .where(F.col("term").isNotNull())
-                 .select(F.col("docid").alias("query_id"), "term")
-                 .distinct())
-        nt = qrows.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("n_terms"))
-        qterms = qrows.join(nt, "query_id")
-
-    joined = doc_terms.join(
-        F.broadcast(qterms) if broadcast_rules else qterms, "term")
-    per_pair = joined.groupBy("query_id", "docid").agg(
+    per_pair = doc_terms.join(qterms, "term").groupBy(
+        "query_id", "docid").agg(
         F.count_distinct("term").alias("n_matched"),
         F.first("n_terms").alias("n_terms"))
-    # msm > n_terms is unmatchable, like the terms-query msm contract
-    # (search/scorer.py terms_scores) — no clamping
-    required = (F.col("n_terms") if minimum_should_match is None
-                else F.lit(int(minimum_should_match)))
+    # unmatchable-msm contract as above
+    required = (F.col("n_terms") if msm is None
+                else F.lit(int(msm)))
     return per_pair.where(F.col("n_matched") >= required).select(
         "query_id", "docid", "n_matched", "n_terms")

@@ -259,3 +259,31 @@ class TestPercolate:
         got = {(r["query_id"], r["docid"])
                for r in percolate(docs, rules_df, field="text").collect()}
         assert got == {("both", "1"), ("one", "1"), ("one", "3")}
+
+    def test_percolate_stream_parity(self, spark, tmp_path):
+        """The dict-rule plan is stateless and map-only, so it runs
+        under Structured Streaming in APPEND mode with no state store —
+        a 2-micro-batch file replay must equal the batch percolation."""
+        from ex_elasticlunr_spark.search.percolate import percolate
+        from tests.stream_util import await_terminated
+
+        docs = self._docs(spark)
+        rules = {"both": "quick fox", "one": "fox"}
+        want = {(r["query_id"], r["docid"], r["n_matched"], r["n_terms"])
+                for r in percolate(docs, rules, field="text").collect()}
+
+        src = str(tmp_path / "pstream")
+        docs.where(F.col("docid") <= "2").coalesce(1) \
+            .write.mode("append").parquet(src)
+        docs.where(F.col("docid") > "2").coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("docid string, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (percolate(stream, rules, field="text")
+             .writeStream.format("memory").queryName("perc_stream")
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        await_terminated(q, 120)
+        got = {(r["query_id"], r["docid"], r["n_matched"], r["n_terms"])
+               for r in spark.sql("SELECT * FROM perc_stream").collect()}
+        assert got == want
