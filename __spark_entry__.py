@@ -187,6 +187,7 @@ _STAMP_FIRST = [
     "wand_bool_not", "stream_index_batch_eq", "stream_dedup_batch_eq",
     "stream_sessions_batch_eq", "event_funnel", "event_retention",
     "did_you_mean", "search_after_page2", "percolate_rules",
+    "range_filter", "facet_date_hist", "search_collapse",
     # stamped in round 2 only
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb_near_dups",
     "mm_features", "mm_resize", "mm_frame_sample", "snippet_ords",
@@ -269,6 +270,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return percolate(docs, rules, field="text")
 
     q["percolate_rules"] = percolate_rules
+
+    # ---- doc-attribute extensions (search/attributes.py): range
+    # clauses, date histograms, field collapsing over a bound
+    # docid-keyed attribute table (ts synthesized deterministically:
+    # 2026-01-01 + doc_id minutes; source from the documents table) ----
+    def _with_attrs(s, d):
+        idx = _index(s, d)
+        if idx._attributes is None:
+            docs = _documents(s, d).withColumn(
+                "ts",
+                F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                + F.make_interval(mins=F.col("doc_id")))
+            idx.bind_attributes(docs.select("docid", "ts", "source"))
+        return idx
+
+    # bool(must: terms, filter: range(ts)) — the filter restricts
+    # membership, scores stay the must clause's
+    q["range_filter"] = lambda s, d: _rounded(_with_attrs(s, d).search(
+        {"query": {"bool": {
+            "must": {"terms": {"text": "spark"}},
+            "filter": [{"range": {"ts": {
+                "gte": "2026-01-01 01:00:00",
+                "lt": "2026-01-01 05:00:00"}}}],
+        }}}))
+
+    # hourly date_histogram over a match query's doc set
+    q["facet_date_hist"] = lambda s, d: _with_attrs(s, d) \
+        .facet_date_histogram(
+            {"query": {"match": {"text": "spark merge window"}}},
+            "ts", interval="hour") \
+        .select(F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+                .alias("bucket_s"), "doc_count")
+
+    # field collapsing: best doc per source, top-10 groups
+    q["search_collapse"] = lambda s, d: _with_attrs(s, d).search_collapse(
+        {"query": {"match": {"text": "spark merge window"}}},
+        "source", top_k=10) \
+        .select("source", "docid", F.round("score", 6).alias("score"),
+                "group_size")
     q["match_and"] = lambda s, d: _search(
         s, d, {"query": {"match": {"text": {"query": "fast join",
                                              "operator": "and"}}}})
@@ -973,6 +1013,48 @@ FROM postings p JOIN base USING (docid)
 GROUP BY p.term
 ORDER BY doc_count DESC, p.term ASC
 LIMIT 15
+""")
+    # range filter: ts = 2026-01-01 + doc_id minutes; the bool filter
+    # restricts membership, scores are the must clause's terms scores
+    o["range_filter"] = _score_query(f"""
+SELECT r.docid, r.score FROM ({terms_scores_sql(["spark"])}) r
+JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.docid
+WHERE TIMESTAMP '2026-01-01 00:00:00' + d.doc_id * INTERVAL 1 MINUTE
+        >= TIMESTAMP '2026-01-01 01:00:00'
+  AND TIMESTAMP '2026-01-01 00:00:00' + d.doc_id * INTERVAL 1 MINUTE
+        < TIMESTAMP '2026-01-01 05:00:00'
+""")
+    # hourly histogram over the match's matched-doc set
+    o["facet_date_hist"] = _wrap(pre, f"""
+, m AS (
+  SELECT DISTINCT docid
+  FROM ({terms_scores_sql(_analyze("spark merge window"))}) r
+)
+SELECT strftime(time_bucket(INTERVAL '1 hour',
+                TIMESTAMP '2026-01-01 00:00:00'
+                  + d.doc_id * INTERVAL 1 MINUTE),
+                '%Y-%m-%d %H:%M:%S') AS bucket_s,
+       COUNT(*)::BIGINT AS doc_count
+FROM m JOIN documents d ON CAST(d.doc_id AS VARCHAR) = m.docid
+GROUP BY 1
+""")
+    # collapse: per-source (raw score desc, docid asc) winner + group
+    # size; the top-10 groups picked on RAW scores (rounding only in
+    # the output) — same currency the engine's min_by/TakeOrdered uses
+    o["search_collapse"] = _wrap(pre, f"""
+, sc AS ({terms_scores_sql(_analyze("spark merge window"))})
+, j AS (
+  SELECT d.source, sc.docid, sc.score,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY sc.score DESC, sc.docid ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY d.source) AS gs
+  FROM sc JOIN documents d ON CAST(d.doc_id AS VARCHAR) = sc.docid
+)
+SELECT source, docid, ROUND(score, 6) AS score, group_size FROM (
+  SELECT source, docid, score, gs::BIGINT AS group_size
+  FROM j WHERE rn = 1
+  ORDER BY score DESC, docid ASC LIMIT 10
+) t
 """)
     # operator=and => msm = token count
     and_terms = _analyze("fast join")

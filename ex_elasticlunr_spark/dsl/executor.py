@@ -37,6 +37,7 @@ from .nodes import (
     MatchPhraseNode,
     NotNode,
     PhraseNode,
+    RangeNode,
     SpanNearNode,
     TermsNode,
     parse,
@@ -47,11 +48,15 @@ from .nodes import (
 
 class QueryExecutor:
     def __init__(self, index, mode: str = "elasticlunr",
-                 k1: float = 1.2, b: float = 0.75):
+                 k1: float = 1.2, b: float = 0.75,
+                 attributes: Optional[DataFrame] = None):
         self.index = index
         self.mode = mode
         self.k1 = k1
         self.b = b
+        # docid-keyed doc-attribute table (Index.bind_attributes) —
+        # required only by RangeNode clauses
+        self.attributes = attributes
 
     # -- public ----------------------------------------------------------
     def execute(self, query: dict, top_k: Optional[int] = None,
@@ -67,21 +72,7 @@ class QueryExecutor:
         columns — the reference's full result shape
         %{ref, score, matched, positions} (index.ex:258-266,
         bool_query.ex:108-124)."""
-        node = parse(query.get("query", query) if isinstance(query, dict) else query)
-        df = self.compile(node, details=include_details)
-        if self.index.key_col == "ord":
-            # one ord->docid translation per query, joined BEFORE the
-            # ordering (the deterministic tie-break is on docid). Only
-            # universe clauses (match_all / not) can emit the synthetic
-            # NEGATIVE ordinals of zero-content docs — scoring-only
-            # trees join the plain parquet-backed ordinals table (small
-            # scan Catalyst auto-broadcasts) instead of the full map,
-            # whose zero-content extension re-runs an anti-join +
-            # range-partitioned ordinal assignment in every query plan
-            rest = [c for c in df.columns if c != "ord"]
-            full = self._has_universe(node)
-            df = (df.join(self.index.ordinals_df(full=full), "ord")
-                  .select("docid", *rest))
+        df = self.scored_docids(query, include_details=include_details)
         if search_after is not None:
             # ES-style cursor pagination: keep only docs strictly AFTER
             # the cursor in (score desc, docid asc) order. The cursor is
@@ -99,6 +90,31 @@ class QueryExecutor:
         out = df.orderBy(F.desc("score"), F.asc("docid"))
         # `is not None`: top_k=0 means "zero rows", not "no limit"
         return out.limit(top_k) if top_k is not None else out
+
+    def scored_docids(self, query: dict,
+                      include_details: bool = False) -> DataFrame:
+        """The UNSORTED translated result — DataFrame(docid, score
+        [, matched, positions]) before the global sort / top-k / cursor
+        that ``execute`` adds. The input for consumers that aggregate
+        by doc rather than rank (collapse, date histograms)."""
+        node = parse(query.get("query", query)
+                     if isinstance(query, dict) else query)
+        df = self.compile(node, details=include_details)
+        if self.index.key_col == "ord":
+            # one ord->docid translation per query, joined BEFORE the
+            # ordering (the deterministic tie-break is on docid). Only
+            # universe clauses (match_all / not / range) can emit the
+            # synthetic NEGATIVE ordinals of zero-content docs —
+            # scoring-only trees join the plain parquet-backed ordinals
+            # table (small scan Catalyst auto-broadcasts) instead of the
+            # full map, whose zero-content extension re-runs an
+            # anti-join + range-partitioned ordinal assignment in every
+            # query plan
+            rest = [c for c in df.columns if c != "ord"]
+            full = self._has_universe(node)
+            df = (df.join(self.index.ordinals_df(full=full), "ord")
+                  .select("docid", *rest))
+        return df
 
     def search_text(self, text: str, top_k: Optional[int] = None,
                     field_boosts: Optional[dict] = None,
@@ -124,7 +140,9 @@ class QueryExecutor:
         match_all): those need the FULL ordinal map with synthetic
         negative ordinals for zero-content docs; everything else scores
         posting-bearing docs only."""
-        if isinstance(node, (MatchAllNode, NotNode)):
+        if isinstance(node, (MatchAllNode, NotNode, RangeNode)):
+            # range: zero-content docs are legitimate attribute matches
+            # (their synthetic negative ordinals need the full map)
             return True
         if isinstance(node, (MatchNode, MatchPhraseNode)):
             pipeline = self.index.analyzers[node.field].to_query_pipeline()
@@ -175,6 +193,16 @@ class QueryExecutor:
         if isinstance(node, MatchAllNode):
             return scorer.match_all_scores(self.index, node.boost,
                                            with_details=details)
+        if isinstance(node, RangeNode):
+            if self.attributes is None:
+                raise ValueError(
+                    "range queries need doc attributes — call "
+                    "Index.bind_attributes(df) with a docid-keyed table "
+                    f"carrying {node.attr!r} first")
+            from ..search.attributes import range_scores
+
+            return range_scores(self.index, self.attributes, node,
+                                restrict=restrict, with_details=details)
         if isinstance(node, NotNode):
             # the reference forwards options[:filtered] into the inner
             # query (not_query.ex:23-25 via QueryRepository.score), so in

@@ -70,6 +70,20 @@ class PhraseNode:
 
 
 @dataclass
+class RangeNode:
+    """Attribute range clause (extension — ES ``range``; the reference
+    has no non-text predicates). Constant-score membership over a
+    BOUND attribute column (Index.bind_attributes): docs whose ``attr``
+    satisfies every bound in ``conds`` ({gte/gt/lte/lt: value}) score
+    ``boost`` (positive, so the bool filter chain's score>0 gate keeps
+    survivors — the clause composes anywhere a query node can sit)."""
+
+    attr: str
+    conds: dict
+    boost: float = 1.0
+
+
+@dataclass
 class MatchAllNode:
     boost: float = 1.0
 
@@ -118,7 +132,29 @@ def _parse(kind: str, options):
         return NotNode(parse(options))
     if kind == "span_near":
         return _parse_span_near(options)
+    if kind == "range":
+        return _parse_range(options)
     raise ValueError(f"Unknown query type {kind}")
+
+
+def _parse_range(options):
+    from ..search.attributes import RANGE_OPS
+
+    fields = {k: v for k, v in options.items() if k not in OPTION_KEYS}
+    if len(fields) != 1:
+        raise ValueError("range takes exactly one attribute: "
+                         "{attr: {gte/gt/lte/lt: value}}")
+    (attr, params), = fields.items()
+    if not isinstance(params, dict):
+        raise ValueError("range bounds must be a map of gte/gt/lte/lt")
+    conds = {k: v for k, v in params.items() if k in RANGE_OPS}
+    bad = set(params) - set(RANGE_OPS) - {"boost"}
+    if bad or not conds:
+        raise ValueError(
+            f"range bounds must be a non-empty subset of {RANGE_OPS}; "
+            f"got {sorted(params)}")
+    return RangeNode(attr=attr, conds=conds,
+                     boost=params.get("boost", options.get("boost", 1)))
 
 
 def _parse_span_near(options):

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .build.indexer import InvertedIndex, build_index
 from .dsl.executor import QueryExecutor
@@ -37,6 +37,7 @@ class Index:
         self.default_analyzer = pipeline or AnalyzerConfig()
         self.analyzers: Dict[str, AnalyzerConfig] = {}
         self.inverted: Optional[InvertedIndex] = None
+        self._attributes: Optional[DataFrame] = None
 
     # -- schema ----------------------------------------------------------
     def add_field(self, name: str,
@@ -264,8 +265,58 @@ class Index:
             .select("term", "df", "idf")
 
     # -- search ------------------------------------------------------------
+    def bind_attributes(self, df: DataFrame,
+                        docid_col: str = "docid") -> "Index":
+        """Bind a docid-keyed doc-attribute table (timestamps, sources,
+        conversation ids — any typed columns) for ``range`` clauses,
+        ``facet_date_histogram`` and ``search_collapse``. Typically the
+        corpus table itself: attributes are NOT index state (the
+        warehouse stores postings, not documents), so a loaded index
+        re-binds them from the same table it was built over.
+
+        At scale the binding is lazy — nothing is scanned until a query
+        uses an attribute, and then only the referenced columns with the
+        range predicate pushed into the scan."""
+        cols = [F.col(docid_col).cast("string").alias("docid")]
+        cols += [F.col(c) for c in df.columns if c != docid_col]
+        self._attributes = df.select(*cols)
+        return self
+
+    def facet_date_histogram(self, query, attr: str,
+                             interval: str = "day",
+                             min_count: int = 1,
+                             mode: str = "elasticlunr") -> DataFrame:
+        """date_histogram aggregation: matched-doc counts of ``query``
+        bucketed by ``date_trunc(interval, attr)`` — DataFrame(bucket,
+        doc_count) ordered by bucket (search/attributes.py)."""
+        from .search.attributes import facet_date_histogram
+
+        if self._attributes is None:
+            raise ValueError("facet_date_histogram needs bound "
+                             "attributes (Index.bind_attributes)")
+        scored = self.executor(mode=mode).scored_docids(query)
+        return facet_date_histogram(scored, self._attributes, attr,
+                                    interval=interval,
+                                    min_count=min_count)
+
+    def search_collapse(self, query, attr: str, top_k: int = 10,
+                        mode: str = "elasticlunr", **kw) -> DataFrame:
+        """Field collapsing: the best-scoring doc per value of ``attr``
+        — DataFrame(<attr>, docid, score, group_size) in (score desc,
+        docid asc) order, limited to the ``top_k`` best groups. For
+        transcripts this is "best turn per conversation"
+        (search/attributes.py collapse_top)."""
+        from .search.attributes import collapse_top
+
+        if self._attributes is None:
+            raise ValueError("search_collapse needs bound attributes "
+                             "(Index.bind_attributes)")
+        scored = self.executor(mode=mode, **kw).scored_docids(query)
+        return collapse_top(scored, self._attributes, attr, top_k=top_k)
+
     def executor(self, mode: str = "elasticlunr", **kw) -> QueryExecutor:
-        return QueryExecutor(self.inverted, mode=mode, **kw)
+        return QueryExecutor(self.inverted, mode=mode,
+                             attributes=self._attributes, **kw)
 
     def search(self, query, top_k: Optional[int] = None,
                options: Optional[dict] = None, mode: str = "elasticlunr",

@@ -1,0 +1,157 @@
+"""Doc-attribute filtering and aggregations (extensions).
+
+The reference scores text fields only — a document's non-indexed
+attributes (timestamps, sources, conversation ids) never participate in
+a query (core/index.ex keeps just ``ref`` + field token maps). Real
+transcript search constantly needs them: "this phrase, last week",
+"best matching turn per conversation", "matches over time". These are
+the standard search-engine extensions on top of the flat hit list:
+
+* ``range_scores``   — the ES ``range`` clause: constant-score
+  membership by attribute bounds, composing with the bool filter chain
+  via the same restrict semi-join every leaf uses;
+* ``facet_date_histogram`` — ``date_histogram`` aggregation over a
+  query's matched docs;
+* ``collapse_top`` — ES field collapsing: the best-scoring doc per
+  attribute value (for transcripts: best TURN per CONVERSATION).
+
+Attributes are a user-bound DataFrame keyed by docid
+(``Index.bind_attributes``), typically the corpus table itself — at
+100 TB that is a parquet/Iceberg scan whose attribute predicates PUSH
+DOWN (the range condition lands in the scan's PushedFilters, nothing
+else of the corpus is read), and whose join with the matched set is
+bounded by match volume: AQE broadcasts the small side for selective
+queries.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import scorer
+
+RANGE_OPS = ("gte", "gt", "lte", "lt")
+
+# date_trunc units that bucket a timestamp onto calendar boundaries
+HISTOGRAM_INTERVALS = (
+    "year", "quarter", "month", "week", "day", "hour", "minute", "second",
+)
+
+
+def range_condition(attributes: DataFrame, attr: str, conds: dict):
+    """The boolean Column for ``conds`` ({gte/gt/lte/lt: value}) over
+    ``attr``, literals cast to the attribute's own type so timestamp
+    bounds can be given as ISO strings and comparisons stay typed (no
+    per-row string coercion in the scan)."""
+    if attr not in attributes.columns:
+        raise ValueError(
+            f"unknown attribute {attr!r}; bound attributes carry "
+            f"{[c for c in attributes.columns if c != 'docid']}")
+    bad = set(conds) - set(RANGE_OPS)
+    if bad or not conds:
+        raise ValueError(
+            f"range bounds must be a non-empty subset of {RANGE_OPS}, "
+            f"got {sorted(conds)}")
+    dt = attributes.schema[attr].dataType
+    col = F.col(attr)
+    out = None
+    for op in RANGE_OPS:  # fixed order -> stable plans
+        if op not in conds:
+            continue
+        lit = F.lit(conds[op]).cast(dt)
+        c = {"gte": col >= lit, "gt": col > lit,
+             "lte": col <= lit, "lt": col < lit}[op]
+        out = c if out is None else (out & c)
+    return out
+
+
+def range_scores(inv, attributes: DataFrame, node,
+                 restrict: Optional[DataFrame] = None,
+                 with_details: bool = False) -> DataFrame:
+    """Compile a RangeNode: docs whose attribute satisfies the bounds,
+    constant score = boost (like match_all/not — positive, so the bool
+    filter chain's score>0 gate keeps survivors).
+
+    Plan shape: attribute predicate -> pushed parquet filter on the
+    attributes scan; docid -> ord translation through the FULL ordinal
+    map (zero-content docs are legitimate range matches, same universe
+    match_all serves); membership restricted either by the incoming
+    ``restrict`` (filter-chain position) or by the live-docs universe
+    (root position — attributes may carry docids the index never held
+    or has tombstoned)."""
+    key = inv.key_col
+    cond = range_condition(attributes, node.attr, node.conds)
+    sel = attributes.where(cond).select("docid")
+    if key == "ord":
+        sel = sel.join(inv.ordinals_df(full=True), "docid").select("ord")
+    out = sel.select(key, F.lit(float(node.boost)).alias("score"))
+    if restrict is not None:
+        out = out.join(restrict.select(key).distinct(), key, "left_semi")
+    else:
+        out = out.join(scorer._universe(inv), key, "left_semi")
+    if with_details:
+        out = out.select("*", *scorer._details_cols())
+    return out
+
+
+def facet_date_histogram(scored: DataFrame, attributes: DataFrame,
+                         attr: str, interval: str = "day",
+                         min_count: int = 1) -> DataFrame:
+    """date_histogram over a query's matched docs: DataFrame
+    (bucket timestamp, doc_count) ordered by bucket, where bucket =
+    ``date_trunc(interval, attr)``.
+
+    ``scored`` is the translated (docid, score) matched set
+    (QueryExecutor.scored_docids). One hash join bounded by match
+    volume, one partial-aggregated groupBy on the bucket — bucket
+    cardinality is tiny (hours/days), so the final shuffle is a few
+    rows per partition."""
+    if interval not in HISTOGRAM_INTERVALS:
+        raise ValueError(
+            f"interval must be one of {HISTOGRAM_INTERVALS}, "
+            f"got {interval!r}")
+    if attr not in attributes.columns:
+        raise ValueError(f"unknown attribute {attr!r}")
+    m = scored.select("docid").distinct()
+    j = m.join(attributes.select("docid", attr), "docid")
+    counts = (
+        j.select(F.date_trunc(interval, F.col(attr)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    if min_count > 1:
+        counts = counts.where(F.col("doc_count") >= min_count)
+    return counts.orderBy(F.asc("bucket"))
+
+
+def collapse_top(scored: DataFrame, attributes: DataFrame, attr: str,
+                 top_k: int = 10) -> DataFrame:
+    """ES field collapsing: the single best-scoring doc per value of
+    ``attr`` — DataFrame(<attr>, docid, score, group_size) ordered
+    (score desc, docid asc), limited to the ``top_k`` best groups.
+
+    For transcripts (docid = conv:turn, attr = conv_id) this is "best
+    turn per conversation" — the result shape users actually page
+    through.
+
+    One shuffle, fully map-side combinable: the winner inside each
+    group is ``min_by(docid, struct(-score, docid))`` — struct ordering
+    realizes the (score desc, docid asc) tie-break inside a single
+    associative aggregate, so partial aggregation runs on every map
+    partition and no per-group row list ever materializes (a window
+    row_number() would shuffle every matched row unreduced). max(score)
+    is the same winner's score by construction; count(*) is the group
+    size. The final (score desc, docid asc) top-k is a TakeOrdered over
+    one row per group."""
+    if attr not in attributes.columns:
+        raise ValueError(f"unknown attribute {attr!r}")
+    joined = scored.join(attributes.select("docid", attr), "docid")
+    winners = joined.groupBy(attr).agg(
+        F.expr("min_by(docid, struct(-score, docid))").alias("docid"),
+        F.max("score").alias("score"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    out = winners.orderBy(F.desc("score"), F.asc("docid"))
+    return out.limit(top_k) if top_k is not None else out

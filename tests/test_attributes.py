@@ -1,0 +1,166 @@
+"""Doc-attribute extensions: range clauses, date histograms, field
+collapsing (search/attributes.py) — engine vs a pure-Python oracle over
+a deterministic corpus, plus tie/edge determinism pins."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ex_elasticlunr_spark import Index
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _docs(spark, n=40):
+    rows = []
+    words = ["spark", "merge", "window", "fast", "join", "sort", "query"]
+    for i in range(n):
+        text = " ".join(words[(i + j) % len(words)]
+                        for j in range(3 + i % 5))
+        rows.append((str(i), text, f"grp{i % 7}",
+                     T0 + dt.timedelta(minutes=7 * i)))
+    return spark.createDataFrame(
+        rows, "docid string, text string, grp string, ts timestamp")
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    docs = _docs(spark)
+    ix = Index(name="attr-test", store_positions=False).add_field("text")
+    ix.add_documents(docs, docid_col="docid", dedupe=False)
+    ix.bind_attributes(docs.select("docid", "grp", "ts"))
+    ix.materialize()
+    return ix
+
+
+def _base_scores(idx, terms):
+    """Engine scores for a terms query, docid -> score."""
+    return {r.docid: r.score
+            for r in idx.search({"query": {"terms": {"text": terms}}},
+                                top_k=None).collect()}
+
+
+class TestRange:
+    def test_filter_restricts_must(self, idx):
+        lo, hi = "2026-01-01 00:30:00", "2026-01-01 02:00:00"
+        got = idx.search({"query": {"bool": {
+            "must": {"terms": {"text": "spark"}},
+            "filter": [{"range": {"ts": {"gte": lo, "lt": hi}}}],
+        }}}).collect()
+        base = _base_scores(idx, "spark")
+        lo_m, hi_m = 30, 120
+        want = {d: s for d, s in base.items()
+                if lo_m <= 7 * int(d) < hi_m}
+        assert {r.docid: r.score for r in got} == want
+        assert got  # non-trivial slice
+
+    def test_root_range_constant_score(self, idx):
+        got = idx.search(
+            {"query": {"range": {"ts": {"lt": "2026-01-01 00:22:00"}}}}
+        ).collect()
+        assert sorted(int(r.docid) for r in got) == [0, 1, 2, 3]
+        assert {r.score for r in got} == {1.0}
+
+    def test_bounds_inclusive_exclusive(self, idx):
+        # gte/lte hit the boundary docs, gt/lt exclude them
+        at = (T0 + dt.timedelta(minutes=14)).strftime("%Y-%m-%d %H:%M:%S")
+        inc = idx.search({"query": {"range": {"ts": {"gte": at,
+                                                     "lte": at}}}}).collect()
+        assert [r.docid for r in inc] == ["2"]
+        exc = idx.search({"query": {"range": {"ts": {"gt": at,
+                                                     "lt": at}}}}).collect()
+        assert exc == []
+
+    def test_numeric_like_string_attr(self, idx):
+        got = idx.search(
+            {"query": {"range": {"grp": {"gte": "grp5"}}}}).collect()
+        assert {r.docid[-1] for r in got} <= set("0123456789")
+        want = {str(i) for i in range(40) if f"grp{i % 7}" >= "grp5"}
+        assert {r.docid for r in got} == want
+
+    def test_unbound_attributes_raise(self, spark):
+        docs = _docs(spark, 5)
+        ix = Index(name="nobind",
+                   store_positions=False).add_field("text")
+        ix.add_documents(docs, docid_col="docid", dedupe=False)
+        with pytest.raises(ValueError, match="bind_attributes"):
+            ix.search({"query": {"range": {"ts": {"gte": "2026-01-01"}}}}) \
+              .collect()
+
+    def test_bad_bounds_raise(self, idx):
+        with pytest.raises(ValueError, match="range bounds"):
+            idx.search({"query": {"range": {"ts": {"between": "x"}}}})
+        with pytest.raises(ValueError, match="unknown attribute"):
+            idx.search({"query": {"range": {"nope": {"gte": 1}}}}).collect()
+
+    def test_range_under_should_and_not(self, idx):
+        # range composes like any node: NOT range = complement universe
+        got = idx.search({"query": {"not": {
+            "range": {"ts": {"lt": "2026-01-01 00:22:00"}}}}}).collect()
+        assert sorted(int(r.docid) for r in got) == list(range(4, 40))
+
+
+class TestDateHistogram:
+    def test_hourly_counts(self, idx):
+        got = idx.facet_date_histogram(
+            {"query": {"match_all": {}}}, "ts", interval="hour").collect()
+        want = {}
+        for i in range(40):
+            b = (T0 + dt.timedelta(minutes=7 * i)).replace(minute=0)
+            want[b] = want.get(b, 0) + 1
+        assert {r.bucket: r.doc_count for r in got} == want
+        assert [r.bucket for r in got] == sorted(want)  # ordered
+
+    def test_matched_only(self, idx):
+        got = idx.facet_date_histogram(
+            {"query": {"terms": {"text": "spark"}}}, "ts",
+            interval="day").collect()
+        n = len(_base_scores(idx, "spark"))
+        assert sum(r.doc_count for r in got) == n
+
+    def test_bad_interval(self, idx):
+        with pytest.raises(ValueError, match="interval"):
+            idx.facet_date_histogram({"query": {"match_all": {}}}, "ts",
+                                     interval="fortnight")
+
+
+class TestCollapse:
+    def test_best_doc_per_group(self, idx):
+        scores = _base_scores(idx, ["spark", "merg", "window"])
+        got = idx.search_collapse(
+            {"query": {"terms": {"text": ["spark", "merg", "window"]}}},
+            "grp", top_k=None).collect()
+        # oracle: per grp, (score desc, docid asc) winner + group size
+        groups = {}
+        for d, s in scores.items():
+            groups.setdefault(f"grp{int(d) % 7}", []).append((d, s))
+        want = {}
+        for g, members in groups.items():
+            best = min(members, key=lambda p: (-p[1], p[0]))
+            want[g] = (best[0], best[1], len(members))
+        assert {r.grp: (r.docid, r.score, r.group_size)
+                for r in got} == want
+        # ordered (score desc, docid asc)
+        keys = [(-r.score, r.docid) for r in got]
+        assert keys == sorted(keys)
+
+    def test_tie_breaks_on_docid(self, spark):
+        # four docs with IDENTICAL text -> identical scores; the winner
+        # per group must be the lexicographically smallest docid
+        rows = [(d, "alpha beta", "g1") for d in ["9", "10", "b", "a"]]
+        df = spark.createDataFrame(
+            rows, "docid string, text string, grp string")
+        ix = Index(name="ties", store_positions=False).add_field("text")
+        ix.add_documents(df, docid_col="docid", dedupe=False)
+        ix.bind_attributes(df.select("docid", "grp"))
+        got = ix.search_collapse(
+            {"query": {"terms": {"text": "alpha"}}}, "grp").collect()
+        assert len(got) == 1
+        assert got[0].docid == "10"  # string order: "10" < "9" < "a" < "b"
+        assert got[0].group_size == 4
+
+    def test_topk_limits_groups(self, idx):
+        got = idx.search_collapse(
+            {"query": {"match_all": {}}}, "grp", top_k=3).collect()
+        assert len(got) == 3
