@@ -188,6 +188,7 @@ _STAMP_FIRST = [
     "stream_sessions_batch_eq", "event_funnel", "event_retention",
     "did_you_mean", "search_after_page2", "percolate_rules",
     "range_filter", "facet_date_hist", "search_collapse",
+    "exists_filter", "facet_stats_nchars", "search_decay_recent",
     # stamped in round 2 only
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb_near_dups",
     "mm_features", "mm_resize", "mm_frame_sample", "snippet_ords",
@@ -282,7 +283,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "ts",
                 F.to_timestamp(F.lit("2026-01-01 00:00:00"))
                 + F.make_interval(mins=F.col("doc_id")))
-            idx.bind_attributes(docs.select("docid", "ts", "source"))
+            # src_opt: deterministic NULLs (every src0 doc) so the
+            # exists clause has something real to filter
+            docs = docs.withColumn(
+                "src_opt", F.nullif(F.col("source"), F.lit("src0")))
+            idx.bind_attributes(docs.select(
+                "docid", "ts", "source", "src_opt", "n_chars"))
         return idx
 
     # bool(must: terms, filter: range(ts)) — the filter restricts
@@ -309,6 +315,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source", top_k=10) \
         .select("source", "docid", F.round("score", 6).alias("score"),
                 "group_size")
+
+    # exists as a bool filter: docs from src0 have NULL src_opt and drop
+    q["exists_filter"] = lambda s, d: _rounded(_with_attrs(s, d).search(
+        {"query": {"bool": {
+            "must": {"terms": {"text": "spark"}},
+            "filter": [{"exists": {"field": "src_opt"}}],
+        }}}))
+
+    # stats aggregation: n_chars over the docs matching a terms query
+    q["facet_stats_nchars"] = lambda s, d: _with_attrs(s, d).facet_stats(
+        {"query": {"terms": {"text": "spark"}}}, "n_chars") \
+        .select("doc_count", "min_v", "max_v",
+                F.round("avg_v", 6).alias("avg_v"), "sum_v")
+
+    # recency decay: BM25-ish terms scores * exp half-life of 1h from
+    # a fixed origin (ts = 2026-01-01 + doc_id minutes)
+    q["search_decay_recent"] = lambda s, d: _rounded(
+        _with_attrs(s, d).search_decay(
+            {"query": {"terms": {"text": ["spark", "merg"]}}},
+            "ts", "2026-01-01 02:00:00", 3600.0, decay=0.5,
+            shape="exp", top_k=None))
     q["match_and"] = lambda s, d: _search(
         s, d, {"query": {"match": {"text": {"query": "fast join",
                                              "operator": "and"}}}})
@@ -1037,6 +1064,35 @@ SELECT strftime(time_bucket(INTERVAL '1 hour',
        COUNT(*)::BIGINT AS doc_count
 FROM m JOIN documents d ON CAST(d.doc_id AS VARCHAR) = m.docid
 GROUP BY 1
+""")
+    # exists filter: src_opt = NULLIF(source, 'src0') — src0 docs drop,
+    # scores stay the must clause's terms scores
+    o["exists_filter"] = _score_query(f"""
+SELECT r.docid, r.score FROM ({terms_scores_sql(["spark"])}) r
+JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.docid
+WHERE NULLIF(d.source, 'src0') IS NOT NULL
+""")
+    # stats aggregation over the matched docs' n_chars
+    o["facet_stats_nchars"] = _wrap(pre, f"""
+, m AS (
+  SELECT DISTINCT docid
+  FROM ({terms_scores_sql(["spark"])}) r
+)
+SELECT COUNT(d.n_chars)::BIGINT AS doc_count,
+       MIN(d.n_chars)::DOUBLE AS min_v,
+       MAX(d.n_chars)::DOUBLE AS max_v,
+       ROUND(AVG(d.n_chars), 6) AS avg_v,
+       SUM(d.n_chars)::DOUBLE AS sum_v
+FROM m JOIN documents d ON CAST(d.doc_id AS VARCHAR) = m.docid
+""")
+    # exp decay with half-life 3600s from 02:00; ts = midnight +
+    # doc_id minutes, so the distance is |60*doc_id - 7200| seconds
+    o["search_decay_recent"] = _score_query(f"""
+SELECT r.docid,
+       r.score * EXP(LN(0.5) / 3600.0
+                     * ABS(d.doc_id * 60.0 - 7200.0)) AS score
+FROM ({terms_scores_sql(_analyze("spark merge"))}) r
+JOIN documents d ON CAST(d.doc_id AS VARCHAR) = r.docid
 """)
     # collapse: per-source (raw score desc, docid asc) winner + group
     # size; the top-10 groups picked on RAW scores (rounding only in

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..search import scorer
 from .nodes import (
     BoolNode,
+    ExistsNode,
     MatchAllNode,
     MatchNode,
     MatchPhraseNode,
@@ -140,9 +141,11 @@ class QueryExecutor:
         match_all): those need the FULL ordinal map with synthetic
         negative ordinals for zero-content docs; everything else scores
         posting-bearing docs only."""
-        if isinstance(node, (MatchAllNode, NotNode, RangeNode)):
-            # range: zero-content docs are legitimate attribute matches
-            # (their synthetic negative ordinals need the full map)
+        if isinstance(node, (MatchAllNode, NotNode, RangeNode,
+                             ExistsNode)):
+            # range/exists: zero-content docs are legitimate attribute
+            # matches (their synthetic negative ordinals need the full
+            # map)
             return True
         if isinstance(node, (MatchNode, MatchPhraseNode)):
             pipeline = self.index.analyzers[node.field].to_query_pipeline()
@@ -193,16 +196,18 @@ class QueryExecutor:
         if isinstance(node, MatchAllNode):
             return scorer.match_all_scores(self.index, node.boost,
                                            with_details=details)
-        if isinstance(node, RangeNode):
+        if isinstance(node, (RangeNode, ExistsNode)):
             if self.attributes is None:
                 raise ValueError(
-                    "range queries need doc attributes — call "
+                    "range/exists queries need doc attributes — call "
                     "Index.bind_attributes(df) with a docid-keyed table "
                     f"carrying {node.attr!r} first")
-            from ..search.attributes import range_scores
+            from ..search.attributes import exists_scores, range_scores
 
-            return range_scores(self.index, self.attributes, node,
-                                restrict=restrict, with_details=details)
+            fn = (range_scores if isinstance(node, RangeNode)
+                  else exists_scores)
+            return fn(self.index, self.attributes, node,
+                      restrict=restrict, with_details=details)
         if isinstance(node, NotNode):
             # the reference forwards options[:filtered] into the inner
             # query (not_query.ex:23-25 via QueryRepository.score), so in

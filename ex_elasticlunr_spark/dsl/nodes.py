@@ -84,6 +84,16 @@ class RangeNode:
 
 
 @dataclass
+class ExistsNode:
+    """Attribute non-null clause (extension — ES ``exists``). Docs
+    whose bound attribute ``attr`` is non-null score ``boost``;
+    composes like RangeNode."""
+
+    attr: str
+    boost: float = 1.0
+
+
+@dataclass
 class MatchAllNode:
     boost: float = 1.0
 
@@ -134,6 +144,11 @@ def _parse(kind: str, options):
         return _parse_span_near(options)
     if kind == "range":
         return _parse_range(options)
+    if kind == "exists":
+        if not isinstance(options, dict) or "field" not in options:
+            raise ValueError('exists takes {"field": attr}')
+        return ExistsNode(attr=options["field"],
+                          boost=options.get("boost", 1))
     raise ValueError(f"Unknown query type {kind}")
 
 

@@ -299,6 +299,40 @@ class Index:
                                     interval=interval,
                                     min_count=min_count)
 
+    def facet_stats(self, query, attr: str,
+                    mode: str = "elasticlunr") -> DataFrame:
+        """ES ``stats`` aggregation: one row of doc_count / min_v /
+        max_v / avg_v / sum_v for a NUMERIC attribute over the docs
+        matching ``query`` (search/attributes.py)."""
+        from .search.attributes import facet_stats
+
+        if self._attributes is None:
+            raise ValueError("facet_stats needs bound attributes "
+                             "(Index.bind_attributes)")
+        scored = self.executor(mode=mode).scored_docids(query)
+        return facet_stats(scored, self._attributes, attr)
+
+    def search_decay(self, query, attr: str, origin, scale: float,
+                     decay: float = 0.5, shape: str = "exp",
+                     top_k: Optional[int] = 10,
+                     mode: str = "elasticlunr") -> DataFrame:
+        """function_score-style decay rescoring: ``query``'s scores
+        multiplied by an exp/gauss/linear decay of the attribute's
+        distance from ``origin`` (timestamps: seconds), then the usual
+        deterministic (score desc, docid asc) top-k. For transcripts
+        this is "recent turns rank higher" (search/attributes.py
+        decay_scores)."""
+        from .search.attributes import decay_scores
+
+        if self._attributes is None:
+            raise ValueError("search_decay needs bound attributes "
+                             "(Index.bind_attributes)")
+        scored = self.executor(mode=mode).scored_docids(query)
+        out = decay_scores(scored, self._attributes, attr, origin,
+                           scale, decay=decay, shape=shape)
+        out = out.orderBy(F.desc("score"), F.asc("docid"))
+        return out.limit(top_k) if top_k is not None else out
+
     def search_collapse(self, query, attr: str, top_k: int = 10,
                         mode: str = "elasticlunr", **kw) -> DataFrame:
         """Field collapsing: the best-scoring doc per value of ``attr``

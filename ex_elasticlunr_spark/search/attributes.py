@@ -10,10 +10,17 @@ the standard search-engine extensions on top of the flat hit list:
 * ``range_scores``   — the ES ``range`` clause: constant-score
   membership by attribute bounds, composing with the bool filter chain
   via the same restrict semi-join every leaf uses;
+* ``exists_scores``  — the ES ``exists`` clause: docs whose attribute
+  is non-null (same membership plumbing as range);
 * ``facet_date_histogram`` — ``date_histogram`` aggregation over a
   query's matched docs;
+* ``facet_stats``    — the ES ``stats`` aggregation: count/min/max/
+  avg/sum of a numeric attribute over a query's matched docs;
 * ``collapse_top`` — ES field collapsing: the best-scoring doc per
-  attribute value (for transcripts: best TURN per CONVERSATION).
+  attribute value (for transcripts: best TURN per CONVERSATION);
+* ``decay_scores`` — function_score-style recency decay: multiply a
+  query's scores by exp/gauss/linear distance decay from an origin
+  (for transcripts: recent turns rank higher).
 
 Attributes are a user-bound DataFrame keyed by docid
 (``Index.bind_attributes``), typically the corpus table itself — at
@@ -67,26 +74,24 @@ def range_condition(attributes: DataFrame, attr: str, conds: dict):
     return out
 
 
-def range_scores(inv, attributes: DataFrame, node,
-                 restrict: Optional[DataFrame] = None,
-                 with_details: bool = False) -> DataFrame:
-    """Compile a RangeNode: docs whose attribute satisfies the bounds,
-    constant score = boost (like match_all/not — positive, so the bool
-    filter chain's score>0 gate keeps survivors).
+def _membership_scores(inv, attributes: DataFrame, cond, boost: float,
+                       restrict: Optional[DataFrame] = None,
+                       with_details: bool = False) -> DataFrame:
+    """Constant-score membership over an attribute predicate — the
+    shared compile shape for range/exists clauses.
 
     Plan shape: attribute predicate -> pushed parquet filter on the
     attributes scan; docid -> ord translation through the FULL ordinal
-    map (zero-content docs are legitimate range matches, same universe
-    match_all serves); membership restricted either by the incoming
-    ``restrict`` (filter-chain position) or by the live-docs universe
-    (root position — attributes may carry docids the index never held
-    or has tombstoned)."""
+    map (zero-content docs are legitimate attribute matches, same
+    universe match_all serves); membership restricted either by the
+    incoming ``restrict`` (filter-chain position) or by the live-docs
+    universe (root position — attributes may carry docids the index
+    never held or has tombstoned)."""
     key = inv.key_col
-    cond = range_condition(attributes, node.attr, node.conds)
     sel = attributes.where(cond).select("docid")
     if key == "ord":
         sel = sel.join(inv.ordinals_df(full=True), "docid").select("ord")
-    out = sel.select(key, F.lit(float(node.boost)).alias("score"))
+    out = sel.select(key, F.lit(float(boost)).alias("score"))
     if restrict is not None:
         out = out.join(restrict.select(key).distinct(), key, "left_semi")
     else:
@@ -94,6 +99,34 @@ def range_scores(inv, attributes: DataFrame, node,
     if with_details:
         out = out.select("*", *scorer._details_cols())
     return out
+
+
+def range_scores(inv, attributes: DataFrame, node,
+                 restrict: Optional[DataFrame] = None,
+                 with_details: bool = False) -> DataFrame:
+    """Compile a RangeNode: docs whose attribute satisfies the bounds,
+    constant score = boost (like match_all/not — positive, so the bool
+    filter chain's score>0 gate keeps survivors)."""
+    cond = range_condition(attributes, node.attr, node.conds)
+    return _membership_scores(inv, attributes, cond, node.boost,
+                              restrict=restrict,
+                              with_details=with_details)
+
+
+def exists_scores(inv, attributes: DataFrame, node,
+                  restrict: Optional[DataFrame] = None,
+                  with_details: bool = False) -> DataFrame:
+    """Compile an ExistsNode: docs whose attribute is NON-NULL,
+    constant score = boost. The IsNotNull predicate pushes into the
+    attribute scan like a range bound does."""
+    if node.attr not in attributes.columns:
+        raise ValueError(
+            f"unknown attribute {node.attr!r}; bound attributes carry "
+            f"{[c for c in attributes.columns if c != 'docid']}")
+    cond = F.col(node.attr).isNotNull()
+    return _membership_scores(inv, attributes, cond, node.boost,
+                              restrict=restrict,
+                              with_details=with_details)
 
 
 def facet_date_histogram(scored: DataFrame, attributes: DataFrame,
@@ -155,3 +188,89 @@ def collapse_top(scored: DataFrame, attributes: DataFrame, attr: str,
     )
     out = winners.orderBy(F.desc("score"), F.asc("docid"))
     return out.limit(top_k) if top_k is not None else out
+
+
+def facet_stats(scored: DataFrame, attributes: DataFrame,
+                attr: str) -> DataFrame:
+    """ES ``stats`` aggregation: one row of doc_count / min_v / max_v /
+    avg_v / sum_v for a NUMERIC attribute over a query's matched docs.
+
+    One hash join bounded by match volume, then a fully map-side-
+    combinable global aggregate (all five stats are associative) — at
+    scale the final reduce sees one partial row per partition."""
+    if attr not in attributes.columns:
+        raise ValueError(f"unknown attribute {attr!r}")
+    m = scored.select("docid").distinct()
+    j = m.join(attributes.select("docid", attr), "docid")
+    c = F.col(attr)
+    return j.agg(
+        F.count(c).alias("doc_count"),
+        F.min(c).cast("double").alias("min_v"),
+        F.max(c).cast("double").alias("max_v"),
+        F.avg(c).alias("avg_v"),
+        F.sum(c).cast("double").alias("sum_v"),
+    )
+
+
+DECAY_SHAPES = ("exp", "gauss", "linear")
+
+
+def decay_multiplier(attr_col, dt, origin, scale: float,
+                     decay: float = 0.5, shape: str = "exp"):
+    """The per-doc decay factor Column: ES function_score decay
+    functions (exp/gauss/linear) of |attr - origin| measured in the
+    attribute's own units — seconds for timestamps, raw magnitude for
+    numerics. ``scale`` is the distance at which the factor equals
+    ``decay``; linear clamps at 0 past scale/(1-decay)."""
+    import math
+
+    if shape not in DECAY_SHAPES:
+        raise ValueError(f"shape must be one of {DECAY_SHAPES}, "
+                         f"got {shape!r}")
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    if dt.typeName() in ("timestamp", "timestamp_ntz", "date"):
+        # distance in SECONDS between timestamps; unix_timestamp is
+        # a pure column expr (stays in codegen)
+        dist = F.abs(F.unix_timestamp(attr_col)
+                     - F.unix_timestamp(F.lit(origin).cast("timestamp")))
+    else:
+        dist = F.abs(attr_col.cast("double") - F.lit(float(origin)))
+    dist = dist.cast("double")
+    if shape == "exp":
+        lam = math.log(decay) / scale
+        return F.exp(F.lit(lam) * dist)
+    if shape == "gauss":
+        # exp(-dist^2 / (2*sigma^2)), sigma^2 = -scale^2 / (2 ln decay)
+        sigma2 = -(scale ** 2) / (2.0 * math.log(decay))
+        return F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+    # linear: max(0, (s - dist) / s), s = scale / (1 - decay)
+    s = scale / (1.0 - decay)
+    return F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+
+
+def decay_scores(scored: DataFrame, attributes: DataFrame, attr: str,
+                 origin, scale: float, decay: float = 0.5,
+                 shape: str = "exp") -> DataFrame:
+    """function_score-style decay rescoring: a query's (docid, score)
+    multiplied by the decay factor of its attribute distance from
+    ``origin`` — DataFrame(docid, score) UNSORTED (the caller adds the
+    global top-k like any other query result). Docs with a NULL
+    attribute are dropped (no meaningful distance), matching ES's
+    requirement that decay fields exist on every scored doc.
+
+    The multiply is one hash join bounded by match volume plus pure
+    column exprs — no shuffle beyond the join, nothing leaves
+    codegen."""
+    if attr not in attributes.columns:
+        raise ValueError(f"unknown attribute {attr!r}")
+    dt = attributes.schema[attr].dataType
+    mult = decay_multiplier(F.col(attr), dt, origin, scale,
+                            decay=decay, shape=shape)
+    j = scored.join(
+        attributes.select("docid", attr).where(F.col(attr).isNotNull()),
+        "docid")
+    return j.select("docid",
+                    (F.col("score") * mult).alias("score"))

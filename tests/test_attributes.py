@@ -19,9 +19,10 @@ def _docs(spark, n=40):
         text = " ".join(words[(i + j) % len(words)]
                         for j in range(3 + i % 5))
         rows.append((str(i), text, f"grp{i % 7}",
-                     T0 + dt.timedelta(minutes=7 * i)))
+                     T0 + dt.timedelta(minutes=7 * i), 7 * i))
     return spark.createDataFrame(
-        rows, "docid string, text string, grp string, ts timestamp")
+        rows,
+        "docid string, text string, grp string, ts timestamp, mins long")
 
 
 @pytest.fixture(scope="module")
@@ -29,7 +30,7 @@ def idx(spark):
     docs = _docs(spark)
     ix = Index(name="attr-test", store_positions=False).add_field("text")
     ix.add_documents(docs, docid_col="docid", dedupe=False)
-    ix.bind_attributes(docs.select("docid", "grp", "ts"))
+    ix.bind_attributes(docs.select("docid", "grp", "ts", "mins"))
     ix.materialize()
     return ix
 
@@ -164,3 +165,132 @@ class TestCollapse:
         got = idx.search_collapse(
             {"query": {"match_all": {}}}, "grp", top_k=3).collect()
         assert len(got) == 3
+
+
+class TestExists:
+    def test_null_and_nonnull(self, spark):
+        rows = [("0", "alpha beta", "g"), ("1", "alpha", None),
+                ("2", "beta", "h"), ("3", "alpha beta gamma", None)]
+        df = spark.createDataFrame(
+            rows, "docid string, text string, grp string")
+        ix = Index(name="exists", store_positions=False).add_field("text")
+        ix.add_documents(df, docid_col="docid", dedupe=False)
+        ix.bind_attributes(df.select("docid", "grp"))
+        got = ix.search({"query": {"exists": {"field": "grp"}}}).collect()
+        assert sorted(r.docid for r in got) == ["0", "2"]
+        assert {r.score for r in got} == {1.0}
+        # as a bool filter: must scores survive, null-grp docs drop
+        got = ix.search({"query": {"bool": {
+            "must": {"terms": {"text": "alpha"}},
+            "filter": [{"exists": {"field": "grp"}}],
+        }}}).collect()
+        assert [r.docid for r in got] == ["0"]
+
+    def test_bad_shapes(self, idx):
+        with pytest.raises(ValueError, match="exists takes"):
+            idx.search({"query": {"exists": "ts"}})
+        with pytest.raises(ValueError, match="unknown attribute"):
+            idx.search({"query": {"exists": {"field": "nope"}}}).collect()
+
+
+class TestStats:
+    def test_numeric_stats_over_match(self, idx):
+        # attribute: minutes offset = 7*i; matched set = docs with
+        # "spark" — oracle the five stats in python
+        docs = sorted(int(d) for d in _base_scores(idx, "spark"))
+        mins = [7 * i for i in docs]
+        ix2 = idx  # grp/ts bound; bind a numeric column too
+        got = ix2.facet_stats(
+            {"query": {"terms": {"text": "spark"}}}, "mins").collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.doc_count == len(mins)
+        assert r.min_v == float(min(mins))
+        assert r.max_v == float(max(mins))
+        assert abs(r.avg_v - sum(mins) / len(mins)) < 1e-9
+        assert r.sum_v == float(sum(mins))
+
+    def test_unknown_attr(self, idx):
+        with pytest.raises(ValueError, match="unknown attribute"):
+            idx.facet_stats({"query": {"match_all": {}}}, "nope")
+
+
+class TestDecay:
+    @pytest.mark.parametrize("shape", ["exp", "gauss", "linear"])
+    def test_decay_oracle(self, idx, shape):
+        import math
+
+        base = _base_scores(idx, ["spark", "merg"])
+        origin = "2026-01-01 02:00:00"
+        o_s = (T0 + dt.timedelta(hours=2) - dt.datetime(1970, 1, 1)
+               ).total_seconds()
+        scale, decay = 3600.0, 0.5
+        got = idx.search_decay(
+            {"query": {"terms": {"text": ["spark", "merg"]}}},
+            "ts", origin, scale, decay=decay, shape=shape,
+            top_k=None).collect()
+
+        def mult(d):
+            ts = (T0 + dt.timedelta(minutes=7 * int(d))
+                  - dt.datetime(1970, 1, 1)).total_seconds()
+            dist = abs(ts - o_s)
+            if shape == "exp":
+                return math.exp(math.log(decay) / scale * dist)
+            if shape == "gauss":
+                s2 = -(scale ** 2) / (2 * math.log(decay))
+                return math.exp(-dist * dist / (2 * s2))
+            s = scale / (1 - decay)
+            return max(0.0, (s - dist) / s)
+
+        want = {d: s * mult(d) for d, s in base.items()}
+        assert set(r.docid for r in got) == set(want)
+        for r in got:
+            assert abs(r.score - want[r.docid]) < 1e-9, r.docid
+        # ordered (score desc, docid asc)
+        keys = [(-r.score, r.docid) for r in got]
+        assert keys == sorted(keys)
+
+    def test_recency_reorders(self, idx):
+        # identical base scores -> latest doc wins under decay from a
+        # late origin
+        got = idx.search_decay(
+            {"query": {"match_all": {}}}, "ts",
+            "2026-01-01 04:33:00", 3600.0, top_k=3).collect()
+        assert [r.docid for r in got][0] == "39"  # closest to origin
+
+    def test_param_validation(self, idx):
+        with pytest.raises(ValueError, match="shape"):
+            idx.search_decay({"query": {"match_all": {}}}, "ts",
+                             "2026-01-01", 10.0, shape="step").collect()
+        with pytest.raises(ValueError, match="decay"):
+            idx.search_decay({"query": {"match_all": {}}}, "ts",
+                             "2026-01-01", 10.0, decay=1.5).collect()
+        with pytest.raises(ValueError, match="scale"):
+            idx.search_decay({"query": {"match_all": {}}}, "ts",
+                             "2026-01-01", -1.0).collect()
+
+
+class TestAttributePushdown:
+    def test_range_predicate_reaches_parquet_scan(self, spark, tmp_path):
+        # attributes read from parquet: the range bounds must land in
+        # the scan's PushedFilters, and only (docid, ts) is read
+        import datetime as dtm
+
+        p = str(tmp_path / "attrs.parquet")
+        rows = [(str(i), "spark text", f"g{i % 3}",
+                 T0 + dtm.timedelta(minutes=i)) for i in range(50)]
+        spark.createDataFrame(
+            rows, "docid string, text string, grp string, ts timestamp"
+        ).write.parquet(p)
+        df = spark.read.parquet(p)
+        ix = Index(name="push-attrs",
+                   store_positions=False).add_field("text")
+        ix.add_documents(df, docid_col="docid", dedupe=False)
+        ix.bind_attributes(spark.read.parquet(p).drop("text"))
+        res = ix.search({"query": {"range": {"ts": {
+            "gte": "2026-01-01 00:10:00", "lt": "2026-01-01 00:20:00"}}}})
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(ts" in plan
+        assert "LessThan(ts" in plan
+        assert res.count() == 10
