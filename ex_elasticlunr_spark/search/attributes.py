@@ -93,7 +93,9 @@ def _membership_scores(inv, attributes: DataFrame, cond, boost: float,
         sel = sel.join(inv.ordinals_df(full=True), "docid").select("ord")
     out = sel.select(key, F.lit(float(boost)).alias("score"))
     if restrict is not None:
-        out = out.join(restrict.select(key).distinct(), key, "left_semi")
+        # no distinct: semi-join semantics dedupe the right side for
+        # free (same shape every other leaf uses for restrict)
+        out = out.join(restrict.select(key), key, "left_semi")
     else:
         out = out.join(scorer._universe(inv), key, "left_semi")
     if with_details:

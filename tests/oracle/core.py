@@ -187,6 +187,13 @@ class OracleIndex:
         self.mode = "elasticlunr"
         self.k1 = 1.2
         self.b = 0.75
+        # docid -> {attr: value} for range/exists clauses (mirrors
+        # Index.bind_attributes); None values mean "attribute absent"
+        self.attributes: Dict[str, dict] = {}
+
+    def bind_attributes(self, attrs: Dict[str, dict]) -> "OracleIndex":
+        self.attributes = attrs
+        return self
 
     def bm25(self, k1: float = 1.2, b: float = 0.75) -> "OracleIndex":
         """A shallow view of this index scoring leaves in BM25 mode —
@@ -352,6 +359,57 @@ class MatchQ:
         return self.rewrite(index).score(index, filtered)
 
 
+_RANGE_FNS = {
+    "gte": lambda v, b: v >= b,
+    "gt": lambda v, b: v > b,
+    "lte": lambda v, b: v <= b,
+    "lt": lambda v, b: v < b,
+}
+
+
+@dataclass
+class RangeQ:
+    """Attribute range clause (engine extension,
+    search/attributes.py range_scores): constant-score membership of
+    docs whose bound attribute satisfies every gte/gt/lte/lt bound;
+    docs with a missing/None attribute never match."""
+
+    attr: str
+    conds: dict
+    boost: float = 1.0
+
+    def _match(self, v) -> bool:
+        return v is not None and all(
+            _RANGE_FNS[op](v, b) for op, b in self.conds.items())
+
+    def score(self, index: OracleIndex, filtered=None):
+        cands = filtered if filtered is not None else index.all()
+        attrs = index.attributes
+        return [
+            {"ref": d, "score": 1.0 * self.boost, "positions": {}}
+            for d in cands
+            if self._match(attrs.get(d, {}).get(self.attr))
+        ]
+
+
+@dataclass
+class ExistsQ:
+    """Attribute non-null clause (engine extension,
+    search/attributes.py exists_scores)."""
+
+    attr: str
+    boost: float = 1.0
+
+    def score(self, index: OracleIndex, filtered=None):
+        cands = filtered if filtered is not None else index.all()
+        attrs = index.attributes
+        return [
+            {"ref": d, "score": 1.0 * self.boost, "positions": {}}
+            for d in cands
+            if attrs.get(d, {}).get(self.attr) is not None
+        ]
+
+
 @dataclass
 class NotQ:
     inner: object
@@ -443,7 +501,7 @@ def _score(node, index: OracleIndex, filtered=None):
     # from the unrestricted universe (not_query.ex:23-31 — the default
     # Query.filter at dsl/query.ex:39-46 passes options through, so a
     # not inside a bool filter chain sees the prior clause's survivors)
-    if isinstance(node, (TermsQ, MatchQ, NotQ)):
+    if isinstance(node, (TermsQ, MatchQ, NotQ, RangeQ, ExistsQ)):
         return node.score(index, filtered)
     return node.score(index)
 
@@ -472,6 +530,14 @@ def _parse(kind: str, options):
         return _parse_bool(options)
     if kind == "not":
         return NotQ(parse(options))
+    if kind == "range":
+        fields = {k: v for k, v in options.items() if k not in _OPTION_KEYS}
+        (attr, params), = fields.items()
+        conds = {k: v for k, v in params.items() if k in _RANGE_FNS}
+        return RangeQ(attr=attr, conds=conds,
+                      boost=params.get("boost", options.get("boost", 1)))
+    if kind == "exists":
+        return ExistsQ(attr=options["field"], boost=options.get("boost", 1))
     raise ValueError(f"Unknown query type {kind}")
 
 

@@ -55,6 +55,19 @@ def corpus(spark):
         [{"id": r["docid"], "text": r["text"], "tool": r["tool"]}
          for r in src.select("docid", "text", "tool").collect()])
 
+    # doc attributes for range/exists leaves, deterministic from the
+    # sorted docid list and bound IDENTICALLY on both engines; grp is
+    # None for every 5th doc so exists has real nulls to filter
+    docids = sorted(r["docid"] for r in src.select("docid").collect())
+    attrs = {d: {"mins": (7 * i) % 97,
+                 "grp": None if i % 5 == 0 else f"g{i % 4}"}
+             for i, d in enumerate(docids)}
+    adf = spark.createDataFrame(
+        [(d, v["mins"], v["grp"]) for d, v in attrs.items()],
+        "docid string, mins long, grp string")
+    idx.bind_attributes(adf)
+    oidx.bind_attributes(attrs)
+
     # sampling pools: analyzed vocabulary per field (terms queries match
     # the vocab verbatim), raw words (match queries analyze the string),
     # plus misses/typos/prefixes to exercise empty results, fuzzy and
@@ -81,6 +94,18 @@ def _leaf(rng: random.Random, vocab, raw_words):
     roll = rng.random()
     if roll < 0.15:
         return {"match_all": {}}
+    if roll < 0.27:
+        # attribute leaves (engine extension, search/attributes.py;
+        # oracle RangeQ/ExistsQ) — range bounds over the mins attr's
+        # 0..96 domain, exists over the sometimes-null grp
+        boost = rng.choice([1, 1, 2, 0.5])
+        if rng.random() < 0.35:
+            return {"exists": {"field": rng.choice(["grp", "mins"]),
+                               "boost": boost}}
+        ops = rng.sample(["gte", "gt", "lte", "lt"], rng.randint(1, 2))
+        conds = {op: rng.randint(0, 96) for op in ops}
+        conds["boost"] = boost
+        return {"range": {"mins": conds}}
     field = rng.choice(FIELDS)
     if roll < 0.55:  # match
         words = _words(rng, raw_words)
