@@ -189,6 +189,7 @@ _STAMP_FIRST = [
     "did_you_mean", "search_after_page2", "percolate_rules",
     "range_filter", "facet_date_hist", "search_collapse",
     "exists_filter", "facet_stats_nchars", "search_decay_recent",
+    "synonym_match",
     # stamped in round 2 only
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb_near_dups",
     "mm_features", "mm_resize", "mm_frame_sample", "snippet_ords",
@@ -315,6 +316,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source", top_k=10) \
         .select("source", "docid", F.round("score", 6).alias("score"),
                 "group_size")
+
+    # query-time synonyms: "rapid" never occurs in the corpus; the
+    # synonym view bridges it to "fast" (analysis/synonyms.py,
+    # Index.with_query_synonyms — zero rebuild, query analysis only)
+    q["synonym_match"] = lambda s, d: _rounded(
+        _index(s, d).with_query_synonyms({"rapid": ["fast"]}).search(
+            {"query": {"match": {"text": "rapid"}}}))
 
     # exists as a bool filter: docs from src0 have NULL src_opt and drop
     q["exists_filter"] = lambda s, d: _rounded(_with_attrs(s, d).search(
@@ -1065,6 +1073,9 @@ SELECT strftime(time_bucket(INTERVAL '1 hour',
 FROM m JOIN documents d ON CAST(d.doc_id AS VARCHAR) = m.docid
 GROUP BY 1
 """)
+    # synonym view: match "rapid" expands to terms [rapid, fast];
+    # rapid matches nothing, so scores are fast's max-over-terms
+    o["synonym_match"] = _score_query(terms_scores_sql(["rapid", "fast"]))
     # exists filter: src_opt = NULLIF(source, 'src0') — src0 docs drop,
     # scores stay the must clause's terms scores
     o["exists_filter"] = _score_query(f"""

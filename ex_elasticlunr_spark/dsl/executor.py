@@ -50,7 +50,8 @@ from .nodes import (
 class QueryExecutor:
     def __init__(self, index, mode: str = "elasticlunr",
                  k1: float = 1.2, b: float = 0.75,
-                 attributes: Optional[DataFrame] = None):
+                 attributes: Optional[DataFrame] = None,
+                 analyzers: Optional[dict] = None):
         self.index = index
         self.mode = mode
         self.k1 = k1
@@ -58,6 +59,10 @@ class QueryExecutor:
         # docid-keyed doc-attribute table (Index.bind_attributes) —
         # required only by RangeNode clauses
         self.attributes = attributes
+        # per-field AnalyzerConfig override (Index.with_query_synonyms
+        # views); default: the configs the index was built with
+        self.analyzers = (analyzers if analyzers is not None
+                          else index.analyzers)
 
     # -- public ----------------------------------------------------------
     def execute(self, query: dict, top_k: Optional[int] = None,
@@ -130,7 +135,7 @@ class QueryExecutor:
                 if b > 0
             ]
         else:
-            should = [{"match": {f: text}} for f in self.index.analyzers]
+            should = [{"match": {f: text}} for f in self.analyzers]
         return self.execute({"query": {"bool": {"should": should}}},
                             top_k=top_k, search_after=search_after)
 
@@ -148,7 +153,7 @@ class QueryExecutor:
             # map)
             return True
         if isinstance(node, (MatchNode, MatchPhraseNode)):
-            pipeline = self.index.analyzers[node.field].to_query_pipeline()
+            pipeline = self.analyzers[node.field].to_query_pipeline()
             return len(pipeline.run(node.query)) == 0
         if isinstance(node, BoolNode):
             kids = list(node.should) + list(node.filter)
@@ -162,10 +167,10 @@ class QueryExecutor:
     def compile(self, node, restrict: Optional[DataFrame] = None,
                 details: bool = False) -> DataFrame:
         if isinstance(node, MatchNode):
-            pipeline = self.index.analyzers[node.field].to_query_pipeline()
+            pipeline = self.analyzers[node.field].to_query_pipeline()
             node = rewrite_match(node, pipeline)
         if isinstance(node, MatchPhraseNode):
-            pipeline = self.index.analyzers[node.field].to_query_pipeline()
+            pipeline = self.analyzers[node.field].to_query_pipeline()
             node = rewrite_match_phrase(node, pipeline)
         if isinstance(node, PhraseNode):
             return scorer.phrase_scores(

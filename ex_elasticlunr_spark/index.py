@@ -348,9 +348,42 @@ class Index:
         scored = self.executor(mode=mode, **kw).scored_docids(query)
         return collapse_top(scored, self._attributes, attr, top_k=top_k)
 
+    def with_query_synonyms(self, mapping: dict,
+                            fields: Optional[list] = None) -> "Index":
+        """A query-time synonym VIEW of this index: same inverted index
+        (nothing rebuilt or copied), but query strings analyze through
+        an appended SynonymFilter so each mapped token also matches its
+        synonyms. Write the mapping in the pipeline's OUTPUT form
+        (stemmed, for the default pipeline): {"rapid": ["fast"]}
+        bridges query vocabulary the corpus never uses.
+
+        Scoring: synonyms are alternatives — elasticlunr mode takes the
+        max over terms, BM25 sums matched entries (each doc matches one
+        variant in practice). Caveat: ``operator:"and"`` / msm counts
+        run over the EXPANDED token list (a graph-aware rewrite is out
+        of scope), so keep synonyms on default-OR queries.
+        """
+        import copy
+
+        from .analysis.pipeline import Pipeline as _Pipeline
+        from .analysis.synonyms import SynonymFilter
+
+        filt = SynonymFilter(mapping)
+        out = copy.copy(self)
+        out.analyzers = dict(self.analyzers)
+        for f in (fields if fields is not None else list(self.analyzers)):
+            cfg = copy.copy(self.analyzers[f])
+            base = cfg.to_query_pipeline()
+            cfg.query_pipeline = _Pipeline(
+                list(base.callbacks) + [filt], base.separator,
+                unicode=base.unicode)
+            out.analyzers[f] = cfg
+        return out
+
     def executor(self, mode: str = "elasticlunr", **kw) -> QueryExecutor:
         return QueryExecutor(self.inverted, mode=mode,
-                             attributes=self._attributes, **kw)
+                             attributes=self._attributes,
+                             analyzers=self.analyzers, **kw)
 
     def search(self, query, top_k: Optional[int] = None,
                options: Optional[dict] = None, mode: str = "elasticlunr",

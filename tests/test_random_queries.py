@@ -32,6 +32,21 @@ MAX_DEPTH = 3
 FIELDS = ("text", "tool")
 
 
+def bind_random_attrs(spark, src, idx, oidx):
+    """Doc attributes for range/exists leaves, deterministic from the
+    sorted docid list and bound IDENTICALLY on both engines; grp is
+    None for every 5th doc so exists has real nulls to filter."""
+    docids = sorted(r["docid"] for r in src.select("docid").collect())
+    attrs = {d: {"mins": (7 * i) % 97,
+                 "grp": None if i % 5 == 0 else f"g{i % 4}"}
+             for i, d in enumerate(docids)}
+    adf = spark.createDataFrame(
+        [(d, v["mins"], v["grp"]) for d, v in attrs.items()],
+        "docid string, mins long, grp string")
+    idx.bind_attributes(adf)
+    oidx.bind_attributes(attrs)
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
     src = with_docid(transcripts_df(spark, n_convs=40, turns_per_conv=5))
@@ -55,18 +70,7 @@ def corpus(spark):
         [{"id": r["docid"], "text": r["text"], "tool": r["tool"]}
          for r in src.select("docid", "text", "tool").collect()])
 
-    # doc attributes for range/exists leaves, deterministic from the
-    # sorted docid list and bound IDENTICALLY on both engines; grp is
-    # None for every 5th doc so exists has real nulls to filter
-    docids = sorted(r["docid"] for r in src.select("docid").collect())
-    attrs = {d: {"mins": (7 * i) % 97,
-                 "grp": None if i % 5 == 0 else f"g{i % 4}"}
-             for i, d in enumerate(docids)}
-    adf = spark.createDataFrame(
-        [(d, v["mins"], v["grp"]) for d, v in attrs.items()],
-        "docid string, mins long, grp string")
-    idx.bind_attributes(adf)
-    oidx.bind_attributes(attrs)
+    bind_random_attrs(spark, src, idx, oidx)
 
     # sampling pools: analyzed vocabulary per field (terms queries match
     # the vocab verbatim), raw words (match queries analyze the string),

@@ -135,6 +135,9 @@ class TestRoutedRandomOracle:
         raw_words = sorted({
             w for r in src.select("text").collect()
             for w in r["text"].split()})[:400]
+        from tests.test_random_queries import bind_random_attrs
+
+        bind_random_attrs(spark, src, loaded, oidx)
         return loaded, oidx, vocab, raw_words
 
     @pytest.mark.parametrize("mode", ["elasticlunr", "bm25"])
@@ -232,6 +235,9 @@ def corpus_bool(spark, tmp_path_factory):
     raw_words = sorted({
         w for r in src.select("text").collect()
         for w in r["text"].split()})[:400]
+    from tests.test_random_queries import bind_random_attrs
+
+    bind_random_attrs(spark, src, loaded, oidx)
     return loaded, oidx, vocab, raw_words
 
 
