@@ -189,7 +189,8 @@ _STAMP_FIRST = [
     "did_you_mean", "search_after_page2", "percolate_rules",
     "range_filter", "facet_date_hist", "search_collapse",
     "exists_filter", "facet_stats_nchars", "search_decay_recent",
-    "synonym_match",
+    "synonym_match", "constant_score", "dis_max_tiebreak",
+    "boosting_demote", "facet_histogram_nchars", "significant_terms",
     # stamped in round 2 only
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb_near_dups",
     "mm_features", "mm_resize", "mm_frame_sample", "snippet_ords",
@@ -323,6 +324,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["synonym_match"] = lambda s, d: _rounded(
         _index(s, d).with_query_synonyms({"rapid": ["fast"]}).search(
             {"query": {"match": {"text": "rapid"}}}))
+
+    # constant_score: membership from the wrapped match, relevance
+    # discarded — every survivor scores exactly the boost
+    q["constant_score"] = lambda s, d: _rounded(_index(s, d).search(
+        {"query": {"constant_score": {
+            "filter": {"match": {"text": "spark merge"}},
+            "boost": 3.5}}}))
+
+    # dis_max: best clause + 0.3 x the rest — the field-disjunction
+    # combinator that avoids bool/should's sum double-counting
+    q["dis_max_tiebreak"] = lambda s, d: _rounded(_index(s, d).search(
+        {"query": {"dis_max": {
+            "queries": [{"terms": {"text": "spark"}},
+                        {"terms": {"text": "fast"}},
+                        {"terms": {"text": "window"}}],
+            "tie_breaker": 0.3}}}))
+
+    # boosting: spark docs, demoted x0.25 when they also say window
+    # (soft must_not — demote, don't drop)
+    q["boosting_demote"] = lambda s, d: _rounded(_index(s, d).search(
+        {"query": {"boosting": {
+            "positive": {"terms": {"text": "spark"}},
+            "negative": {"terms": {"text": "window"}},
+            "negative_boost": 0.25}}}))
+
+    # numeric histogram: matched docs' n_chars in width-100 buckets
+    q["facet_histogram_nchars"] = lambda s, d: _with_attrs(s, d) \
+        .facet_histogram({"query": {"terms": {"text": "spark"}}},
+                         "n_chars", interval=100.0)
+
+    # significant_terms: what the "spark" result set is about beyond
+    # "spark" itself — JLH-scored fg-vs-corpus term anomaly
+    q["significant_terms"] = lambda s, d: _index(s, d).significant_terms(
+        {"query": {"terms": {"text": "spark"}}}, "text", top_n=10)
 
     # exists as a bool filter: docs from src0 have NULL src_opt and drop
     q["exists_filter"] = lambda s, d: _rounded(_with_attrs(s, d).search(
@@ -1076,6 +1111,69 @@ GROUP BY 1
     # synonym view: match "rapid" expands to terms [rapid, fast];
     # rapid matches nothing, so scores are fast's max-over-terms
     o["synonym_match"] = _score_query(terms_scores_sql(["rapid", "fast"]))
+    # constant_score: the match's doc set, every score := boost
+    o["constant_score"] = _wrap(pre, f"""
+SELECT DISTINCT docid, 3.5::DOUBLE AS score
+FROM ({terms_scores_sql(_analyze("spark merge"))}) r
+""")
+    # dis_max: per-doc best clause + 0.3 * remaining clause scores
+    o["dis_max_tiebreak"] = _wrap(pre, f"""
+, clauses AS (
+  SELECT docid, score FROM ({terms_scores_sql(["spark"])}) a
+  UNION ALL
+  SELECT docid, score FROM ({terms_scores_sql(["fast"])}) b
+  UNION ALL
+  SELECT docid, score FROM ({terms_scores_sql(["window"])}) c
+)
+SELECT docid,
+       ROUND(MAX(score) + 0.3 * (SUM(score) - MAX(score)), 6) AS score
+FROM clauses GROUP BY docid
+""")
+    # boosting: positive scores, x0.25 where the doc also matches the
+    # negative clause (membership only — negative scores never surface)
+    o["boosting_demote"] = _wrap(pre, f"""
+SELECT p.docid,
+       ROUND(p.score * CASE WHEN n.docid IS NOT NULL
+                            THEN 0.25 ELSE 1.0 END, 6) AS score
+FROM ({terms_scores_sql(["spark"])}) p
+LEFT JOIN (
+  SELECT DISTINCT docid FROM ({terms_scores_sql(["window"])}) w
+  WHERE score > 0
+) n USING (docid)
+""")
+    # width-100 histogram over the matched docs' n_chars
+    o["facet_histogram_nchars"] = _wrap(pre, f"""
+, m AS (
+  SELECT DISTINCT docid FROM ({terms_scores_sql(["spark"])}) r
+)
+SELECT (FLOOR(d.n_chars / 100.0) * 100.0)::DOUBLE AS bucket,
+       COUNT(*)::BIGINT AS doc_count
+FROM m JOIN documents d ON CAST(d.doc_id AS VARCHAR) = m.docid
+GROUP BY 1
+""")
+    # significant_terms: JLH over fg (matched docs) vs bg (corpus df),
+    # same expression order as the engine for bit-stable doubles
+    o["significant_terms"] = _wrap(pre, f"""
+, m AS (
+  SELECT DISTINCT docid FROM ({terms_scores_sql(["spark"])}) r
+),
+fg AS (
+  SELECT p.term, COUNT(*)::BIGINT AS fg_count
+  FROM postings p JOIN m USING (docid)
+  GROUP BY p.term
+),
+tot AS (SELECT COUNT(*) AS fg_total FROM m)
+SELECT fg.term, fg.fg_count, t.df::BIGINT AS bg_count,
+       ROUND((fg.fg_count / tot.fg_total - t.df / f.n_docs)
+             * ((fg.fg_count / tot.fg_total) / (t.df / f.n_docs)),
+             9) AS score
+FROM fg JOIN tstats t ON fg.term = t.term
+CROSS JOIN tot CROSS JOIN fstats f
+WHERE fg.fg_count >= 2
+  AND fg.fg_count / tot.fg_total > t.df / f.n_docs
+ORDER BY score DESC, fg.term ASC
+LIMIT 10
+""")
     # exists filter: src_opt = NULLIF(source, 'src0') — src0 docs drop,
     # scores stay the must clause's terms scores
     o["exists_filter"] = _score_query(f"""

@@ -32,6 +32,9 @@ from pyspark.sql import DataFrame, functions as F
 from ..search import scorer
 from .nodes import (
     BoolNode,
+    BoostingNode,
+    ConstantScoreNode,
+    DisMaxNode,
     ExistsNode,
     MatchAllNode,
     MatchNode,
@@ -161,6 +164,13 @@ class QueryExecutor:
             if node.must_not is not None:
                 return True
             return any(self._has_universe(k) for k in kids)
+        if isinstance(node, ConstantScoreNode):
+            return self._has_universe(node.inner)
+        if isinstance(node, DisMaxNode):
+            return any(self._has_universe(k) for k in node.queries)
+        if isinstance(node, BoostingNode):
+            # negative only DEMOTES docs the positive already emitted
+            return self._has_universe(node.positive)
         return False
 
     # -- compilation -----------------------------------------------------
@@ -224,6 +234,58 @@ class QueryExecutor:
                 with_details=details)
         if isinstance(node, BoolNode):
             return self._compile_bool(node, details=details)
+        if isinstance(node, ConstantScoreNode):
+            # the inner plan is unchanged (filters/pushdowns intact);
+            # only the score column is overwritten, so Catalyst still
+            # prunes the constant out of every downstream comparison
+            inner = self.compile(node.inner, restrict=restrict,
+                                 details=details)
+            return (inner.where(F.col("score") > 0)
+                    .withColumn("score", F.lit(float(node.boost))))
+        if isinstance(node, DisMaxNode):
+            key = self.index.key_col
+            clauses = [
+                self.compile(c, restrict=restrict).select(key, "score")
+                for c in node.queries
+            ]
+            t = F.lit(float(node.tie_breaker))
+            # one union + one per-doc aggregation — same shuffle shape
+            # as bool/should, different combining algebra
+            out = (
+                scorer.union_all(clauses)
+                .groupBy(key)
+                .agg(F.max("score").alias("best"),
+                     F.sum("score").alias("total"))
+                .select(key,
+                        (F.lit(float(node.boost))
+                         * (F.col("best")
+                            + t * (F.col("total") - F.col("best"))))
+                        .alias("score"))
+            )
+            if details:
+                out = out.select("*", F.lit(1).alias("matched"),
+                                 F.create_map()
+                                 .cast(scorer.EMPTY_POSITIONS)
+                                 .alias("positions"))
+            return out
+        if isinstance(node, BoostingNode):
+            key = self.index.key_col
+            pos = self.compile(node.positive, restrict=restrict,
+                               details=details)
+            # negative is MEMBERSHIP only, restricted to the positive's
+            # docs (its scores never surface) — the restrict semi-join
+            # bounds its cost by the positive's match volume
+            neg = (self.compile(node.negative, restrict=pos.select(key))
+                   .where(F.col("score") > 0)
+                   .select(key).distinct()
+                   .withColumn("_demote", F.lit(True)))
+            nb = F.lit(float(node.negative_boost))
+            return (pos.join(neg, key, "left")
+                    .withColumn(
+                        "score",
+                        F.when(F.col("_demote"), F.col("score") * nb)
+                        .otherwise(F.col("score")))
+                    .drop("_demote"))
         raise TypeError(f"cannot compile {type(node).__name__}")
 
     def _compile_bool(self, node: BoolNode, details: bool = False) -> DataFrame:

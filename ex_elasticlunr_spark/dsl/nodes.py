@@ -120,6 +120,40 @@ class BoolNode:
         return 0
 
 
+@dataclass
+class ConstantScoreNode:
+    """ES ``constant_score`` (extension — the reference scores every
+    clause): docs matching the wrapped query score exactly ``boost``,
+    relevance discarded. The standard way to mix a hard predicate into
+    a scored tree without letting its tf/idf mass move ranks."""
+
+    inner: object
+    boost: float = 1.0
+
+
+@dataclass
+class DisMaxNode:
+    """ES ``dis_max`` (extension): per-doc score = the BEST clause
+    score plus ``tie_breaker`` x the remaining clauses' scores — the
+    field-disjunction combinator that avoids bool/should's sum
+    double-counting when clauses are alternatives, not evidence."""
+
+    queries: List[object]
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+
+@dataclass
+class BoostingNode:
+    """ES ``boosting`` (extension): docs matching ``positive`` score
+    normally; those ALSO matching ``negative`` are demoted by
+    ``negative_boost`` (0..1) instead of excluded — soft must_not."""
+
+    positive: object
+    negative: object
+    negative_boost: float = 0.5
+
+
 def parse(query: dict):
     """Parse a query map (the single-key root, dsl/query.ex:17-26)."""
     (kind, value), = query.items()
@@ -149,6 +183,30 @@ def _parse(kind: str, options):
             raise ValueError('exists takes {"field": attr}')
         return ExistsNode(attr=options["field"],
                           boost=options.get("boost", 1))
+    if kind == "constant_score":
+        if not isinstance(options, dict) or "filter" not in options:
+            raise ValueError(
+                'constant_score takes {"filter": query[, "boost": b]}')
+        return ConstantScoreNode(inner=parse(options["filter"]),
+                                 boost=options.get("boost", 1))
+    if kind == "dis_max":
+        if not isinstance(options, dict) or not options.get("queries"):
+            raise ValueError(
+                'dis_max takes {"queries": [q, ...][, "tie_breaker": t]}')
+        return DisMaxNode(
+            queries=[parse(sub) for sub in options["queries"]],
+            tie_breaker=float(options.get("tie_breaker", 0.0)),
+            boost=options.get("boost", 1))
+    if kind == "boosting":
+        if (not isinstance(options, dict) or "positive" not in options
+                or "negative" not in options):
+            raise ValueError(
+                'boosting takes {"positive": q, "negative": q'
+                '[, "negative_boost": nb]}')
+        return BoostingNode(
+            positive=parse(options["positive"]),
+            negative=parse(options["negative"]),
+            negative_boost=float(options.get("negative_boost", 0.5)))
     raise ValueError(f"Unknown query type {kind}")
 
 

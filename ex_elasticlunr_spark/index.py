@@ -594,6 +594,39 @@ class Index:
         return facet_terms(self.inverted, matches, field, top_n=top_n,
                            min_count=min_count)
 
+    def significant_terms(self, query, field: str, top_n: int = 10,
+                          min_doc_count: int = 2) -> DataFrame:
+        """ES ``significant_terms`` aggregation: terms anomalously
+        frequent in ``query``'s matched docs vs the whole corpus, JLH
+        scored — DataFrame(term, fg_count, bg_count, score), (score
+        desc, term asc) top-n (search/facets.py). Background stats come
+        from the saved vocabulary tables, never a second corpus pass."""
+        from .dsl.nodes import parse
+        from .search.facets import significant_terms
+
+        ex = self.executor()
+        node = parse(query.get("query", query)
+                     if isinstance(query, dict) else query)
+        matches = ex.compile(node)
+        return significant_terms(self.inverted, matches, field,
+                                 top_n=top_n, min_doc_count=min_doc_count)
+
+    def facet_histogram(self, query, attr: str, interval: float,
+                        min_count: int = 1,
+                        mode: str = "elasticlunr") -> DataFrame:
+        """ES ``histogram`` aggregation: matched-doc counts of ``query``
+        in fixed-width buckets of a bound NUMERIC attribute —
+        DataFrame(bucket, doc_count) ordered by bucket, bucket =
+        floor(attr/interval)*interval (search/attributes.py)."""
+        from .search.attributes import facet_histogram
+
+        if self._attributes is None:
+            raise ValueError("facet_histogram needs bound attributes "
+                             "(Index.bind_attributes)")
+        scored = self.executor(mode=mode).scored_docids(query)
+        return facet_histogram(scored, self._attributes, attr,
+                               interval=interval, min_count=min_count)
+
     def matches(self, query, mode: str = "elasticlunr") -> DataFrame:
         """The UNSORTED matched set of ``query`` — DataFrame(<doc key>,
         score) straight from the compiled subtree, before the ord->docid

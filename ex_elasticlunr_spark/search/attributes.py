@@ -161,6 +161,38 @@ def facet_date_histogram(scored: DataFrame, attributes: DataFrame,
     return counts.orderBy(F.asc("bucket"))
 
 
+def facet_histogram(scored: DataFrame, attributes: DataFrame,
+                    attr: str, interval: float,
+                    min_count: int = 1) -> DataFrame:
+    """ES ``histogram`` aggregation: matched-doc counts of a NUMERIC
+    attribute in fixed-width buckets — DataFrame(bucket double,
+    doc_count) ordered by bucket, where bucket = floor(attr/interval)
+    * interval (ES's bucket key formula, left-closed intervals).
+
+    Same plan shape as :func:`facet_date_histogram`: one hash join
+    bounded by match volume, one partial-aggregated groupBy whose key
+    cardinality is (range/interval) — tiny, so the final shuffle is a
+    few rows per partition. Null attributes drop (ES: docs without the
+    field are not bucketed)."""
+    if not interval or interval <= 0:
+        raise ValueError(f"interval must be > 0, got {interval!r}")
+    if attr not in attributes.columns:
+        raise ValueError(f"unknown attribute {attr!r}")
+    m = scored.select("docid").distinct()
+    j = m.join(attributes.select("docid", attr), "docid") \
+         .where(F.col(attr).isNotNull())
+    iv = F.lit(float(interval))
+    counts = (
+        j.select((F.floor(F.col(attr) / iv) * iv)
+                 .cast("double").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    if min_count > 1:
+        counts = counts.where(F.col("doc_count") >= min_count)
+    return counts.orderBy(F.asc("bucket"))
+
+
 def collapse_top(scored: DataFrame, attributes: DataFrame, attr: str,
                  top_k: int = 10) -> DataFrame:
     """ES field collapsing: the single best-scoring doc per value of

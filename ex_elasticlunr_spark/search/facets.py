@@ -90,3 +90,53 @@ def keywords_tfidf(inv, field: str, top_n: int = 5) -> DataFrame:
     if key == "ord":
         ranked = ranked.join(inv.ordinals_df(), "ord")
     return ranked.select("docid", "term", "score", "rank")
+
+
+def significant_terms(inv, matches: DataFrame, field: str,
+                      top_n: int = 10, min_doc_count: int = 2) -> DataFrame:
+    """ES ``significant_terms``: the terms of ``field`` that are
+    ANOMALOUSLY frequent in a query's matched docs relative to the
+    whole corpus — "what is this result set about, beyond what I asked
+    for". DataFrame(term, fg_count, bg_count, score) — JLH score
+    (ES's default heuristic): (fg_pct - bg_pct) * (fg_pct / bg_pct),
+    fg_pct = fg_count/|matches|, bg_pct = df/n_docs; only terms with
+    fg_pct > bg_pct qualify (ES returns positively significant terms
+    only); (score desc, term asc) top-n via TakeOrdered.
+
+    Plan shape (scale notes): the foreground counts are the facet_terms
+    plan — the narrow term-clustered postings scan column-pruned to
+    (field, term, key), semi-joined with the match set (AQE broadcasts
+    it for selective queries), one partial-aggregated groupBy term.
+    Background df/n_docs come FREE from the vocabulary stats tables the
+    save already maintains (term_stats/field_stats — never a second
+    corpus pass), broadcast onto the fg counts. The two scalar totals
+    ride a 1-row cross join, so the whole query is one shuffle bounded
+    by matched-postings volume. Under delta generations df over-counts
+    removed docs until compact() (build/deltas.py contract) — bg_pct
+    inherits that, exactly like idf does.
+    """
+    key = inv.key_col
+    m = matches.select(key).distinct()
+    fg_total = m.agg(F.count(F.lit(1)).alias("fg_total"))
+    fg = (
+        inv.postings.where(F.col("field") == field).select("term", key)
+        .join(m, key, "left_semi")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("fg_count"))
+    )
+    bg = inv.term_stats.where(F.col("field") == field) \
+        .select("term", F.col("df").alias("bg_count"))
+    n_docs = inv.field_stats.where(F.col("field") == field) \
+        .select("n_docs")
+    fg_pct = F.col("fg_count") / F.col("fg_total")
+    bg_pct = F.col("bg_count") / F.col("n_docs")
+    scored = (
+        fg.join(F.broadcast(bg), "term")
+        .crossJoin(F.broadcast(fg_total))
+        .crossJoin(F.broadcast(n_docs))
+        .where((F.col("fg_count") >= F.lit(int(min_doc_count)))
+               & (fg_pct > bg_pct))
+        .select("term", "fg_count", "bg_count",
+                F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 9)
+                .alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("term")).limit(top_n)
