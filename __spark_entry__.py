@@ -191,6 +191,7 @@ _STAMP_FIRST = [
     "exists_filter", "facet_stats_nchars", "search_decay_recent",
     "synonym_match", "constant_score", "dis_max_tiebreak",
     "boosting_demote", "facet_histogram_nchars", "significant_terms",
+    "snapshot_read",
     # stamped in round 2 only
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb_near_dups",
     "mm_features", "mm_resize", "mm_frame_sample", "snippet_ords",
@@ -492,19 +493,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["field_stats"] = field_stats
     q["postings_tf"] = postings_tf
 
-    def delta_add(s, d):
-        """Generational delta persistence (build/deltas.py): index HALF
-        the documents, save the base warehouse, delta-append the other
-        half WITHOUT rewriting the base, reload, and score — must equal
-        the terms oracle over the FULL table (merged idf/flnorm are
-        exact-integer arithmetic, so scores are bit-identical to a
-        single-generation build)."""
+    def _delta_warehouse(s, d):
+        """(HEAD-bound Index, warehouse path): base commit indexes the
+        even doc_ids, one delta generation appends the odds — shared by
+        delta_add (reads HEAD) and snapshot_read (time-travels to the
+        base commit)."""
         import shutil as _sh
         import tempfile as _tf
 
         key = (s.sparkContext.applicationId, d, "delta")
-        idx = _CACHE.get(key)
-        if idx is None:
+        got = _CACHE.get(key)
+        if got is None:
             docs = _documents(s, d)
             wh = os.path.join(
                 _tf.gettempdir(),
@@ -525,11 +524,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             loaded.add_documents(docs.where(F.col("doc_id") % 2 == 1),
                                  docid_col="docid", dedupe=False)
             loaded.save_delta()
-            idx = Index.load(s, wh)
-            _CACHE[key] = idx
+            got = (Index.load(s, wh), wh)
+            _CACHE[key] = got
+        return got
+
+    def delta_add(s, d):
+        """Generational delta persistence (build/deltas.py): the
+        delta-appended warehouse at HEAD must equal the terms oracle
+        over the FULL table (merged idf/flnorm are exact-integer
+        arithmetic, so scores are bit-identical to a single-generation
+        build)."""
+        idx, _wh = _delta_warehouse(s, d)
         return _rounded(idx.search({"query": {"terms": {"text": "spark"}}}))
 
     q["delta_add"] = delta_add
+
+    def snapshot_read(s, d):
+        """Snapshot time travel (build/indexer.py list_snapshots /
+        load(at=...)): bind the SAME warehouse at its base commit
+        (commit_seq 0, before the delta generation) — scores, idf and
+        flnorm included, must equal an index built from the even
+        doc_ids alone (the oracle derives its index CTEs under
+        doc_id % 2 = 0)."""
+        _idx, wh = _delta_warehouse(s, d)
+        at0 = Index.load(s, wh, at=0)
+        return _rounded(at0.search({"query": {"terms": {"text": "spark"}}}))
+
+    q["snapshot_read"] = snapshot_read
 
     # ---- dedup operators ----------------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_documents(s, d))
@@ -995,6 +1016,12 @@ def oracle_sql() -> dict[str, str]:
     # a delta-appended index must score exactly like a single-generation
     # build over the full table — same oracle as terms_exact
     o["delta_add"] = _score_query(terms_scores_sql(["spark"]))
+    # time travel to the pre-delta commit = an index over the even
+    # doc_ids only (stats derived over the subset, like a fresh build)
+    o["snapshot_read"] = _wrap(
+        index_prefix(doc_where="doc_id % 2 = 0"),
+        "SELECT docid, ROUND(score, 6) AS score FROM ("
+        + terms_scores_sql(["spark"]) + ") r")
     o["terms_boost"] = _score_query(terms_scores_sql(["spark"], boost=2.5))
     o["terms_msm"] = _score_query(
         terms_scores_sql(["spark", "merg", "window"], minimum_should_match=2))

@@ -134,6 +134,11 @@ def save_delta(inv, tag: Optional[str] = None) -> str:
     manifest = _read_manifest(path)
     if manifest.get("version", 0) < 5:
         raise ValueError("delta saves need a version-5 base warehouse")
+    # backfill the PREVIOUS commit's history twin before mutating the
+    # manifest (heals a crash between its root replace and history copy)
+    from .indexer import _write_history
+
+    _write_history(path, manifest)
     block_size = int(manifest.get("block_size", 4096))
     gens = list(manifest.get("generations", []))
 
@@ -191,8 +196,10 @@ def save_delta(inv, tag: Optional[str] = None) -> str:
             entry["tomb_field_stats"] = {
                 r["field"]: [int(r["n"]), int(r["s"] or 0)] for r in dec}
         if sub is not None:
+            # _history=False: a generation dir is an internal artifact,
+            # not a warehouse — only ROOT commits are time-travelable
             sub.save(gen_dir, with_segments=manifest.get("segments", True),
-                     block_size=block_size)
+                     block_size=block_size, _history=False)
             gm = _read_manifest(gen_dir)
             entry["max_ord"] = int(gm.get("max_ord") or 0)
             entry["field_doc_stats"] = gm.get("field_doc_stats", {})
@@ -202,7 +209,12 @@ def save_delta(inv, tag: Optional[str] = None) -> str:
 
     manifest["generations"] = gens
     manifest["gen_seq"] = gen_seq
+    # monotone commit counter + retained history manifest: makes this
+    # delta commit addressable by InvertedIndex.load(at=...) — see
+    # build/indexer.py _write_history / list_snapshots
+    manifest["commit_seq"] = int(manifest.get("commit_seq", -1)) + 1
     _write_manifest_atomic(path, manifest)  # the commit point
+    _write_history(path, manifest)
     inv._rebind_from(path, manifest, spark=spark)
     return last_dir
 

@@ -115,6 +115,84 @@ def _gc_stale_artifacts(path: str, manifest: dict) -> None:
                 _shutil.rmtree(p, ignore_errors=True)
     for junk in (".staging", ".old"):
         _shutil.rmtree(os.path.join(path, junk), ignore_errors=True)
+    # retained commit-history manifests (time travel): prune entries
+    # whose artifacts this sweep (or a previous one) reclaimed, so
+    # list_snapshots() only advertises loadable versions. The current
+    # commit's twin always survives — everything IT references does.
+    hdir = os.path.join(path, HISTORY_DIR)
+    if os.path.isdir(hdir):
+        for hp in _glob.glob(os.path.join(hdir, "manifest-*.json")):
+            try:
+                with open(hp) as fh:
+                    hm = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                os.unlink(hp)
+                continue
+            if not _history_readable(path, hm):
+                os.unlink(hp)
+
+
+HISTORY_DIR = "history"
+DELTAS_DIR = "deltas"  # mirrors build/deltas.py (import cycle guard)
+
+
+def _history_readable(path: str, manifest: dict) -> bool:
+    """True iff every artifact ``manifest`` references still exists."""
+    if not os.path.isdir(tables_dir(path, manifest)):
+        return False
+    return all(
+        os.path.isdir(os.path.join(path, DELTAS_DIR, e["name"]))
+        for e in manifest.get("generations", [])
+    )
+
+
+def _write_history(path: str, manifest: dict) -> None:
+    """Retain a committed manifest under ``history/`` keyed by its
+    monotone ``commit_seq`` — the parquet stand-in for Iceberg's
+    metadata-file history that makes snapshot time travel
+    (``InvertedIndex.load(..., at=seq)``) possible. Advisory relative
+    to the root-manifest commit point: rewritten idempotently (backfill
+    on the next commit heals a crash between the root replace and this
+    copy)."""
+    seq = manifest.get("commit_seq")
+    if seq is None:
+        return
+    hdir = os.path.join(path, HISTORY_DIR)
+    os.makedirs(hdir, exist_ok=True)
+    tmp = os.path.join(hdir, ".manifest.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    os.replace(tmp, os.path.join(hdir, "manifest-%06d.json" % int(seq)))
+
+
+def list_snapshots(path: str) -> list:
+    """Committed versions still readable for time travel, oldest first:
+    ``[{commit_seq, kind, snapshot_seq, n_generations, max_ord}]``.
+    ``kind`` is "full" for a save/compact commit (no generations) and
+    "delta" for a save_delta commit. Versions whose artifacts a later
+    full save's GC sweep reclaimed are pruned from the listing (Iceberg
+    snapshot expiry with retention 1 — see _gc_stale_artifacts)."""
+    import glob as _glob
+
+    out = []
+    for hp in sorted(_glob.glob(
+            os.path.join(path, HISTORY_DIR, "manifest-*.json"))):
+        try:
+            with open(hp) as fh:
+                hm = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not _history_readable(path, hm):
+            continue
+        gens = hm.get("generations", [])
+        out.append({
+            "commit_seq": int(hm["commit_seq"]),
+            "kind": "delta" if gens else "full",
+            "snapshot_seq": int(hm.get("snapshot_seq", -1)),
+            "n_generations": len(gens),
+            "max_ord": int(hm.get("max_ord") or 0),
+        })
+    return out
 
 
 class InvertedIndex:
@@ -336,7 +414,8 @@ class InvertedIndex:
     def save(self, path: str, timings: Optional[dict] = None,
              with_segments: bool = True, block_size: int = 4096,
              term_salt: int = 8,
-             manifest_extra: Optional[dict] = None) -> None:
+             manifest_extra: Optional[dict] = None,
+             _history: bool = True) -> None:
         """Persist as a partitioned parquet warehouse (Iceberg-shaped
         layout; reference analogue: storage/disk.ex:22-31).
 
@@ -419,6 +498,10 @@ class InvertedIndex:
                 prev_manifest = json.load(fh)
         except (FileNotFoundError, json.JSONDecodeError):
             pass
+        if _history:
+            # backfill: heal a crash between a previous commit's root
+            # replace and its history copy (idempotent rewrite)
+            _write_history(path, prev_manifest)
         _gc_stale_artifacts(path, prev_manifest)
         staging = os.path.join(path, ".staging")
         shutil.rmtree(staging, ignore_errors=True)
@@ -809,6 +892,10 @@ class InvertedIndex:
                       os.path.join(snap_dir, name))
         manifest["snapshot_dir"] = snap_name
         manifest["snapshot_seq"] = seq
+        # monotone COMMIT counter shared with save_delta: keys the
+        # retained history manifest that makes this version addressable
+        # by load(at=...) until a later sweep reclaims its artifacts
+        manifest["commit_seq"] = int(prev_manifest.get("commit_seq", -1)) + 1
         # monotone generation counter: survives compaction so a future
         # save_delta never reuses a gen directory a previous-manifest
         # reader may still be scanning (names stay unique for the
@@ -818,6 +905,8 @@ class InvertedIndex:
         with open(mtmp, "w") as fh:
             json.dump(manifest, fh, indent=2)
         os.replace(mtmp, os.path.join(path, "manifest.json"))  # commit
+        if _history:
+            _write_history(path, manifest)
         shutil.rmtree(staging, ignore_errors=True)
         # NOTE deliberately NO deletion of the previous snapshot or the
         # deltas/ directory here: a full save IS a compaction (the fresh
@@ -950,9 +1039,39 @@ class InvertedIndex:
             bind_generations(self, spark, path, manifest)
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
-        with open(os.path.join(path, "manifest.json")) as fh:
-            manifest = json.load(fh)
+    def load(cls, spark: SparkSession, path: str,
+             at: Optional[int] = None) -> "InvertedIndex":
+        """Bind the warehouse at ``path``. ``at`` time-travels to the
+        committed version with that ``commit_seq`` (list_snapshots
+        enumerates the readable ones): the retained history manifest is
+        bound instead of the root one — same tables, zero copies, the
+        parquet stand-in for an Iceberg snapshot read. A version stays
+        readable until a later full save's GC sweep reclaims the
+        artifacts it references (retention: one full-save cycle; delta
+        commits never reclaim anything). Maintenance on a time-travel
+        binding commits ON TOP of the current root — i.e. saving a
+        historical binding is a rollback-as-new-commit, never a fork."""
+        if at is not None:
+            hp = os.path.join(path, HISTORY_DIR,
+                              "manifest-%06d.json" % int(at))
+            try:
+                with open(hp) as fh:
+                    manifest = json.load(fh)
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"no readable commit {at} under {path}: either it "
+                    f"never committed or a later full save's GC sweep "
+                    f"reclaimed its artifacts (retention is one "
+                    f"full-save cycle); list_snapshots() shows "
+                    f"readable versions") from None
+            if not _history_readable(path, manifest):
+                raise FileNotFoundError(
+                    f"commit {at} under {path} is no longer readable: "
+                    f"a later full save's GC sweep reclaimed artifacts "
+                    f"it references")
+        else:
+            with open(os.path.join(path, "manifest.json")) as fh:
+                manifest = json.load(fh)
         analyzers = {
             f: AnalyzerConfig(tuple(cfg["stages"]), cfg["separator"],
                               unicode=cfg.get("unicode", False))

@@ -95,11 +95,24 @@ class Index:
         return self
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str, name: str = "index") -> "Index":
+    def load(cls, spark: SparkSession, path: str, name: str = "index",
+             at: Optional[int] = None) -> "Index":
+        """Bind a saved warehouse; ``at`` time-travels to a committed
+        version by ``commit_seq`` (see Index.snapshots /
+        build/indexer.py list_snapshots)."""
         idx = cls(name=name)
-        idx.inverted = InvertedIndex.load(spark, path)
+        idx.inverted = InvertedIndex.load(spark, path, at=at)
         idx.analyzers = idx.inverted.analyzers
         return idx
+
+    @staticmethod
+    def snapshots(path: str) -> list:
+        """Readable committed versions of the warehouse at ``path``,
+        oldest first (commit_seq, kind full/delta, snapshot_seq,
+        n_generations, max_ord) — Iceberg snapshot-history analogue."""
+        from .build.indexer import list_snapshots
+
+        return list_snapshots(path)
 
     def more_like_this(self, text: str, field: str,
                        max_query_terms: int = 10,

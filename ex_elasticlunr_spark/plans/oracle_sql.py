@@ -46,8 +46,14 @@ def stopword_list_sql() -> str:
     return ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
 
 
-def index_prefix() -> str:
-    """WITH-clause CTEs deriving the index tables from ``documents``."""
+def index_prefix(doc_where: str = "TRUE") -> str:
+    """WITH-clause CTEs deriving the index tables from ``documents``.
+
+    ``doc_where`` restricts the indexed corpus (a SQL predicate over
+    the documents columns) — used by gate entries whose index covers a
+    subset of the table (e.g. a time-travel read of the pre-delta
+    commit): idf/flnorm/doc counts are derived over the subset only,
+    exactly like an index built from it."""
     return f"""
 stem_map AS (SELECT * FROM (VALUES {stem_map_values()}) AS t(word, stem)),
 tokl AS (
@@ -55,7 +61,7 @@ tokl AS (
          list_filter(string_split_regex(lower(text), '[\\s\\-]+'),
                      x -> x <> '') AS toks
   FROM documents
-  WHERE text IS NOT NULL
+  WHERE text IS NOT NULL AND ({doc_where})
 ),
 tok0 AS (
   SELECT docid, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord0
@@ -83,7 +89,7 @@ postings AS (
 ),
 ids AS (
   SELECT CAST(doc_id AS VARCHAR) AS docid FROM documents
-  WHERE text IS NOT NULL
+  WHERE text IS NOT NULL AND ({doc_where})
 ),
 dstats AS (
   SELECT i.docid, CAST(coalesce(p.doc_len, 0) AS BIGINT) AS doc_len
