@@ -191,7 +191,7 @@ _STAMP_FIRST = [
     "exists_filter", "facet_stats_nchars", "search_decay_recent",
     "synonym_match", "constant_score", "dis_max_tiebreak",
     "boosting_demote", "facet_histogram_nchars", "significant_terms",
-    "snapshot_read",
+    "snapshot_read", "dedup_paragraphs",
     # stamped in round 2 only
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb_near_dups",
     "mm_features", "mm_resize", "mm_frame_sample", "snippet_ords",
@@ -602,6 +602,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cl
 
     q["dedup_clusters"] = _clusters
+
+    # paragraph-level exact dedup (C4/Gopher boilerplate pass): plant
+    # deterministic paragraphs (the synthetic corpus has no blank
+    # lines) — a mostly-unique head, a shared boilerplate para on every
+    # third doc, a unique tail — and keep first occurrences corpus-wide
+    def dedup_paras(s, d):
+        docs = _documents(s, d).withColumn(
+            "text",
+            F.concat(
+                F.substring("text", 1, 60), F.lit("\n\n"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit("Subscribe to our newsletter for updates.\n\n"),
+                ).otherwise(F.lit("")),
+                F.lit("tail "), F.col("doc_id").cast("string")))
+        return dedup.dedup_paragraphs(docs)
+
+    q["dedup_paragraphs"] = dedup_paras
 
     # ---- text analysis --------------------------------------------------
     q["text_token_counts"] = lambda s, d: quality.token_counts(_documents(s, d))
@@ -1380,6 +1398,38 @@ SELECT CAST(doc_id AS VARCHAR) AS docid,
        md5(list_aggregate(list_sort(list_distinct(string_split({norm}, ' '))),
                           'string_agg', ' ')) AS fingerprint
 FROM documents
+"""
+    o["dedup_paragraphs"] = """
+WITH planted AS (
+  SELECT CAST(doc_id AS VARCHAR) AS docid,
+         substring(text, 1, 60) || chr(10) || chr(10) ||
+         CASE WHEN doc_id % 3 = 0
+              THEN 'Subscribe to our newsletter for updates.'
+                   || chr(10) || chr(10)
+              ELSE '' END ||
+         'tail ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+),
+split AS (
+  SELECT docid, regexp_split_to_array(text, '\\n\\s*\\n') AS parts
+  FROM planted WHERE text IS NOT NULL
+),
+paras0 AS (
+  SELECT docid, unnest(parts) AS para,
+         generate_subscripts(parts, 1) - 1 AS para_idx
+  FROM split
+),
+paras AS (
+  SELECT docid, para_idx,
+         md5(trim(regexp_replace(lower(para), '\\s+', ' ', 'g')))
+           AS para_hash
+  FROM paras0 WHERE length(trim(para)) > 0
+)
+SELECT docid, para_idx, para_hash,
+       CAST(CASE WHEN row_number() OVER (
+              PARTITION BY para_hash ORDER BY docid, para_idx) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM paras
 """
     o["dedup_simhash"] = f"""
 WITH toks AS (

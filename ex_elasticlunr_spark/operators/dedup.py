@@ -22,6 +22,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.window import Window
 
 from ..functions.literals import inline_rows
 
@@ -347,6 +348,41 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20,
             break
     edges.unpersist()
     return labels.select("docid", "cluster_id")
+
+
+def dedup_paragraphs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "docid") -> DataFrame:
+    """Paragraph-level exact dedup (the C4/Gopher boilerplate-removal
+    pass: repeated navigation footers, cookie banners, and license
+    blurbs recur verbatim across documents even when whole documents
+    differ). Split each document on blank lines, hash each normalized
+    paragraph, and mark the corpus-wide FIRST occurrence (docid asc,
+    para_idx asc) of every distinct paragraph as the keeper.
+
+    Returns (docid, para_idx, para_hash, keep). 100 TB shape: one
+    map-only posexplode, then ONE hash-keyed shuffle for the
+    first-occurrence window — the paragraph text is dropped before the
+    shuffle, so shuffle rows are (id, idx, 32-hex-char hash) wide, and
+    the per-key group is bounded by a paragraph's corpus-wide
+    repetition count (boilerplate keys are hot but their rows are
+    id-width; a salted two-phase min would cap even those if needed).
+    """
+    paras = (
+        df.select(
+            F.col(id_col).cast("string").alias("docid"),
+            F.posexplode(F.split(F.col(text_col), r"\n\s*\n"))
+            .alias("para_idx", "para"),
+        )
+        .where(F.length(F.trim(F.col("para"))) > 0)
+        .select("docid", "para_idx",
+                F.md5(normalized(F.col("para"))).alias("para_hash"))
+    )
+    w = Window.partitionBy("para_hash").orderBy("docid", "para_idx")
+    return (
+        paras.withColumn(
+            "keep", (F.row_number().over(w) == 1).cast("long"))
+        .select("docid", "para_idx", "para_hash", "keep")
+    )
 
 
 def dedup_exact_stream(stream_df: DataFrame, text_col: str = "text",

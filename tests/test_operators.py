@@ -490,3 +490,30 @@ def test_did_you_mean_ranking_and_edges(spark):
     assert "spark" not in got2 and got2 == ["shark"]
     # stopword input analyzes to nothing -> empty suggestion set
     assert ix.did_you_mean("the", "text").count() == 0
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    """Paragraph-level exact dedup: the shared boilerplate paragraph is
+    kept only at its first (docid asc, para_idx asc) occurrence;
+    normalization folds case/whitespace; blank paragraphs drop."""
+    from ex_elasticlunr_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "unique alpha\n\nSubscribe NOW\n\ntail a"),
+            ("b", "unique beta\n\n  subscribe   now \n\ntail b"),
+            # the \n\s*\n splitter absorbs the whole blank run: two paras
+            ("c", "unique gamma\n\n\n\ntail c"),
+        ],
+        "docid string, text string",
+    )
+    rows = dedup.dedup_paragraphs(docs).collect()
+    got = {(r["docid"], r["para_idx"]): r["keep"] for r in rows}
+    assert set(got) == {("a", 0), ("a", 1), ("a", 2),
+                        ("b", 0), ("b", 1), ("b", 2),
+                        ("c", 0), ("c", 1)}
+    # boilerplate ("subscribe now" after normalization): first wins
+    assert got[("a", 1)] == 1 and got[("b", 1)] == 0
+    # unique paragraphs all keep
+    for k in (("a", 0), ("a", 2), ("b", 0), ("b", 2), ("c", 0), ("c", 1)):
+        assert got[k] == 1
