@@ -123,10 +123,30 @@ def test_random_maintenance_with_persistence(spark, tmp_path, seed):
     generation + tombstone back into one base (build/deltas.py), so
     generational merge and tombstone folding are checked against the
     oracle at every prefix of the sequence — not just once per op as in
-    tests/test_deltas.py."""
+    tests/test_deltas.py.
+
+    Every commit point additionally snapshots the oracle's probe
+    results; after the sequence, each still-readable commit is
+    time-traveled (Index.load(at=...)) and must reproduce its
+    recorded results exactly, and every GC-expired commit must raise —
+    the snapshot-history contract under arbitrary maintenance."""
     rng = random.Random(seed)
     wh = str(tmp_path / "wh")
     next_id = 0
+
+    def _commit_seq():
+        import json
+        import os
+
+        with open(os.path.join(wh, "manifest.json")) as fh:
+            return int(json.load(fh)["commit_seq"])
+
+    def _oracle_probe_results():
+        # two probes keep the end-of-test history sweep cheap
+        return [[(r["ref"], r["score"]) for r in oracle_search(oidx, q)]
+                for q in (PROBES[0], PROBES[2])]
+
+    commit_probes = {}  # commit_seq -> oracle results at commit time
 
     def new_docs(n, reuse_ids=()):
         nonlocal next_id
@@ -152,6 +172,7 @@ def test_random_maintenance_with_persistence(spark, tmp_path, seed):
     idx = Index.load(spark, wh, name=f"maintp{seed}")
     oidx = OracleIndex().add_field("content")
     oidx.add_documents([{"id": d, "content": c} for d, c in base])
+    commit_probes[_commit_seq()] = _oracle_probe_results()
     _assert_identical(idx, oidx, f"seed{seed}:initial")
 
     for step in range(3):
@@ -187,10 +208,31 @@ def test_random_maintenance_with_persistence(spark, tmp_path, seed):
             # anti-joins + merged stats)
             idx.save_delta()
             idx = Index.load(spark, wh, name=f"maintp{seed}")
+            commit_probes[_commit_seq()] = _oracle_probe_results()
         elif cycle == "compact":
             # fold generations + tombstones into one base and reload
             idx.compact()
             idx = Index.load(spark, wh, name=f"maintp{seed}")
+            commit_probes[_commit_seq()] = _oracle_probe_results()
         else:
             idx.materialize()
         _assert_identical(idx, oidx, f"seed{seed}:step{step}:{op}:{cycle}")
+
+    # ---- snapshot-history sweep: every commit the GC kept must replay
+    # its recorded oracle results; every expired one must raise ---------
+    from ex_elasticlunr_spark.build.indexer import list_snapshots
+
+    readable = {s["commit_seq"] for s in list_snapshots(wh)}
+    assert _commit_seq() in readable  # HEAD is always readable
+    for seq, want in sorted(commit_probes.items()):
+        if seq not in readable:
+            with pytest.raises(FileNotFoundError):
+                Index.load(spark, wh, at=seq)
+            continue
+        hist = Index.load(spark, wh, name=f"maintp{seed}@{seq}", at=seq)
+        for q, w in zip((PROBES[0], PROBES[2]), want):
+            got = [(r["docid"], r["score"])
+                   for r in hist.search(q).collect()]
+            assert [g[0] for g in got] == [x[0] for x in w], (seed, seq, q)
+            for (gd, gs), (_, ws) in zip(got, w):
+                assert gs == pytest.approx(ws, abs=1e-9), (seed, seq, gd)
