@@ -5,9 +5,12 @@ callback to return a LIST of tokens — the runner flat-maps — but ships
 no synonym stage. This one expands a token into itself plus its
 synonym group, the standard query-time synonym treatment: under
 elasticlunr scoring (max over terms) a synonym is an equally-good
-alternative; under msm counting each expansion source still counts
-once per ORIGINAL query token only if the caller keeps msm at the
-original token count (Index.with_query_synonyms does).
+alternative. NOTE msm and ``operator:"and"`` count over the EXPANDED
+token list (match rewrite sets msm after analysis, dsl/nodes.py) — a
+view that expands "fast" to [fast, quick] makes operator:"and" demand
+BOTH terms. Synonym views compose with OR-style matching; combine with
+msm only if the inflated count is what you mean
+(Index.with_query_synonyms documents the same caveat).
 
 The filter is a picklable class instance, so it rides the existing
 AnalyzerConfig.extra / query_pipeline seams into the executor-side
@@ -33,8 +36,12 @@ class SynonymFilter:
     """
 
     def __init__(self, mapping: Dict[str, Sequence[str]]):
+        # a bare string satisfies Sequence[str] but would iterate
+        # character-by-character ({"fast": "quick"} -> q/u/i/c/k);
+        # treat it as the obvious intent: one synonym
         self.mapping: Dict[str, List[str]] = {
-            k: [s for s in v if s and s != k]
+            k: [s for s in ([v] if isinstance(v, str) else v)
+                if s and s != k]
             for k, v in mapping.items()
         }
 
@@ -61,6 +68,12 @@ def synonym_groups(*groups: Sequence[str]) -> Dict[str, List[str]]:
     rest of its group."""
     out: Dict[str, List[str]] = {}
     for g in groups:
+        if isinstance(g, str):
+            # a bare string would be iterated character-by-character —
+            # always a caller bug, never an intent
+            raise TypeError(
+                f"synonym_groups takes sequences of terms, got the "
+                f"string {g!r}; wrap it in a list")
         for m in g:
             out.setdefault(m, [])
             out[m].extend(s for s in g if s != m and s not in out[m])

@@ -279,7 +279,8 @@ class Index:
 
     # -- search ------------------------------------------------------------
     def bind_attributes(self, df: DataFrame,
-                        docid_col: str = "docid") -> "Index":
+                        docid_col: str = "docid",
+                        dedupe: bool = False) -> "Index":
         """Bind a docid-keyed doc-attribute table (timestamps, sources,
         conversation ids — any typed columns) for ``range`` clauses,
         ``facet_date_histogram`` and ``search_collapse``. Typically the
@@ -287,12 +288,29 @@ class Index:
         warehouse stores postings, not documents), so a loaded index
         re-binds them from the same table it was built over.
 
+        CONTRACT: rows must be docid-unique — duplicate attribute rows
+        would multiply membership scores, facet counts and collapse
+        group sizes through the attribute joins. When the source can
+        carry duplicates (the same raw corpora add_documents guards
+        against), pass ``dedupe=True``: keeps the lexicographically
+        smallest row per docid (deterministic, unlike dropDuplicates'
+        arbitrary pick) at the cost of one shuffle on first use.
+
         At scale the binding is lazy — nothing is scanned until a query
         uses an attribute, and then only the referenced columns with the
         range predicate pushed into the scan."""
         cols = [F.col(docid_col).cast("string").alias("docid")]
         cols += [F.col(c) for c in df.columns if c != docid_col]
-        self._attributes = df.select(*cols)
+        attrs = df.select(*cols)
+        if dedupe:
+            from pyspark.sql.window import Window
+
+            others = [c for c in attrs.columns if c != "docid"]
+            w = Window.partitionBy("docid").orderBy(
+                *[F.col(c).asc_nulls_last() for c in others])
+            attrs = (attrs.withColumn("__rn", F.row_number().over(w))
+                     .where(F.col("__rn") == 1).drop("__rn"))
+        self._attributes = attrs
         return self
 
     def facet_date_histogram(self, query, attr: str,

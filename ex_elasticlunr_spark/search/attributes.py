@@ -41,6 +41,48 @@ from . import scorer
 
 RANGE_OPS = ("gte", "gt", "lte", "lt")
 
+
+def _require_attr(attributes: DataFrame, attr: str) -> None:
+    """Shared unknown-attribute guard (one message shape everywhere)."""
+    if attr not in attributes.columns:
+        raise ValueError(
+            f"unknown attribute {attr!r}; bound attributes carry "
+            f"{[c for c in attributes.columns if c != 'docid']}")
+
+
+def _validate_bound(value, dt) -> None:
+    """Reject range-bound literals the cast would silently NULL out.
+
+    ``F.lit(bound).cast(attr_type)`` turns an unparseable literal into
+    NULL, and ``col >= NULL`` filters EVERY row — a typo'd date would
+    silently match nothing (or everything under ``not``). ES raises a
+    parse error for malformed bounds; so do we, driver-side at query
+    compile time. Timestamp/date bounds must be ISO-8601 (or
+    datetime/date objects); numeric bounds must be numbers or numeric
+    strings."""
+    import datetime as _dt
+
+    name = dt.typeName()
+    if name in ("timestamp", "timestamp_ntz", "date"):
+        if isinstance(value, (_dt.date, _dt.datetime)):
+            return
+        try:
+            _dt.datetime.fromisoformat(str(value))
+        except ValueError:
+            raise ValueError(
+                f"unparseable {name} bound {value!r}: use ISO-8601 "
+                f"(e.g. '2026-01-01 00:00:00') or a datetime object"
+            ) from None
+        return
+    if name in ("byte", "short", "integer", "long", "float", "double",
+                "decimal"):
+        try:
+            float(value)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"unparseable numeric bound {value!r} for {name} "
+                f"attribute") from None
+
 # date_trunc units that bucket a timestamp onto calendar boundaries
 HISTOGRAM_INTERVALS = (
     "year", "quarter", "month", "week", "day", "hour", "minute", "second",
@@ -52,10 +94,7 @@ def range_condition(attributes: DataFrame, attr: str, conds: dict):
     ``attr``, literals cast to the attribute's own type so timestamp
     bounds can be given as ISO strings and comparisons stay typed (no
     per-row string coercion in the scan)."""
-    if attr not in attributes.columns:
-        raise ValueError(
-            f"unknown attribute {attr!r}; bound attributes carry "
-            f"{[c for c in attributes.columns if c != 'docid']}")
+    _require_attr(attributes, attr)
     bad = set(conds) - set(RANGE_OPS)
     if bad or not conds:
         raise ValueError(
@@ -67,6 +106,7 @@ def range_condition(attributes: DataFrame, attr: str, conds: dict):
     for op in RANGE_OPS:  # fixed order -> stable plans
         if op not in conds:
             continue
+        _validate_bound(conds[op], dt)
         lit = F.lit(conds[op]).cast(dt)
         c = {"gte": col >= lit, "gt": col > lit,
              "lte": col <= lit, "lt": col < lit}[op]
@@ -121,10 +161,7 @@ def exists_scores(inv, attributes: DataFrame, node,
     """Compile an ExistsNode: docs whose attribute is NON-NULL,
     constant score = boost. The IsNotNull predicate pushes into the
     attribute scan like a range bound does."""
-    if node.attr not in attributes.columns:
-        raise ValueError(
-            f"unknown attribute {node.attr!r}; bound attributes carry "
-            f"{[c for c in attributes.columns if c != 'docid']}")
+    _require_attr(attributes, node.attr)
     cond = F.col(node.attr).isNotNull()
     return _membership_scores(inv, attributes, cond, node.boost,
                               restrict=restrict,
@@ -147,10 +184,12 @@ def facet_date_histogram(scored: DataFrame, attributes: DataFrame,
         raise ValueError(
             f"interval must be one of {HISTOGRAM_INTERVALS}, "
             f"got {interval!r}")
-    if attr not in attributes.columns:
-        raise ValueError(f"unknown attribute {attr!r}")
-    m = scored.select("docid").distinct()
-    j = m.join(attributes.select("docid", attr), "docid")
+    _require_attr(attributes, attr)
+    # no distinct: scored_docids is per-doc unique by construction
+    # (every compiled tree aggregates to one row per doc)
+    m = scored.select("docid")
+    j = m.join(attributes.select("docid", attr), "docid") \
+         .where(F.col(attr).isNotNull())  # ES: missing field -> no bucket
     counts = (
         j.select(F.date_trunc(interval, F.col(attr)).alias("bucket"))
         .groupBy("bucket")
@@ -176,9 +215,8 @@ def facet_histogram(scored: DataFrame, attributes: DataFrame,
     field are not bucketed)."""
     if not interval or interval <= 0:
         raise ValueError(f"interval must be > 0, got {interval!r}")
-    if attr not in attributes.columns:
-        raise ValueError(f"unknown attribute {attr!r}")
-    m = scored.select("docid").distinct()
+    _require_attr(attributes, attr)
+    m = scored.select("docid")  # scored_docids is per-doc unique
     j = m.join(attributes.select("docid", attr), "docid") \
          .where(F.col(attr).isNotNull())
     iv = F.lit(float(interval))
@@ -212,9 +250,12 @@ def collapse_top(scored: DataFrame, attributes: DataFrame, attr: str,
     is the same winner's score by construction; count(*) is the group
     size. The final (score desc, docid asc) top-k is a TakeOrdered over
     one row per group."""
-    if attr not in attributes.columns:
-        raise ValueError(f"unknown attribute {attr!r}")
-    joined = scored.join(attributes.select("docid", attr), "docid")
+    _require_attr(attributes, attr)
+    # NULL collapse values drop (module policy, same as decay/facets:
+    # docs missing the field don't form a meaningful group)
+    joined = scored.join(
+        attributes.select("docid", attr).where(F.col(attr).isNotNull()),
+        "docid")
     winners = joined.groupBy(attr).agg(
         F.expr("min_by(docid, struct(-score, docid))").alias("docid"),
         F.max("score").alias("score"),
@@ -232,9 +273,8 @@ def facet_stats(scored: DataFrame, attributes: DataFrame,
     One hash join bounded by match volume, then a fully map-side-
     combinable global aggregate (all five stats are associative) — at
     scale the final reduce sees one partial row per partition."""
-    if attr not in attributes.columns:
-        raise ValueError(f"unknown attribute {attr!r}")
-    m = scored.select("docid").distinct()
+    _require_attr(attributes, attr)
+    m = scored.select("docid")  # scored_docids is per-doc unique
     j = m.join(attributes.select("docid", attr), "docid")
     c = F.col(attr)
     return j.agg(
@@ -298,9 +338,9 @@ def decay_scores(scored: DataFrame, attributes: DataFrame, attr: str,
     The multiply is one hash join bounded by match volume plus pure
     column exprs — no shuffle beyond the join, nothing leaves
     codegen."""
-    if attr not in attributes.columns:
-        raise ValueError(f"unknown attribute {attr!r}")
+    _require_attr(attributes, attr)
     dt = attributes.schema[attr].dataType
+    _validate_bound(origin, dt)  # an unparseable origin would NULL-cast
     mult = decay_multiplier(F.col(attr), dt, origin, scale,
                             decay=decay, shape=shape)
     j = scored.join(

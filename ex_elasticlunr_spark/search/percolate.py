@@ -66,6 +66,12 @@ def percolate(
     out_schema = ("query_id string, docid string, n_matched bigint, "
                   "n_terms bigint")
     msm = minimum_should_match
+    if msm is not None and int(msm) < 1:
+        # msm<=0 would mean "every doc matches every rule" on the dict
+        # path but is unreachable on the join path (zero-overlap pairs
+        # never form) — reject rather than let the two paths diverge
+        raise ValueError(
+            f"minimum_should_match must be >= 1, got {msm!r}")
 
     if isinstance(queries, dict):
         # zero-shuffle map-only plan (streaming-safe): per-doc distinct
@@ -89,6 +95,14 @@ def percolate(
                 inter.cast("long").alias("n_matched"),
                 F.lit(len(terms)).cast("long").alias("n_terms"))))
         if not tests:
+            if docs.isStreaming:
+                # keep the return type streaming-safe: an all-stopword
+                # rule set must not hand a batch frame to writeStream
+                return (docs.where(F.lit(False)).select(
+                    F.col(docid_col).cast("string").alias("docid"))
+                    .select(F.lit("").alias("query_id"), "docid",
+                            F.lit(0).cast("long").alias("n_matched"),
+                            F.lit(0).cast("long").alias("n_terms")))
             return spark.createDataFrame([], out_schema)
         hits = (docs.select(
                     F.col(docid_col).cast("string").alias("docid"),

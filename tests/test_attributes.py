@@ -294,3 +294,86 @@ class TestAttributePushdown:
         assert "GreaterThanOrEqual(ts" in plan
         assert "LessThan(ts" in plan
         assert res.count() == 10
+
+
+class TestHardening:
+    """Regression pins for the silent-failure modes: NULL-cast bound
+    literals, NULL attribute values in aggregations, duplicate
+    attribute rows."""
+
+    def test_unparseable_timestamp_bound_raises(self, idx):
+        # F.lit('2026-02-30').cast(timestamp) would NULL out and match
+        # NOTHING silently; the compile must raise instead
+        with pytest.raises(ValueError, match="unparseable"):
+            idx.search({"query": {"bool": {
+                "must": {"terms": {"text": "spark"}},
+                "filter": [{"range": {"ts": {"gte": "2026-02-30"}}}],
+            }}}).collect()
+
+    def test_unparseable_numeric_bound_raises(self, idx):
+        with pytest.raises(ValueError, match="unparseable"):
+            idx.search({"query": {"range": {"mins": {"lt": "abc"}}}})
+
+    def test_unparseable_decay_origin_raises(self, idx):
+        with pytest.raises(ValueError, match="unparseable"):
+            idx.search_decay({"query": {"terms": {"text": "spark"}}},
+                             "ts", "not-a-date", 3600.0)
+
+    def test_date_histogram_drops_null_attr(self, spark):
+        docs = spark.createDataFrame(
+            [("a", "spark fast", dt.datetime(2026, 1, 1, 10)),
+             ("b", "spark slow", None),
+             ("c", "spark mid", dt.datetime(2026, 1, 1, 11))],
+            "docid string, text string, ts timestamp")
+        ix = Index(name="nullts", store_positions=False).add_field("text")
+        ix.add_documents(docs, docid_col="docid", dedupe=False)
+        ix.bind_attributes(docs.select("docid", "ts"))
+        rows = ix.facet_date_histogram(
+            {"query": {"terms": {"text": "spark"}}}, "ts",
+            interval="hour").collect()
+        assert all(r["bucket"] is not None for r in rows)
+        assert sum(r["doc_count"] for r in rows) == 2
+
+    def test_collapse_drops_null_group(self, spark):
+        docs = spark.createDataFrame(
+            [("a", "spark fast", "g1"), ("b", "spark slow", None),
+             ("c", "spark mid", "g1")],
+            "docid string, text string, grp string")
+        ix = Index(name="nullgrp", store_positions=False).add_field("text")
+        ix.add_documents(docs, docid_col="docid", dedupe=False)
+        ix.bind_attributes(docs.select("docid", "grp"))
+        rows = ix.search_collapse(
+            {"query": {"terms": {"text": "spark"}}}, "grp").collect()
+        assert [r["grp"] for r in rows] == ["g1"]
+        assert rows[0]["group_size"] == 2
+
+    def test_bind_attributes_dedupe_deterministic(self, spark):
+        docs = spark.createDataFrame(
+            [("a", "spark one")], "docid string, text string")
+        attrs = spark.createDataFrame(
+            [("a", "g2", 5), ("a", "g1", 9)],
+            "docid string, grp string, mins int")
+        ix = Index(name="dupattr", store_positions=False).add_field("text")
+        ix.add_documents(docs, docid_col="docid", dedupe=False)
+        ix.bind_attributes(attrs, dedupe=True)
+        got = ix._attributes.collect()
+        assert len(got) == 1
+        # lexicographically smallest row per docid wins
+        assert (got[0]["grp"], got[0]["mins"]) == ("g1", 9)
+
+    def test_duplicate_attr_rows_without_dedupe_double_count(self, spark):
+        # the documented contract: duplicates multiply membership —
+        # pinned so the dedupe=True escape hatch stays honest
+        docs = spark.createDataFrame(
+            [("a", "spark one")], "docid string, text string")
+        attrs = spark.createDataFrame(
+            [("a", 1), ("a", 1)], "docid string, mins int")
+        ix = Index(name="dupattr2", store_positions=False).add_field("text")
+        ix.add_documents(docs, docid_col="docid", dedupe=False)
+        ix.bind_attributes(attrs)
+        n = ix.search({"query": {"range": {"mins": {"gte": 0}}}},
+                      top_k=None).count()
+        assert n == 2  # duplicated membership, as documented
+        ix.bind_attributes(attrs, dedupe=True)
+        assert ix.search({"query": {"range": {"mins": {"gte": 0}}}},
+                         top_k=None).count() == 1

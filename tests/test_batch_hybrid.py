@@ -287,3 +287,39 @@ class TestPercolate:
         got = {(r["query_id"], r["docid"], r["n_matched"], r["n_terms"])
                for r in spark.sql("SELECT * FROM perc_stream").collect()}
         assert got == want
+
+
+class TestPercolateHardening:
+    def test_msm_below_one_raises(self, spark):
+        # msm<=0 means "everything matches everything" on the dict path
+        # but is unreachable on the join path — rejected up front
+        from ex_elasticlunr_spark.search.percolate import percolate
+
+        docs = spark.createDataFrame([("1", "quick fox")],
+                                     "docid string, text string")
+        for rules in ({"r": "fox"},
+                      spark.createDataFrame([("r", "fox")],
+                                            "query_id string, "
+                                            "query_text string")):
+            with pytest.raises(ValueError, match="minimum_should_match"):
+                percolate(docs, rules, field="text",
+                          minimum_should_match=0)
+
+    def test_all_stopword_rules_stay_streaming(self, spark, tmp_path):
+        """An all-stopword rule set must still return a STREAMING frame
+        when docs are a stream (writeStream on a batch frame raises)."""
+        from ex_elasticlunr_spark.search.percolate import percolate
+        from tests.stream_util import await_terminated
+
+        src = str(tmp_path / "pssrc")
+        spark.createDataFrame([("1", "quick fox")],
+                              "docid string, text string") \
+            .coalesce(1).write.parquet(src)
+        stream = (spark.readStream.schema("docid string, text string")
+                  .parquet(src))
+        out = percolate(stream, {"r": "the"}, field="text")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("perc_empty")
+             .outputMode("append").trigger(availableNow=True).start())
+        await_terminated(q, 120)
+        assert spark.sql("SELECT * FROM perc_empty").count() == 0

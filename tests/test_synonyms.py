@@ -114,3 +114,19 @@ class TestQueryTimeSynonyms:
         view = idx.with_query_synonyms({"rapid": ["fast"]})
         assert not view.has_token("text", "rapid")
         assert view.has_token("text", "fast")
+
+
+def test_string_synonym_value_treated_as_single_term():
+    """{"fast": "quick"} must mean one synonym, not the characters
+    q/u/i/c/k (str satisfies Sequence[str])."""
+    from ex_elasticlunr_spark.analysis.synonyms import SynonymFilter
+
+    f = SynonymFilter({"fast": "quick"})
+    assert f.mapping == {"fast": ["quick"]}
+
+
+def test_string_group_raises():
+    from ex_elasticlunr_spark.analysis.synonyms import synonym_groups
+
+    with pytest.raises(TypeError, match="wrap it in a list"):
+        synonym_groups("fast", "quick")
