@@ -36,7 +36,7 @@ class SpanNearNode:
 
     field: str
     terms: List[str]  # exactly two analyzed terms
-    slop: int = 0
+    slop: int = 1  # max ordinal distance; adjacent terms are at 1
     boost: float = 1.0
 
 
@@ -238,9 +238,17 @@ def _parse_span_near(options):
     terms = [str(t) for t in params.get("terms", [])]
     if len(terms) != 2:
         raise ValueError("span_near takes exactly two terms")
+    # slop = max token-ordinal distance; ADJACENT terms have distance 1,
+    # so slop=0 could never match two distinct terms — default 1 and
+    # reject non-positive values rather than compile a silent no-op
+    slop = int(params.get("slop", 1))
+    if slop < 1:
+        raise ValueError(
+            f"span_near slop must be >= 1 (adjacent terms are at "
+            f"ordinal distance 1), got {slop}")
     return SpanNearNode(
         field=fname, terms=terms,
-        slop=int(params.get("slop", 0)),
+        slop=slop,
         boost=params.get("boost", 1),
     )
 
@@ -248,14 +256,30 @@ def _parse_span_near(options):
 def _parse_terms(options):
     if not options:
         return MatchAllNode()
+    # REFERENCE QUIRK, pinned by the golden query set: top-level option
+    # keys mixed with field keys are DROPPED, not applied —
+    # terms_query.ex:110-124 routes any >1-key map through the
+    # multi-field branch, which rejects option keys and never reads
+    # their values. Options are honored only inside per-field params
+    # ({field: {value, minimum_should_match, ...}}).
     fields = {k: v for k, v in options.items() if k not in OPTION_KEYS}
     if len(fields) > 1:
         # multi-field sugar (terms_query.ex:110-118)
-        return BoolNode(should=[_parse_terms({f: v}) for f, v in fields.items()])
+        return BoolNode(should=[_parse_terms({f: v})
+                                for f, v in fields.items()])
     (fname, params), = fields.items()
     opts = params if isinstance(params, dict) else {}
-    terms = params.get("value") if isinstance(params, dict) else params
+    if isinstance(params, dict):
+        if "value" not in params:
+            raise ValueError(
+                f"terms params for field {fname!r} need a 'value'; "
+                f"got keys {sorted(params)}")
+        terms = params["value"]
+    else:
+        terms = params
     terms = terms if isinstance(terms, list) else [terms]
+    if any(t is None for t in terms):
+        raise ValueError(f"terms for field {fname!r} must not be null")
     return TermsNode(
         field=fname,
         terms=[str(t) for t in terms],
@@ -270,6 +294,12 @@ def _parse_terms(options):
 def _parse_match(options):
     if not options:
         return MatchAllNode()
+    # Same quirk as _parse_terms: option keys mixed with field keys are
+    # stripped and IGNORED (per-field params are the only option
+    # carrier). The reference's mixed-map behavior is stranger still —
+    # match_query.ex:98-109 treats "operator" etc. as FIELD names in
+    # its multi-field branch — so dropping them is the closest sane
+    # reading; the oracle pins ours.
     fields = {k: v for k, v in options.items() if k not in OPTION_KEYS}
     if len(fields) > 1:
         # multi-field sugar sets msm = field count (match_query.ex:98-109)
@@ -280,6 +310,10 @@ def _parse_match(options):
     (fname, params), = fields.items()
     if not isinstance(params, dict):
         params = {"query": params}
+    if params.get("query") is None:
+        raise ValueError(
+            f"match params for field {fname!r} need a 'query'; "
+            f"got keys {sorted(set(params) - set(OPTION_KEYS))}")
     operator = params.get("operator", "or")
     default_msm = 0 if operator == "and" else 1
     return MatchNode(
@@ -300,10 +334,14 @@ def _parse_match_phrase(options):
     if len(fields) > 1:
         # multi-field sugar, mirroring match (match_query.ex:98-109)
         return BoolNode(
-            should=[_parse_match_phrase({f: v}) for f, v in fields.items()])
+            should=[_parse_match_phrase({f: v})
+                    for f, v in fields.items()])
     (fname, params), = fields.items()
     if not isinstance(params, dict):
         params = {"query": params}
+    if params.get("query") is None:
+        raise ValueError(
+            f"match_phrase params for field {fname!r} need a 'query'")
     return MatchPhraseNode(
         field=fname,
         query=params.get("query"),

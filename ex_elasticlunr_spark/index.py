@@ -756,8 +756,11 @@ class Index:
         score, rank) — see search/batch.py for the plan shape."""
         from .search.batch import search_many as _sm
 
+        # pass THIS index's analyzer config: query-time views
+        # (with_query_synonyms) live on the Index, not on the inverted
+        # tables — bulk search must analyze like single-query search
         return _sm(self.inverted, queries, field, top_k=top_k, mode=mode,
-                   k1=k1, b=b)
+                   k1=k1, b=b, analyzer=self.analyzers[field])
 
     def search_wand(self, text: str, field: str, top_k: int = 10,
                     mode: str = "bm25", k1: float = 1.2, b: float = 0.75,

@@ -65,8 +65,6 @@ def related_documents(
     become seeds). Scores round to 6 decimals before ranking, ties on
     docid — the cross-engine determinism contract.
     """
-    from pyspark.sql import Window
-
     key = index.key_col
     post = index.postings.where(F.col("field") == field)
     vocab = index.term_stats.where(F.col("field") == field).select(
@@ -120,9 +118,11 @@ def related_documents(
         .where(F.col(key) != F.col("qid_key"))
         .join(vocab, "term")
     )
+    from .scorer import entry_score_expr
+
     fstats = F.broadcast(
         index.field_stats.where(F.col("field") == field).select("flnorm"))
-    entry_score = (F.col("tf") * F.col("term_idf") ** 2 * F.col("flnorm"))
+    entry_score = entry_score_expr("elasticlunr")
     per_doc = (
         entries.crossJoin(fstats)
         .groupBy("qid_key", key)
@@ -152,6 +152,7 @@ def search_many(
     mode: str = "bm25",
     k1: float = 1.2,
     b: float = 0.75,
+    analyzer=None,
 ) -> DataFrame:
     """Score every query in ``queries`` against ``field``, returning
     DataFrame(query_id, docid, score, rank) with ``rank`` 1..top_k per
@@ -173,13 +174,20 @@ def search_many(
     """
     spark = index.postings.sparkSession
     key = index.key_col
-    cfg = index.analyzers[field]
+    # ``analyzer`` override: Index.search_many passes its OWN config so
+    # query-time views (with_query_synonyms, per-field query_pipeline
+    # swaps) apply to bulk search exactly like single-query search —
+    # the inverted index's analyzers are the build-time ones
+    cfg = analyzer if analyzer is not None else index.analyzers[field]
 
     literal_terms: Optional[list] = None
     if isinstance(queries, dict):
         pipeline = cfg.to_query_pipeline()
         rows = []
-        for qid, text in sorted(queries.items()):
+        # sort on the stringified id: mixed int/str ids are legal
+        # (they're str()-coerced into the output) and must not crash
+        # the ordering
+        for qid, text in sorted(queries.items(), key=lambda kv: str(kv[0])):
             counts: Dict[str, int] = {}
             for t in pipeline.run_terms(text):
                 counts[t] = counts.get(t, 0) + 1
@@ -234,22 +242,13 @@ def search_many(
         .select("field", "flnorm", "n_docs", "avg_doc_len"))
     entries = entries.join(fstats, "field")
 
-    if mode == "elasticlunr":
-        entry_score = F.col("tf") * F.col("term_idf") ** 2 * F.col("flnorm")
-        agg_score = F.max(entry_score)
-    elif mode == "bm25":
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col("term_df") + F.lit(0.5))
-            / (F.col("term_df") + F.lit(0.5)))
-        tf_part = (F.col("tf_raw") * (k1 + 1.0)) / (
-            F.col("tf_raw") + F.lit(k1) * (
-                F.lit(1.0 - b)
-                + F.lit(b) * F.col("doc_len") / F.col("avg_doc_len")))
-        entry_score = idf * tf_part * F.col("qw")
-        agg_score = F.sum(entry_score)
-    else:
-        raise ValueError(f"unknown scoring mode {mode!r}")
+    # shared formula source (search/scorer.py): bm25 sums qw-weighted
+    # entries, elasticlunr takes the max (qw ignored by contract)
+    from .scorer import entry_score_expr
+
+    entry_score = entry_score_expr(mode, k1, b, qw="qw")
+    agg_score = (F.max(entry_score) if mode == "elasticlunr"
+                 else F.sum(entry_score))
 
     per_doc = (entries.groupBy("query_id", key)
                .agg(F.round(agg_score, 6).alias("score")))

@@ -74,6 +74,38 @@ PHRASE_DRIVER_MAX_DOCS = 4096
 _PHRASE_DF_CACHE_MAX = 1 << 16
 
 
+def entry_score_expr(mode: str, k1: float = 1.2, b: float = 0.75,
+                     qw: str | None = None):
+    """THE per-(term, doc) entry-score Column — the single source of
+    both scoring formulas, shared by the single-query scorer, bulk
+    ``search_many`` and ``related_documents`` so the paths can never
+    drift. Expects the joined (postings × term_stats × field_stats)
+    row shape: tf, tf_raw, term_idf, term_df, doc_len, flnorm, n_docs,
+    avg_doc_len (+ the ``qw`` column when given).
+
+    elasticlunr: ``tf * idf^2 * flnorm`` (field.ex:235,
+    terms_query.ex:89) — per-doc aggregation is MAX over entries, so a
+    query-term multiplicity column never applies (``qw`` ignored).
+    bm25: Robertson idf × tf saturation; ``qw`` (query-term
+    multiplicity) multiplies each entry in SUM aggregation."""
+    if mode == "elasticlunr":
+        return F.col("tf") * F.col("term_idf") ** 2 * F.col("flnorm")
+    if mode == "bm25":
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("term_df") + F.lit(0.5))
+            / (F.col("term_df") + F.lit(0.5))
+        )
+        tf_part = (F.col("tf_raw") * (k1 + 1.0)) / (
+            F.col("tf_raw")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avg_doc_len"))
+        )
+        e = idf * tf_part
+        return e * F.col(qw) if qw else e
+    raise ValueError(f"unknown scoring mode {mode!r}")
+
+
 def _empty_schema(key: str, with_details: bool) -> str:
     s = ("ord long" if key == "ord" else "docid string") + ", score double"
     if with_details:
@@ -204,24 +236,9 @@ def terms_scores(
     )
     entries = entries.join(fstats, "field")
 
-    if mode == "elasticlunr":
-        entry_score = F.col("tf") * F.col("term_idf") ** 2 * F.col("flnorm")
-        agg_score = F.max(entry_score)
-    elif mode == "bm25":
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col("term_df") + F.lit(0.5))
-            / (F.col("term_df") + F.lit(0.5))
-        )
-        tf_part = (F.col("tf_raw") * (k1 + 1.0)) / (
-            F.col("tf_raw")
-            + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avg_doc_len"))
-        )
-        entry_score = idf * tf_part
-        agg_score = F.sum(entry_score)
-    else:
-        raise ValueError(f"unknown scoring mode {mode!r}")
+    entry_score = entry_score_expr(mode, k1, b)
+    agg_score = (F.max(entry_score) if mode == "elasticlunr"
+                 else F.sum(entry_score))
 
     aggs = [agg_score.alias("raw_score"), F.count(F.lit(1)).alias("n_entries")]
     if with_details:

@@ -131,3 +131,46 @@ def test_more_like_this_ranks_seed_doc_first(spark, idx):
     # empty seed -> empty result with the standard schema
     empty = idx.more_like_this("", "text")
     assert empty.columns == ["docid", "score"] and empty.count() == 0
+
+
+class TestParserGuards:
+    """Parser traps that used to compile silently-wrong queries."""
+
+    def test_mixed_map_options_are_dropped_reference_quirk(self, idx):
+        """Reference parity (pinned by the golden set): option keys
+        mixed with field keys are STRIPPED and ignored —
+        terms_query.ex:110-124 rejects them in its multi-field branch
+        and never reads their values. Options belong in per-field
+        params."""
+        from ex_elasticlunr_spark.dsl.nodes import parse
+
+        n = parse({"match": {"text": "fast join", "operator": "and"}})
+        assert n.operator == "or"  # top-level operator dropped
+        n = parse({"terms": {"text": {"value": "x"},
+                             "minimum_should_match": 2}})
+        assert n.minimum_should_match == 1  # dropped
+        # the per-field carrier works
+        n = parse({"match": {"text": {"query": "x", "boost": 2}}})
+        assert n.boost == 2
+
+    def test_missing_query_or_value_raises(self, idx):
+        from ex_elasticlunr_spark.dsl.nodes import parse
+
+        with pytest.raises(ValueError, match="need a 'query'"):
+            parse({"match": {"text": {"operator": "and"}}})
+        with pytest.raises(ValueError, match="need a 'value'"):
+            parse({"terms": {"text": {"boost": 2}}})
+        with pytest.raises(ValueError, match="must not be null"):
+            parse({"terms": {"text": None}})
+        with pytest.raises(ValueError, match="need a 'query'"):
+            parse({"match_phrase": {"text": {"boost": 2}}})
+
+    def test_span_near_slop_validation(self, idx):
+        from ex_elasticlunr_spark.dsl.nodes import parse
+
+        # default slop is 1 (adjacent), not the unmatchable 0
+        n = parse({"span_near": {"text": {"terms": ["a", "b"]}}})
+        assert n.slop == 1
+        with pytest.raises(ValueError, match="slop must be >= 1"):
+            parse({"span_near": {"text": {"terms": ["a", "b"],
+                                          "slop": 0}}})

@@ -130,3 +130,32 @@ def test_string_group_raises():
 
     with pytest.raises(TypeError, match="wrap it in a list"):
         synonym_groups("fast", "quick")
+
+
+def test_search_many_honors_synonym_view(spark):
+    """Bulk search must analyze through the Index-level view config:
+    with_query_synonyms only swaps the Index's analyzers, not the
+    inverted tables' — search_many used to read the latter and silently
+    ignore the view."""
+    docs = spark.createDataFrame(
+        [("a", "fast engine"), ("b", "slow engine")],
+        "docid string, text string")
+    ix = Index(name="sm-syn", store_positions=False).add_field("text")
+    ix.add_documents(docs, docid_col="docid", dedupe=False)
+    view = ix.with_query_synonyms({"rapid": ["fast"]})
+    hits = {r["docid"]
+            for r in view.search_many({"q": "rapid"}, "text").collect()}
+    assert hits == {"a"}
+    # the base index is unaffected: 'rapid' is out-of-vocabulary
+    assert ix.search_many({"q": "rapid"}, "text").count() == 0
+
+
+def test_search_many_mixed_key_types(spark):
+    docs = spark.createDataFrame([("a", "fast engine")],
+                                 "docid string, text string")
+    ix = Index(name="sm-mixed", store_positions=False).add_field("text")
+    ix.add_documents(docs, docid_col="docid", dedupe=False)
+    got = {r["query_id"]
+           for r in ix.search_many({1: "fast", "b": "engine"},
+                                   "text").collect()}
+    assert got == {"1", "b"}
