@@ -145,8 +145,12 @@ def windowed_counts(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             by,
+            # mirror the aggs guard exactly: sum_value exists only when
+            # the value column does (a value-less events frame used to
+            # crash here with UNRESOLVED_COLUMN)
             *[c for c in ("n_events", "sum_value")
-              if value_col is not None or c == "n_events"],
+              if c == "n_events"
+              or (value_col is not None and value_col in events.columns)],
         )
     )
 
@@ -179,9 +183,12 @@ _SESSION_OUT_SCHEMA = (
     "sum_value double"
 )
 # per-user running state: next session ordinal + the OPEN session's
-# aggregates (O(1) per user — never the event list)
+# aggregates (O(1) per user — never the event list). nv counts the
+# session's NON-NULL values so an all-null session emits sum_value
+# NULL exactly like batch SUM.
 _SESSION_STATE_SCHEMA = (
-    "next_idx bigint, start_us bigint, end_us bigint, n bigint, sv double"
+    "next_idx bigint, start_us bigint, end_us bigint, n bigint, "
+    "sv double, nv bigint"
 )
 
 
@@ -196,10 +203,15 @@ def sessionize_stream(
     Emits, in UPDATE mode, the current aggregates of every session a
     micro-batch touches or closes — the LAST emission per session_id is
     its final row, and equals the batch ``session_stats`` output for
-    the same events (parity pinned in tests/test_events.py). Idle users
-    expire from the state store after ``idle_timeout_ms`` of
-    processing-time silence, flushing their open session; state per
-    user is a 5-field scalar tuple.
+    the same events (parity pinned in tests/test_events.py). After
+    ``idle_timeout_ms`` of processing-time silence an idle user's open
+    session is flushed as a PROGRESS emission — the state (including
+    the open session and the session ordinal) is retained, so a user
+    returning within the EVENT-time gap continues the same session
+    exactly like batch (a processing-time pause never splits a
+    session, and session_ids never restart at 0). State per user is a
+    6-field scalar tuple — bounded by user cardinality, the same bound
+    as any per-user aggregation.
 
     ``idle_timeout_ms=None`` disables the idle flush (NoTimeout). Use
     it for BOUNDED replays (``trigger(availableNow=True)``): with
@@ -233,26 +245,39 @@ def sessionize_stream(
 
         (user,) = key
         if state.hasTimedOut:
-            # idle user: flush the open session and drop the state
-            nxt, start_us, end_us, n, sv = state.get
-            state.remove()
+            # idle user: PROGRESS-flush the open session but keep the
+            # state — removing it would restart session_idx at 0 for a
+            # returning user (colliding session_ids) and split a
+            # session whose pause was shorter than the EVENT-time gap.
+            # No new timeout is armed (nothing changes while idle); the
+            # user's next event re-arms it.
+            nxt, start_us, end_us, n, sv, nv = state.get
             yield pd.DataFrame(
                 {"user_id": [user], "session_idx": [nxt - 1],
                  "session_id": [f"{user}-{nxt - 1}"],
                  "session_start": [pd.Timestamp(start_us, unit="us")],
                  "session_end": [pd.Timestamp(end_us, unit="us")],
-                 "n_events": [n], "sum_value": [round(sv, 6)]})
+                 "n_events": [n],
+                 "sum_value": [round(sv, 6) if nv else None]})
             return
 
         if state.exists:
-            nxt, start_us, end_us, n, sv = state.get
+            nxt, start_us, end_us, n, sv, nv = state.get
             open_idx = nxt - 1
         else:
-            nxt, start_us, end_us, n, sv = 0, None, None, 0, 0.0
+            nxt, start_us, end_us, n, sv, nv = 0, None, None, 0, 0.0, 0
             open_idx = None
 
         rows = []  # emitted (closed or updated) session rows
-        for pdf in pdfs:
+        # ONE global sort: a >maxRecordsPerBatch group arrives as
+        # multiple Arrow chunks with no cross-chunk ordering — chunk-
+        # local sorts would process out of time order and derive wrong
+        # session boundaries. Materializing the group's micro-batch
+        # rows is bounded by per-user batch volume, not the stream.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
             pdf = pdf.sort_values(["ts", "event_id"]
                                   if "event_id" in pdf.columns else ["ts"])
             if pdf["ts"].dtype.kind == "M":
@@ -262,21 +287,26 @@ def sessionize_stream(
                     index=pdf.index)
             else:
                 ts_us = pdf["ts"].astype("int64")
-            vals = pdf["value"].fillna(0.0) if "value" in pdf.columns \
-                else pd.Series(0.0, index=pdf.index)
+            vals = pdf["value"] if "value" in pdf.columns \
+                else pd.Series(float("nan"), index=pdf.index)
             for t, v in zip(ts_us.tolist(), vals.tolist()):
+                has_v = v is not None and v == v  # non-null, non-NaN
+                fv = float(v) if has_v else 0.0
                 if open_idx is None or t - end_us > gap_us:
                     if open_idx is not None:
-                        rows.append((user, open_idx, start_us, end_us, n, sv))
+                        rows.append((user, open_idx, start_us, end_us,
+                                     n, sv, nv))
                     open_idx, nxt = nxt, nxt + 1
-                    start_us, end_us, n, sv = t, t, 1, float(v)
+                    start_us, end_us, n = t, t, 1
+                    sv, nv = fv, int(has_v)
                 else:
-                    end_us, n, sv = max(end_us, t), n + 1, sv + float(v)
+                    end_us, n = max(end_us, t), n + 1
+                    sv, nv = sv + fv, nv + int(has_v)
         if open_idx is not None:
             # update-mode emission of the still-open session
-            rows.append((user, open_idx, start_us, end_us, n, sv))
-            state.update((nxt, start_us, end_us, n, sv))
-            if idle_timeout_ms:
+            rows.append((user, open_idx, start_us, end_us, n, sv, nv))
+            state.update((nxt, start_us, end_us, n, sv, nv))
+            if idle_timeout_ms and chunks:
                 state.setTimeoutDuration(idle_timeout_ms)
         if rows:
             yield pd.DataFrame(
@@ -286,7 +316,9 @@ def sessionize_stream(
                  "session_start": [pd.Timestamp(r[2], unit="us") for r in rows],
                  "session_end": [pd.Timestamp(r[3], unit="us") for r in rows],
                  "n_events": [r[4] for r in rows],
-                 "sum_value": [round(r[5], 6) for r in rows]})
+                 # all-null-value session -> NULL, matching batch SUM
+                 "sum_value": [round(r[5], 6) if r[6] else None
+                               for r in rows]})
 
     return stream_df.groupBy("user_id").applyInPandasWithState(
         fn,

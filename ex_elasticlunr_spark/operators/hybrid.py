@@ -36,6 +36,8 @@ def rrf_fusion(rankings: List[DataFrame], k: int = 60,
     ``n_lists`` counts how many input lists contained the doc — a
     useful confidence signal (matched-by-both vs single-modality).
     """
+    if not rankings:
+        raise ValueError("rrf_fusion needs at least one ranked list")
     ranked = []
     for df in rankings:
         w = Window.orderBy(F.desc(F.round(F.col(score_col), 6)),
@@ -55,4 +57,5 @@ def rrf_fusion(rankings: List[DataFrame], k: int = 60,
         )
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
     )
-    return fused.limit(top_n) if top_n else fused
+    # `is not None`: top_n=0 legitimately means "no rows", not "all"
+    return fused.limit(top_n) if top_n is not None else fused

@@ -96,9 +96,14 @@ def rerank_pairs(
             # group by query within the batch: a real cross-encoder
             # tokenizes the query once per group and runs the batch
             # through the model in one forward pass
+            import numpy as _np
+
             for qt, grp in pdf.groupby("query_text"):
-                scores.loc[grp.index] = score_fn(
-                    qt, grp["_text"].fillna(""))
+                # positional assignment: a scorer returning a fresh
+                # RangeIndex Series (the natural model-wrapper shape)
+                # would align by INDEX and silently produce NaN scores
+                scores.loc[grp.index] = _np.asarray(
+                    score_fn(qt, grp["_text"].fillna("")), dtype=float)
             # floor-truncate to 6 decimals instead of rounding: floor is
             # tie-free, so the result is bit-identical in any engine
             # (np.round is half-even, SQL ROUND is half-away — a scorer
@@ -114,6 +119,6 @@ def rerank_pairs(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("rerank_score"), F.asc("docid"))
     ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))
-    if top_n:
+    if top_n is not None:  # top_n=0 means "no rows", not "all"
         ranked = ranked.where(F.col("rank") <= top_n)
     return ranked.select("query_id", "docid", "rerank_score", "rank")

@@ -130,7 +130,12 @@ def significant_terms(inv, matches: DataFrame, field: str,
     fg_pct = F.col("fg_count") / F.col("fg_total")
     bg_pct = F.col("bg_count") / F.col("n_docs")
     scored = (
-        fg.join(F.broadcast(bg), "term")
+        # no broadcast hint: bg is the FULL field vocabulary (tens of
+        # millions of rows at corpus scale — force-broadcasting it
+        # would blow the driver), and fg is bounded by the matched
+        # set's distinct terms but can still be large for broad
+        # queries; AQE picks the build side from runtime sizes
+        fg.join(bg, "term")
         .crossJoin(F.broadcast(fg_total))
         .crossJoin(F.broadcast(n_docs))
         .where((F.col("fg_count") >= F.lit(int(min_doc_count)))

@@ -3,6 +3,7 @@ and streaming parity (operators/events.py)."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.stream_util import await_terminated
@@ -171,7 +172,10 @@ def test_sessionize_stream_parity(spark, tmp_path):
 def test_sessionize_stream_idle_timeout_flush(spark, tmp_path):
     """LIVE-trigger contract of the idle timeout: after
     ``idle_timeout_ms`` of processing-time silence the open session is
-    flushed via the hasTimedOut branch and its state row removed.
+    PROGRESS-flushed via the hasTimedOut branch while the state row is
+    RETAINED — a processing-time pause must never split an event-time
+    session, and a returning user continues the SAME session (same
+    session_id, growing n_events) exactly like batch.
     (Only exercisable under a processingTime trigger — availableNow
     never fires processing-time timers, which is why the bounded
     parity test above runs with idle_timeout_ms=None.)"""
@@ -197,19 +201,38 @@ def test_sessionize_stream_idle_timeout_flush(spark, tmp_path):
         flushed = False
         for _ in range(60):
             time.sleep(1)
-            lp = q.lastProgress or {}
-            ops = (lp.get("stateOperators") or [{}])[0]
-            if (ops.get("numRowsTotal") == 0
-                    and spark.table("ev_live").count() >= 2):
+            if spark.table("ev_live").where("n_events = 2").count() >= 2:
                 flushed = True
                 break
         assert flushed, "idle timeout never flushed the open session"
-        # the flush re-emits the final session row verbatim: one row
-        # from the data batch, one from the hasTimedOut branch
+        # the flush re-emits the open session row verbatim: one row
+        # from the data batch, one from the hasTimedOut branch —
+        # while the state row SURVIVES the flush
         final = spark.table("ev_live").where("n_events = 2").collect()
-        assert len(final) == 2
         assert {r["session_id"] for r in final} == {"100-0"}
         assert all(r["sum_value"] == 3.0 for r in final)
+        ops = ((q.lastProgress or {}).get("stateOperators") or [{}])[0]
+        assert ops.get("numRowsTotal") == 1, \
+            "timeout flush must retain per-user state"
+
+        # the user returns WITHIN the event-time gap: the same session
+        # continues (n_events 3), no session_id collision/reset
+        rows2 = [(3, "2024-01-01 00:20:00", 100, "click", 4.0, "")]
+        df2 = spark.createDataFrame(
+            rows2, "event_id long, ts string, user_id long, "
+                   "event_type string, value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df2.coalesce(1).write.parquet(os.path.join(src, "f2.parquet"))
+        resumed = False
+        for _ in range(60):
+            time.sleep(1)
+            cont = spark.table("ev_live").where(
+                "session_id = '100-0' AND n_events = 3").collect()
+            if cont:
+                assert cont[0]["sum_value"] == 7.0
+                resumed = True
+                break
+        assert resumed, "returning user did not continue the session"
     finally:
         q.stop()
 
@@ -261,3 +284,54 @@ def test_retention_cohorts(spark):
            for r in ev.retention(df).collect()]
     assert got == [("2024-01-01", 0, 1), ("2024-01-01", 1, 1),
                    ("2024-01-01", 3, 1), ("2024-01-02", 0, 1)]
+
+
+def test_windowed_counts_without_value_column(spark):
+    """A value-less events frame aggregates n_events only — the select
+    used to emit sum_value unconditionally and crash with
+    UNRESOLVED_COLUMN."""
+    df = spark.createDataFrame(
+        [(100, "2024-01-01 00:05:00", "click"),
+         (100, "2024-01-01 00:10:00", "click")],
+        "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = ev.windowed_counts(df, window="1 hour").collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 2
+    assert "sum_value" not in rows[0].asDict()
+
+
+def test_sessionize_stream_all_null_values_sum_is_null(spark, tmp_path):
+    """Batch SUM over an all-null group is NULL; the streaming twin
+    must match (it used to fillna(0.0) and emit 0.0)."""
+    src = str(tmp_path / "nullv_in")
+    os.makedirs(src)
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, "click", None, ""),
+         (2, "2024-01-01 00:10:00", 7, "click", None, "")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(os.path.join(src, "f1.parquet"))
+    stream = spark.readStream.schema(df.schema).parquet(src + "/*.parquet")
+    from tests.stream_util import await_terminated
+
+    q = (ev.sessionize_stream(stream, gap_minutes=30,
+                              idle_timeout_ms=None)
+         .writeStream.format("memory").queryName("ev_nullv")
+         .outputMode("update").trigger(availableNow=True).start())
+    await_terminated(q, 120)
+    rows = spark.table("ev_nullv").where("n_events = 2").collect()
+    assert len(rows) == 1 and rows[0]["sum_value"] is None
+    # batch parity
+    b = ev.session_stats(df, gap_minutes=30).collect()
+    assert b[0]["sum_value"] is None
+
+
+def test_rrf_fusion_guards(spark):
+    from ex_elasticlunr_spark.operators.hybrid import rrf_fusion
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fusion([])
+    lst = spark.createDataFrame([("a", 1.0), ("b", 0.5)],
+                                "docid string, score double")
+    assert rrf_fusion([lst], top_n=0).count() == 0
