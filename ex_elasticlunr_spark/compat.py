@@ -96,7 +96,7 @@ def _stages_of(callbacks: List[str]) -> Tuple[str, ...]:
     )
 
 
-def read_index_schema(path: str, spark=None) -> Index:
+def read_index_schema(path: str) -> Index:
     """``<name>.index`` (gzip line protocol) -> empty Index with the
     reference's fields + analyzer pipelines. The ref/IdPipeline field
     becomes the docid universe (it is not an analyzed field here)."""
@@ -270,24 +270,34 @@ def read_data_rows(path: str) -> dict:
             continue
         key = term[0]
         kind = key[0]
-        if kind == "field_term" and len(key) == 4 and len(term) == 2:
-            meta = term[1] or {}
-            pos = []
-            for p in meta.get("positions") or []:
-                pos.extend([int(p[0]), int(p[1])])
-            out["field_term"].append(
-                (key[1], key[2], str(key[3]), int(meta.get("total", 1)), pos))
-        elif kind == "field_tf" and len(key) == 4 and len(term) == 2:
-            out["field_tf"].append((key[1], key[2], str(key[3]),
-                                    float(term[1])))
-        elif kind == "field_idf" and len(key) == 3 and len(term) == 2:
-            out["field_idf"].append((key[1], key[2], float(term[1])))
-        elif kind == "field_ids" and len(key) == 3:
-            out["field_ids"].append((key[1], str(key[2])))
-        elif kind == "field_flnorm" and len(key) == 2 and len(term) == 2:
-            out["field_flnorm"].append((key[1], float(term[1])))
-        else:
-            continue  # unrecognized shape: leave the cursor at j + 1
+        # shape extraction under the same false-positive tolerance as
+        # the decode: a stray 0x83 can decode to a recognized kind and
+        # arity with WRONG inner types (float("x"), a non-dict meta) —
+        # treat any extraction failure as not-a-row and resume at j+1
+        # rather than abort the whole read
+        try:
+            if kind == "field_term" and len(key) == 4 and len(term) == 2:
+                meta = term[1] or {}
+                pos = []
+                for p in meta.get("positions") or []:
+                    pos.extend([int(p[0]), int(p[1])])
+                out["field_term"].append(
+                    (key[1], key[2], str(key[3]),
+                     int(meta.get("total", 1)), pos))
+            elif kind == "field_tf" and len(key) == 4 and len(term) == 2:
+                out["field_tf"].append((key[1], key[2], str(key[3]),
+                                        float(term[1])))
+            elif kind == "field_idf" and len(key) == 3 and len(term) == 2:
+                out["field_idf"].append((key[1], key[2], float(term[1])))
+            elif kind == "field_ids" and len(key) == 3:
+                out["field_ids"].append((key[1], str(key[2])))
+            elif kind == "field_flnorm" and len(key) == 2 and len(term) == 2:
+                out["field_flnorm"].append((key[1], float(term[1])))
+            else:
+                continue  # unrecognized shape: cursor stays at j + 1
+        except (TypeError, ValueError, AttributeError, IndexError,
+                KeyError):
+            continue  # recognized arity, wrong inner types: not a row
         i = end
     return out
 
@@ -333,4 +343,8 @@ def read_disk_index(spark, index_path: str, data_path: Optional[str] = None
     idx.analyzers = analyzers
     idx.inverted = _finalize(postings, docs, analyzers,
                              store_positions=True, ids=ids)
+    # the reference stores {start,len} CHAR positions but no token
+    # ordinals — consumers that need the token stream (snippet_ords)
+    # must fail fast instead of exploding a null array to zero rows
+    idx.inverted.has_token_ordinals = False
     return idx

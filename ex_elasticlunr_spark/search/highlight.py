@@ -43,6 +43,17 @@ def snippet_ords(index, field: str, terms: List[str], window: int = 8,
     operator expressible against the SQL oracle's (docid, term, ord)
     relation. For original-text excerpts use :func:`highlight_spans`.
     """
+    if (not getattr(index, "store_positions", True)
+            or not getattr(index, "has_token_ordinals", True)):
+        # fail fast like highlight_spans: without stored token ordinals
+        # the explode silently yields ZERO rows — indistinguishable
+        # from "no hits". Compat-loaded reference indexes carry char
+        # positions but NULL ords (compat.py read_disk_index), hence
+        # the second flag.
+        raise ValueError(
+            "snippet_ords needs stored token ordinals: this index was "
+            "built with store_positions=False or loaded from a "
+            "reference dump that has no token ordinals")
     key = index.key_col
     post = index.postings_full.where(F.col("field") == field)
     if restrict is not None:

@@ -192,7 +192,13 @@ def resolve_clause(index, field: str, terms: Sequence[str],
     if expand or fuzziness > 0 or regex:
         from .scorer import _query_terms_df
 
-        m = _query_terms_df(index, field, list(dict.fromkeys(terms)),
+        # RAW terms, duplicates included: _query_terms_df emits one row
+        # per (query term, vocab term) match, so a duplicated query
+        # term contributes twice to mult — exactly like the exhaustive
+        # scorer's join (deduping here broke rank identity for
+        # duplicate-term expansion queries: halved bm25 weights, msm
+        # counts short by the duplicate count)
+        m = _query_terms_df(index, field, list(terms),
                             expand, fuzziness, regex=regex)
         mult = {
             r["term"]: r["n"]

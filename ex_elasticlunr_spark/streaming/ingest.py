@@ -155,9 +155,14 @@ def stream_to_index(
         save_delta(inv, tag=tag)
         if compact_every:
             with open(manifest_path) as fh:
-                n_gens = len(json.load(fh).get("generations", []))
-            if n_gens >= compact_every:
-                inv.compact()
+                post_manifest = json.load(fh)
+            if len(post_manifest.get("generations", [])) >= compact_every:
+                # forward the warehouse's own segments setting —
+                # compact()'s default True would silently re-enable
+                # segment builds on a with_segments=False sink and flip
+                # the manifest flag for every later generation
+                inv.compact(
+                    with_segments=post_manifest.get("segments", True))
 
     writer = (
         stream_df.writeStream.foreachBatch(process)

@@ -120,3 +120,33 @@ def test_read_disk_index_replays_reference_disk_test(spark):
     for f, t, d, v in rows["field_tf"]:
         assert abs(tf[(f, t, d)] - v) < 1e-9, (f, t, d)
     assert idx.documents_size() == 4
+
+
+def test_read_data_rows_skips_type_corrupt_false_positive(tmp_path):
+    """A stray 0x83 can decode to a RECOGNIZED row kind/arity with
+    wrong inner types (e.g. field_tf whose tf is a binary) — the
+    scanner must skip it like any false positive, not abort the read."""
+    import struct
+
+    def atom(s):
+        return bytes([119, len(s)]) + s.encode()
+
+    def binx(s):
+        b = s.encode()
+        return bytes([109]) + len(b).to_bytes(4, "big") + b
+
+    def tup(*xs):
+        return bytes([104, len(xs)]) + b"".join(xs)
+
+    false_pos = b"\x83" + tup(
+        tup(atom("field_tf"), atom("f"), binx("t"), binx("d")),
+        binx("not-a-float"))
+    valid = b"\x83" + tup(
+        tup(atom("field_flnorm"), atom("content")),
+        bytes([70]) + struct.pack(">d", 0.5))
+    blob = b"junk" + false_pos + b"more" + valid + b"tail"
+    p = tmp_path / "corrupt.data"
+    p.write_bytes(blob)
+    rows = compat.read_data_rows(str(p))
+    assert rows["field_tf"] == []
+    assert rows["field_flnorm"] == [("content", 0.5)]

@@ -54,3 +54,28 @@ def test_highlight_spans_golden(spark):
 def test_highlight_spans_no_match_is_empty(spark):
     inv, df = _idx(spark, [("1", "alpha beta")])
     assert highlight.highlight_spans(inv, "text", ["zzz"], df).count() == 0
+
+
+def test_snippet_ords_requires_token_ordinals(spark):
+    """Without stored token ordinals the explode would silently return
+    zero rows (indistinguishable from no hits) — fail fast instead,
+    both for store_positions=False builds and compat-loaded reference
+    dumps (char positions, NULL ords)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ex_elasticlunr_spark import Index
+    from ex_elasticlunr_spark.search import highlight
+
+    docs = spark.createDataFrame([("a", "spark fast")],
+                                 "docid string, text string")
+    ix = Index(name="noords", store_positions=False).add_field("text")
+    ix.add_documents(docs, docid_col="docid", dedupe=False)
+    with pytest.raises(ValueError, match="token ordinals"):
+        highlight.snippet_ords(ix.inverted, "text", ["spark"])
+    # compat marker path
+    ix2 = Index(name="hasords").add_field("text")
+    ix2.add_documents(docs, docid_col="docid", dedupe=False)
+    ix2.inverted.has_token_ordinals = False
+    with pytest.raises(ValueError, match="token ordinals"):
+        highlight.snippet_ords(ix2.inverted, "text", ["spark"])

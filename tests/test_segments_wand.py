@@ -272,6 +272,24 @@ class TestWandMsm:
             top_k=10, mode="bm25").collect()]
         assert got == want and got
 
+    def test_duplicate_terms_expand_equals_exhaustive(self, spark, index):
+        """Duplicated query terms under expansion must keep their
+        multiplicity: the resolver used to dedupe them, halving bm25
+        weights and under-counting msm vs the exhaustive plan."""
+        for msm in (1, 2):
+            wand = wand_topk(index.inverted, "text", ["el", "el"], k=10,
+                             mode="bm25", block_size=64, expand=True,
+                             msm=msm)
+            got = [(r["docid"], round(r["score"], 9))
+                   for r in wand.collect()]
+            want = [(r["docid"], round(r["score"], 9))
+                    for r in index.search(
+                {"query": {"terms": {"text": {
+                    "value": ["el", "el"], "expand": True,
+                    "minimum_should_match": msm}}}},
+                top_k=10, mode="bm25").collect()]
+            assert got == want and got, msm
+
     def test_unsatisfiable_msm_is_empty(self, spark, index):
         wand = wand_topk(index.inverted, "text", ["elixir"], k=10,
                          mode="bm25", block_size=64, msm=3)

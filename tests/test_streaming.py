@@ -254,3 +254,41 @@ def test_stream_replay_after_checkpoint_loss_commits_nothing(
                  after.search_bm25("elixir", top_k=50).collect())
     assert got == want
     assert after.inverted.docs.count() == n_docs_before
+
+
+def test_compaction_preserves_with_segments_off(spark, tmp_path):
+    """A with_segments=False sink must stay segment-free ACROSS its
+    inline compaction — compact() used to run with its default
+    with_segments=True, silently re-enabling the segment build and
+    flipping the manifest flag for every later generation."""
+    import json
+
+    from ex_elasticlunr_spark.streaming.ingest import stream_to_index
+
+    src_dir = str(tmp_path / "in")
+    wh = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    full = with_docid(transcripts_df(spark, n_convs=9, turns_per_conv=2))
+    parts = [full.where(f"conv_id < 'conv-{i * 3:06d}' AND "
+                        f"conv_id >= 'conv-{(i - 1) * 3:06d}'")
+             for i in (1, 2, 3)]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, f"f{i}.parquet"))
+
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1").parquet(src_dir + "/*.parquet")
+    q = stream_to_index(stream, ["text"], wh, checkpoint_dir=ckpt,
+                        compact_every=2, with_segments=False,
+                        store_positions=False)
+    await_terminated(q, 240)
+
+    manifest = json.load(open(os.path.join(wh, "manifest.json")))
+    assert manifest.get("generations", []) == []  # compaction ran
+    assert manifest.get("segments") is False  # flag not flipped
+    from ex_elasticlunr_spark.build.indexer import tables_dir
+
+    assert not os.path.exists(
+        os.path.join(tables_dir(wh, manifest), "segments"))
