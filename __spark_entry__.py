@@ -1390,7 +1390,8 @@ FROM postings WHERE term = 'spark'
     o["dedup_exact"] = f"""
 SELECT md5({norm}) AS text_hash, COUNT(*) AS dup_count,
        MIN(CAST(doc_id AS VARCHAR)) AS keep_docid
-FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+FROM documents WHERE text IS NOT NULL
+GROUP BY 1 HAVING COUNT(*) > 1
 """
     o["dedup_fingerprint"] = f"""
 SELECT CAST(doc_id AS VARCHAR) AS docid,
@@ -1716,16 +1717,16 @@ WITH planted AS (
 ),
 blocks AS (
   SELECT docid,
-         unnest(regexp_extract_all(t, '(?s)```([a-zA-Z0-9_+-]*)\n(.*?)```'))
+         unnest(regexp_extract_all(t, '(?s)```([a-zA-Z0-9_+-]*)\r?\n(.*?)```'))
            AS block,
          generate_subscripts(
-           regexp_extract_all(t, '(?s)```([a-zA-Z0-9_+-]*)\n(.*?)```'), 1
+           regexp_extract_all(t, '(?s)```([a-zA-Z0-9_+-]*)\r?\n(.*?)```'), 1
          ) - 1 AS block_idx
   FROM planted
 )
 SELECT docid, block_idx::BIGINT AS block_idx,
-       regexp_extract(block, '(?s)```([a-zA-Z0-9_+-]*)\n(.*?)```', 1) AS lang,
-       regexp_extract(block, '(?s)```([a-zA-Z0-9_+-]*)\n(.*?)```', 2) AS code
+       regexp_extract(block, '(?s)```([a-zA-Z0-9_+-]*)\r?\n(.*?)```', 1) AS lang,
+       regexp_extract(block, '(?s)```([a-zA-Z0-9_+-]*)\r?\n(.*?)```', 2) AS code
 FROM blocks
 """
     # the transcripts-shaped derivation of documents (transcripts_view)
@@ -1827,7 +1828,8 @@ g AS (
 keyed AS (
   SELECT docid, i - 1 AS pos,
          CAST(('0x' || substr(md5(substr(n, CAST(i AS INT), 8)), 1, 8))
-              AS BIGINT) * 1048576 + (1048575 - (i - 1)) AS key
+              AS BIGINT) * 1048576
+           + (1048575 - least(i - 1, 1048575)) AS key
   FROM g
 ),
 sel AS (

@@ -39,7 +39,13 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector (failed/padded embedding rows are
+    # common in real corpora) yields NULL similarity instead of a
+    # DIVIDE_BY_ZERO SparkArithmeticException under Spark 4's default
+    # ANSI mode — NULL never passes a >= threshold and sorts last in
+    # top-k (desc_nulls_last semantics are applied by the callers'
+    # orderBy via NULL filtering at the comparison)
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def brute_force_topk(df: DataFrame, query_vec: List[float], k: int = 10,
@@ -134,7 +140,12 @@ def pairwise_near_duplicates(df: DataFrame, threshold: float = 0.95,
     candidate pair set for the exact cosine verification.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        row = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        if row is None:
+            # empty (or all-null-embedding) input: no pairs, not a crash
+            return df.sparkSession.createDataFrame(
+                [], "vec_id_a string, vec_id_b string, cos_sim double")
+        dim = len(row[0])
     vecs = df.select(
         F.col(id_col).cast("string").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -363,6 +374,12 @@ def ivf_topk(df: DataFrame, query_vec: List[float], k: int = 10,
         d = sum(x * y for x, y in zip(a, b))
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(x * x for x in b))
+        if na == 0.0 or nb == 0.0:
+            # zero-norm centroid (all-zero embeddings clustered, or a
+            # degenerate Lloyd mean) / all-zero query: rank it LAST
+            # instead of raising — the JVM cosine path yields NULL for
+            # the same case
+            return float("-inf")
         return d / (na * nb)
 
     ranked = sorted(

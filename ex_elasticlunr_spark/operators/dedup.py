@@ -37,10 +37,14 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     """Exact dedup via hash-groupBy -> (text_hash, dup_count, keep_docid).
 
     keep_docid is the minimum id in the group (the canonical survivor);
-    only groups with >1 member are returned.
+    only groups with >1 member are returned. NULL-text rows are
+    excluded: md5(NULL) is NULL and groupBy collapses NULL keys, which
+    would report every failed-extraction doc as a duplicate of one
+    arbitrary survivor — unknown content is not identical content.
     """
     return (
-        df.select(
+        df.where(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col).cast("string").alias("docid"),
             F.md5(normalized(F.col(text_col))).alias("text_hash"),
         )
@@ -158,6 +162,13 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "docid",
     (band_idx, band_key) — hash-uniform, skew-safe. Output is the
     candidate set; verify with ngram_jaccard_pairs / exact compare.
     """
+    if bands < 1 or bands > num_hashes or num_hashes % bands:
+        # bands > num_hashes would make every band_key the EMPTY string
+        # (all-pairs candidate blowup); a non-divisible split would
+        # silently discard trailing signature components
+        raise ValueError(
+            f"bands must divide num_hashes (1 <= bands <= num_hashes); "
+            f"got num_hashes={num_hashes}, bands={bands}")
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(df, text_col, num_hashes, k).select(
         F.col(id_col).cast("string").alias("docid"), "minhash"
@@ -239,11 +250,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "docid",
     bit b is 1 iff the (count-weighted) sum of (2*bit-1) over tokens is
     positive. Pure SQL: explode -> per-(doc,bit) aggregate -> bit pack.
     """
+    if not (1 <= bits <= 32):
+        # the token hash carries 32 bits (8 md5 hex chars); higher
+        # fingerprint bits would be silently zero for every document
+        raise ValueError(f"bits must be in [1, 32], got {bits}")
     toks = df.select(
         F.col(id_col).cast("string").alias("docid"),
         F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
     ).where(F.col("tok") != "")
-    # token hash: first 16 hex chars -> use low `bits` bits
+    # token hash: first 8 hex chars (32 bits) -> use low `bits` bits
     hashed = toks.withColumn(
         "th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     )
@@ -346,6 +361,17 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20,
         labels = new
         if changed == 0:
             break
+    else:
+        # exhausted max_iters while labels were still moving: returning
+        # here would silently SPLIT long-diameter components (chain-
+        # shaped near-dup runs), and keep_canonical would then retain
+        # one "canonical" per spurious sub-cluster — fail loudly instead
+        edges.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} "
+            f"iterations — a component's diameter exceeds max_iters; "
+            f"raise max_iters (each iteration is one edge-bounded "
+            f"shuffle round)")
     edges.unpersist()
     return labels.select("docid", "cluster_id")
 
@@ -403,7 +429,10 @@ def dedup_exact_stream(stream_df: DataFrame, text_col: str = "text",
     than the watermark delay are NOT caught — re-dedup the landed
     corpus with the batch operator for a global guarantee.
     """
-    hashed = stream_df.withColumn(
+    hashed = stream_df.where(F.col(text_col).isNotNull()).withColumn(
         "text_hash", F.md5(normalized(F.col(text_col))))
+    # NULL-text rows are dropped (same rationale as exact_duplicates:
+    # dropDuplicates treats NULL keys as equal and would keep only the
+    # first failed-extraction row of the whole stream)
     return (hashed.withWatermark(ts_col, watermark_delay)
             .dropDuplicatesWithinWatermark(["text_hash"]))

@@ -177,7 +177,7 @@ def extract_code_blocks(df: DataFrame, text_col: str = "text",
     fences produce no rows. Map-only regexp scan, no shuffle; the
     pattern is RE2-compatible so the DuckDB oracle runs it verbatim.
     """
-    pat = r"(?s)```([a-zA-Z0-9_+-]*)\n(.*?)```"
+    pat = r"(?s)```([a-zA-Z0-9_+-]*)\r?\n(.*?)```"
     blocks = F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
     return (
         df.select(F.col(id_col).cast("string").alias("docid"),
@@ -248,7 +248,7 @@ def lang_id(df: DataFrame, text_col: str = "text",
         ).alias(f"score_{lang}")
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    out = df.select(F.col(id_col).cast("string").alias("docid"), norm.alias("_n"), *scores)
+    out = df.select(F.col(id_col).cast("string").alias("docid"), *scores)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pred = F.when(best == 0, F.lit("und"))
@@ -298,9 +298,6 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
     per-document window (partitioned by docid — skew-free and
     document-bounded) and the distinct.
     """
-    from pyspark.sql import Window
-
-    norm = normalized(F.col(text_col))
     grams = F.expr(
         "transform(sequence(1, greatest(length(trim(regexp_replace("
         f"lower({text_col}), '\\\\s+', ' '))) - {k - 1}, 1)), "
@@ -315,8 +312,14 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
             F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"))
         .withColumn(
             "key",
+            # rightmost-position tie-break packed under the hash; pos is
+            # CLAMPED to the 20-bit field so a >1M-char document cannot
+            # underflow the packing and decode to a corrupted hash —
+            # beyond the clamp the tie-break degrades to "any of the
+            # equal-hash grams" (the fingerprint value stays exact)
             F.col("h") * F.lit(1 << 20)
-            + (F.lit((1 << 20) - 1) - F.col("pos")))
+            + (F.lit((1 << 20) - 1)
+               - F.least(F.col("pos"), F.lit((1 << 20) - 1))))
     )
     win = (Window.partitionBy("docid").orderBy("pos")
            .rowsBetween(0, w - 1))

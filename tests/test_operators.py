@@ -517,3 +517,62 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
     # unique paragraphs all keep
     for k in (("a", 0), ("a", 2), ("b", 0), ("b", 2), ("c", 0), ("c", 1)):
         assert got[k] == 1
+
+
+def test_dedup_param_validation_and_null_text(spark):
+    """Parameter guards and the NULL-text exclusion added after review:
+    bands must divide num_hashes, simhash bits cap at the 32-bit token
+    hash, NULL-text rows never form an exact-duplicate group."""
+    from ex_elasticlunr_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [("a", "same text"), ("b", "same text"),
+         ("c", None), ("d", None), ("e", None)],
+        "docid string, text string")
+    with pytest.raises(ValueError, match="bands"):
+        dedup.lsh_candidate_pairs(docs, num_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="bands"):
+        dedup.lsh_candidate_pairs(docs, num_hashes=10, bands=4)
+    with pytest.raises(ValueError, match="bits"):
+        dedup.simhash(docs, bits=48)
+    groups = dedup.exact_duplicates(docs).collect()
+    # only the real duplicate pair; the three NULL docs form no group
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2 and groups[0]["keep_docid"] == "a"
+
+
+def test_ann_empty_and_zero_norm_guards(spark):
+    from ex_elasticlunr_spark.operators import ann
+
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    assert ann.pairwise_near_duplicates(empty, threshold=0.9).count() == 0
+    # zero-norm centroid candidates must not crash the driver ranking
+    vecs = spark.createDataFrame(
+        [(str(i), [0.0, 0.0] if i < 4 else [1.0, float(i)])
+         for i in range(12)],
+        "vec_id string, embedding array<double>")
+    got = ann.ivf_topk(vecs, [1.0, 2.0], k=3, n_cells=4, n_probe=4)
+    assert got.count() == 3
+
+
+def test_code_blocks_crlf(spark):
+    from ex_elasticlunr_spark.operators import quality
+
+    docs = spark.createDataFrame(
+        [("a", "intro ```python\r\nprint(1)\r\n``` tail")],
+        "docid string, text string")
+    rows = quality.extract_code_blocks(docs).collect()
+    assert len(rows) == 1 and rows[0]["lang"] == "python"
+    assert "print(1)" in rows[0]["code"]
+
+
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    from ex_elasticlunr_spark.operators import dedup
+
+    # a 6-hop chain with max_iters too small must raise, not silently
+    # return split clusters (distributed path forced via tiny cap)
+    pairs = spark.createDataFrame(
+        [(f"d{i}", f"d{i+1}") for i in range(8)],
+        "docid_a string, docid_b string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iters=2, driver_max_edges=2)
