@@ -93,8 +93,42 @@ def checkpointed_build(
     ``max_buckets`` limits how many *pending* buckets are processed this
     call (used by tests to simulate a mid-build crash). Returns the
     merged InvertedIndex, or None if buckets remain unprocessed.
+
+    ``out_path`` must be a LOCAL (or locally-mounted, e.g. NFS)
+    directory: checkpoint markers, lineage and metrics use local
+    filesystem APIs. A multi-node deployment points this at shared
+    storage mounted on the driver; object-store URIs are rejected
+    rather than silently never resuming.
+
+    The bucketization parameters are pinned in ``build_params.json`` at
+    first run — resuming with a different ``n_buckets`` or field list
+    raises instead of silently dropping the out-of-range buckets.
     """
     fields = list(fields)
+    if "://" in out_path:
+        raise ValueError(
+            f"checkpointed_build needs a local/mounted out_path, got "
+            f"{out_path!r}: resume markers and lineage use local "
+            f"filesystem APIs")
+
+    params_path = os.path.join(out_path, "build_params.json")
+    params = {"n_buckets": n_buckets, "fields": fields,
+              "docid_col": docid_col, "store_positions": store_positions}
+    if os.path.exists(params_path):
+        with open(params_path) as fh:
+            prev = json.load(fh)
+        if (prev.get("n_buckets") != n_buckets
+                or prev.get("fields") != fields):
+            raise ValueError(
+                f"resume parameter mismatch under {out_path}: the "
+                f"existing build used n_buckets="
+                f"{prev.get('n_buckets')}, fields={prev.get('fields')} "
+                f"— resuming with n_buckets={n_buckets}, "
+                f"fields={fields} would silently drop buckets")
+    else:
+        os.makedirs(out_path, exist_ok=True)
+        with open(params_path, "w") as fh:
+            json.dump(params, fh, indent=2)
 
     # stage 0: bucketize the source once (hash-partitioned by docid)
     src_dir = os.path.join(out_path, "source")
@@ -127,12 +161,21 @@ def checkpointed_build(
             part, fields=fields, docid_col="docid", analyzers=analyzers,
             store_positions=store_positions, dedupe=dedupe,
         )
-        # one write: posting rows + per-doc sentinel rows (term NULL)
-        idx._flat.write.mode("overwrite").parquet(os.path.join(bdir, "postings"))
+        # docs FIRST, postings (whose _SUCCESS is the bucket's resume
+        # marker) LAST: a crash between the two writes must leave the
+        # bucket looking INCOMPLETE — marker-first would make resume
+        # skip a bucket whose docs table is missing or partial,
+        # silently shrinking the docid universe (wrong n_docs/idf)
         idx.docs.write.mode("overwrite").parquet(os.path.join(bdir, "docs"))
+        idx._flat.write.mode("overwrite").parquet(os.path.join(bdir, "postings"))
 
         rows_in = part.count()
-        terms = idx.postings.agg(F.sum("tf_raw")).first()[0] or 0
+        # metrics from the parquet just written — idx.postings is lazy
+        # lineage over the analyzer; aggregating it would re-run the
+        # bucket's entire tokenize/analyze a second time
+        terms = (spark.read.parquet(os.path.join(bdir, "postings"))
+                 .where(F.col("term").isNotNull())
+                 .agg(F.sum("tf_raw")).first()[0] or 0)
         wall = time.perf_counter() - t0
         pbytes = _dir_bytes(os.path.join(bdir, "postings"))
         lineage = {

@@ -261,6 +261,12 @@ class InvertedIndex:
         self._delta_tombs = None  # pending removal docids (DataFrame)
         self._tomb_ords = None  # live tombstoned ords on a multi-gen load
         self._tomb_local_cache = None  # wand's collected-set memo
+        # persisted internals this index's retained lazy plans depend on
+        # (assign_doc_ordinals' range-partitioned docs) — released in
+        # unpersist()/_rebind_from, NOT earlier: a dependent plan that
+        # recomputes after its dep is gone would resample range bounds
+        # and drift ordinals
+        self._aux_persisted: list = []
 
     @property
     def field_stats(self) -> DataFrame:
@@ -321,8 +327,10 @@ class InvertedIndex:
 
             base = self.ordinals_df()
             extras = self.docs.join(base, "docid", "left_anti")
-            ex = assign_doc_ordinals(extras).select(
+            ex_raw = assign_doc_ordinals(extras)
+            ex = ex_raw.select(
                 "docid", (-F.col("ord") - F.lit(2)).cast("long").alias("ord"))
+            self._aux_persisted += getattr(ex_raw, "_persisted_deps", [])
             self._ordinals_all = base.select(
                 "docid", F.col("ord").cast("long").alias("ord")
             ).unionByName(ex)
@@ -410,6 +418,9 @@ class InvertedIndex:
                    self._tomb_ords):
             if df is not None:
                 df.unpersist()
+        for df in self._aux_persisted:
+            df.unpersist()
+        self._aux_persisted = []
 
     def save(self, path: str, timings: Optional[dict] = None,
              with_segments: bool = True, block_size: int = 4096,
@@ -641,10 +652,15 @@ class InvertedIndex:
             # assignment inside every universe query plan
             extras = spark.read.parquet(_sp("docs")) \
                 .join(o, "docid", "left_anti")
-            assign_doc_ordinals(extras).select(
+            ex_raw = assign_doc_ordinals(extras)
+            ex_raw.select(
                 "docid",
                 (-F.col("ord") - F.lit(2)).cast("long").alias("ord"),
             ).write.mode("overwrite").parquet(_sp("ordinals_extra"))
+            # output durable -> the internal range-partitioned cache
+            # can go now (no lazy consumer left to drift)
+            for dep in getattr(ex_raw, "_persisted_deps", []):
+                dep.unpersist()
             # global ordinal high-water mark for the manifest — computed
             # HERE (overlapped with the big clustering shuffles, o is
             # cached) instead of as a serial job in the save tail

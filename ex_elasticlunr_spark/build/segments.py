@@ -61,9 +61,14 @@ def _encode_arrays(ords: pd.Series, vals: pd.Series,
 
 
 def build_segments(index, block_size: int = DEFAULT_BLOCK_SIZE,
-                   partitions: int = 0) -> DataFrame:
+                   partitions: int = 0):
     """InvertedIndex -> (segments DataFrame, ordinals DataFrame)."""
     ordinals = assign_doc_ordinals(index.docs, partitions).persist()
+    # register the assigner's internal range-partitioned cache on the
+    # index lifecycle: the returned ordinals DF is retained (cached
+    # segments tuple), so its dep must outlive it — InvertedIndex
+    # .unpersist releases both instead of leaking the cache per build
+    index._aux_persisted += getattr(ordinals, "_persisted_deps", [])
 
     with_ord = index.postings.drop("ord").join(
         ordinals.hint("shuffle_hash"), "docid")
@@ -312,7 +317,24 @@ def build_segments_streaming(clustered: DataFrame,
                     po = [int(x) for x in ords[i:j]]
                     ptf = [int(x) for x in tfs[i:j]]
                 i = j
-            # emit everything except the still-open tail run
+            # bound the pending run before yielding: flush its COMPLETE
+            # blocks and keep only the tail block's entries — without
+            # this a hot term spanning many Arrow batches accumulates
+            # its whole per-partition posting run in Python lists
+            # (~total/term_salt entries; GBs at stopword scale) instead
+            # of staying block-bounded. The flushed prefix blocks are
+            # full by construction; only the tail can end up partial.
+            if po:
+                last_bid = po[-1] // block_size
+                cut = len(po)
+                while cut > 0 and po[cut - 1] // block_size == last_bid:
+                    cut -= 1
+                if cut > 0:
+                    tail_o, tail_t = po[cut:], ptf[cut:]
+                    po, ptf = po[:cut], ptf[:cut]
+                    flush(out)
+                    po, ptf = tail_o, tail_t
+            # emit everything except the still-open tail block
             yield pd.DataFrame({c: out[c] for c in cols})
         out = {c: [] for c in cols}
         flush(out)

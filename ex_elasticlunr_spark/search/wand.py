@@ -776,9 +776,15 @@ def wand_topk_multi(
     def exact_scores(blocks: DataFrame,
                      pairs: Optional[List[Tuple[str, int]]]) -> DataFrame:
         if shared_terms:
+            # payload participates in the key: clause-shared terms
+            # contribute EXACT duplicate rows (same payload), which
+            # collapse — but partial blocks sharing (field, term,
+            # block_id) with DISTINCT payloads (streaming-builder seams,
+            # re-blocked v4 loads) are disjoint ord subsets that must
+            # BOTH survive to decode
             blocks = blocks.select(
                 "field", "term", "block_id", "payload"
-            ).dropDuplicates(["field", "term", "block_id"])
+            ).dropDuplicates(["field", "term", "block_id", "payload"])
         if mode == "elasticlunr":
             decoded = decode_segments(
                 blocks.select("field", "term", "block_id", "payload"),

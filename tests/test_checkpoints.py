@@ -80,3 +80,47 @@ def test_reentrant_noop(spark, tmp_path):
         F.col("stage") == "bucket_build").count()
     assert again is not None
     assert before == after == 2
+
+
+def test_resume_param_mismatch_raises(spark, tmp_path):
+    """Resuming with a different n_buckets would scan only a prefix of
+    the bucket range and silently drop the rest — build_params.json
+    pins the first run's parameters."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ex_elasticlunr_spark.build.checkpoints import checkpointed_build
+
+    docs = spark.range(40).select(
+        F.col("id").cast("string").alias("docid"),
+        F.concat(F.lit("spark doc "), F.col("id")).alias("text"))
+    out = str(tmp_path / "ckpt_params")
+    checkpointed_build(spark, docs, ["text"], out, n_buckets=4,
+                       max_buckets=1)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        checkpointed_build(spark, docs, ["text"], out, n_buckets=8)
+    with pytest.raises(ValueError, match="local/mounted"):
+        checkpointed_build(spark, docs, ["text"], "s3://bucket/x")
+
+
+def test_bucket_marker_written_after_docs(spark, tmp_path):
+    """The resume marker (postings/_SUCCESS) must be the LAST artifact
+    of a bucket: a bucket directory with the marker always has a
+    complete docs table next to it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ex_elasticlunr_spark.build.checkpoints import (
+        checkpointed_build,
+        completed_buckets,
+    )
+
+    docs = spark.range(30).select(
+        F.col("id").cast("string").alias("docid"),
+        F.concat(F.lit("merge doc "), F.col("id")).alias("text"))
+    out = str(tmp_path / "ckpt_order")
+    checkpointed_build(spark, docs, ["text"], out, n_buckets=3)
+    for b in completed_buckets(out, 3):
+        bdir = os.path.join(out, "buckets", str(b))
+        assert os.path.exists(os.path.join(bdir, "docs", "_SUCCESS"))

@@ -828,3 +828,46 @@ class TestWandNegative:
             q = {"query": {"bool": node}}
             want = self._exhaustive(index, q, mode, monkeypatch, k=8)
             assert got == want, q
+
+
+def test_streaming_builder_bounded_across_arrow_batches(spark):
+    """A term run spanning many Arrow batches must decode to the exact
+    posting multiset (the per-batch prefix flush emits complete blocks
+    and keeps only the tail block pending), and no complete block may
+    be emitted twice."""
+    from pyspark.sql import functions as F
+
+    from ex_elasticlunr_spark.build.segments import (
+        build_segments_streaming,
+        decode_segments,
+    )
+
+    # one hot term with 5k contiguous ords in ONE partition; tiny Arrow
+    # batches force the run across ~50 chunk boundaries
+    posts = (spark.range(5000).select(
+        F.lit("text").alias("field"), F.lit("hot").alias("term"),
+        F.col("id").cast("long").alias("ord"),
+        (F.col("id") % 7 + 1).cast("long").alias("tf_raw"))
+        .coalesce(1))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+        segs = build_segments_streaming(posts, 64).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # every block unique and complete except possibly the last
+    by_block = {}
+    for r in segs:
+        assert r["block_id"] not in by_block, "duplicate block emitted"
+        by_block[r["block_id"]] = r["n_docs"]
+    assert sum(by_block.values()) == 5000
+    full = [b for b, n in sorted(by_block.items())[:-1]]
+    assert all(by_block[b] == 64 for b in full)
+    decoded = decode_segments(
+        spark.createDataFrame(
+            [(r["field"], r["term"], r["block_id"], r["payload"])
+             for r in segs],
+            "field string, term string, block_id long, payload binary"),
+        64)
+    got = sorted((r["ord"], r["tf_raw"]) for r in decoded.collect())
+    assert got == [(i, i % 7 + 1) for i in range(5000)]
