@@ -310,16 +310,26 @@ def bind_generations(inv, spark, path: str, manifest: dict) -> None:
     # ---- tombstone application ----------------------------------------
     # generation K's tombstones kill docs of parts < K only: a doc
     # tombstoned and re-added in the same generation (update) survives
-    def _later_tombs(k: int) -> Optional[DataFrame]:
-        ts = [t for t in tomb_dfs[k + 1:] if t is not None]
-        return _union_all(ts).distinct() if ts else None
+    # suffix unions built ONCE, shared across parts: a per-part
+    # union-of-later-tombstones would rebuild an O(G^2)-node bind plan
+    # (G parts x up-to-G-way unions); the shared right fold gives each
+    # part the same relation from G-1 total union nodes
+    later_suffix: list = [None] * len(parts)
+    _acc = None
+    for k in range(len(parts) - 1, -1, -1):
+        later_suffix[k] = _acc
+        if tomb_dfs[k] is not None:
+            _acc = (tomb_dfs[k] if _acc is None
+                    else _acc.unionByName(tomb_dfs[k]))
 
     live = []
     tomb_ord_parts = []
     for k, p in enumerate(parts):
         if p is None:
             continue
-        lt = _later_tombs(k)
+        lt = later_suffix[k]
+        if lt is not None:
+            lt = lt.distinct()
         if lt is not None:
             p = dict(p)
             tomb_ord_parts.append(

@@ -165,6 +165,46 @@ def _write_history(path: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(hdir, "manifest-%06d.json" % int(seq)))
 
 
+def _analyzer_manifest(c) -> dict:
+    """AnalyzerConfig -> JSON manifest entry. ``extra`` callbacks and a
+    distinct ``query_pipeline`` are cloudpickled (the same serializer
+    Spark ships them to executors with — handles lambdas/closures): a
+    manifest that recorded only stages/separator would make a LOADED
+    index analyze queries differently than the one that built the
+    postings, silently returning zero hits for callback-produced
+    terms."""
+    out = {"stages": list(c.stages), "separator": c.separator,
+           "unicode": getattr(c, "unicode", False)}
+    import base64
+
+    from pyspark import cloudpickle
+
+    if getattr(c, "extra", None):
+        out["extra_b64"] = base64.b64encode(
+            cloudpickle.dumps(list(c.extra))).decode("ascii")
+    if getattr(c, "query_pipeline", None) is not None:
+        out["query_pipeline_b64"] = base64.b64encode(
+            cloudpickle.dumps(c.query_pipeline)).decode("ascii")
+    return out
+
+
+def _analyzer_from_manifest(cfg: dict) -> "AnalyzerConfig":
+    import base64
+
+    from pyspark import cloudpickle
+
+    extra = None
+    if cfg.get("extra_b64"):
+        extra = cloudpickle.loads(base64.b64decode(cfg["extra_b64"]))
+    qp = None
+    if cfg.get("query_pipeline_b64"):
+        qp = cloudpickle.loads(
+            base64.b64decode(cfg["query_pipeline_b64"]))
+    return AnalyzerConfig(tuple(cfg["stages"]), cfg["separator"],
+                          extra=extra, query_pipeline=qp,
+                          unicode=cfg.get("unicode", False))
+
+
 def list_snapshots(path: str) -> list:
     """Committed versions still readable for time travel, oldest first:
     ``[{commit_seq, kind, snapshot_seq, n_generations, max_ord}]``.
@@ -418,6 +458,12 @@ class InvertedIndex:
                    self._tomb_ords):
             if df is not None:
                 df.unpersist()
+        if self._segments is not None:
+            # the cached (block_size, segments, ordinals) tuple holds
+            # two persisted DFs of its own
+            self._segments[1].unpersist()
+            self._segments[2].unpersist()
+            self._segments = None
         for df in self._aux_persisted:
             df.unpersist()
         self._aux_persisted = []
@@ -878,9 +924,7 @@ class InvertedIndex:
             "max_ord": int(max_ord_row["m"] or 0),
             "field_doc_stats": fds_box.get("v", {}),
             "fields": {
-                f: {"stages": list(c.stages), "separator": c.separator,
-                    "unicode": getattr(c, "unicode", False)}
-                for f, c in self.analyzers.items()
+                f: _analyzer_manifest(c) for f, c in self.analyzers.items()
             },
         }
         # caller-supplied manifest keys (e.g. the streaming sink's
@@ -974,6 +1018,12 @@ class InvertedIndex:
             self._tomb_ords.unpersist()
         self._tomb_ords = None
         self._tomb_local_cache = None
+        # the previous binding's persisted ordinal-assignment internals:
+        # every lazy plan that depended on them is discarded right here,
+        # so the cache blocks can go too (the contract at __init__)
+        for df in self._aux_persisted:
+            df.unpersist()
+        self._aux_persisted = []
         version = manifest.get("version", 2)
         # snapshot-versioned warehouses keep their tables under the
         # manifest's snapshot subdirectory; legacy layouts at the root
@@ -1044,7 +1094,13 @@ class InvertedIndex:
             self._segments = (
                 manifest.get("block_size", 4096),
                 spark.read.parquet(os.path.join(tp, "segments")),
-                spark.read.parquet(os.path.join(tp, "ordinals")),
+                # reuse the SAME DataFrame object bound above:
+                # seg_len_blocks' trust_inline fast path checks
+                # `seg_ords is self._ordinals` — a second read of the
+                # identical parquet would defeat it and pay a redundant
+                # docid->ord join on every lens rebuild
+                self._ordinals if self._ordinals is not None
+                else spark.read.parquet(os.path.join(tp, "ordinals")),
             )
             if os.path.exists(os.path.join(tp, "seg_lens")):
                 self._seg_lens = spark.read.parquet(
@@ -1089,8 +1145,7 @@ class InvertedIndex:
             with open(os.path.join(path, "manifest.json")) as fh:
                 manifest = json.load(fh)
         analyzers = {
-            f: AnalyzerConfig(tuple(cfg["stages"]), cfg["separator"],
-                              unicode=cfg.get("unicode", False))
+            f: _analyzer_from_manifest(cfg)
             for f, cfg in manifest["fields"].items()
         }
         inv = cls(
@@ -1110,7 +1165,14 @@ class InvertedIndex:
         recalculate_idf as one batch job (B1+B5 in SURVEY.md §2.2).
         ``dedupe=False`` skips the in-batch duplicate guard (see
         build_index) when the source keys are unique by contract."""
-        fresh = source.join(self.docs, source[docid_col] == self.docs.docid, "left_anti")
+        # cast to string explicitly: comparing a numeric source docid
+        # against the string docs.docid would promote BOTH sides to
+        # DOUBLE (int64 ids above 2^53 collide; 7 matches '007') and
+        # silently drop genuinely-new documents as duplicates
+        fresh = source.join(
+            self.docs,
+            source[docid_col].cast("string") == self.docs.docid,
+            "left_anti")
         new = build_index(
             fresh, fields=list(self.analyzers), docid_col=docid_col,
             analyzers=self.analyzers, store_positions=self.store_positions,
@@ -1147,7 +1209,9 @@ class InvertedIndex:
         if not isinstance(docids, DataFrame):
             docids = self.postings.sparkSession.createDataFrame(
                 [(str(d),) for d in docids], "docid string")
-        t = docids.select(F.col(docids.columns[0]).alias("docid"))
+        # string cast, same double-promotion trap as add_documents
+        t = docids.select(
+            F.col(docids.columns[0]).cast("string").alias("docid"))
         if "docid" in self.postings.columns:
             postings = self.postings.join(t, "docid", "left_anti")
             pf = None
@@ -1195,8 +1259,8 @@ class InvertedIndex:
 
         return _save_delta(self, tag=tag)
 
-    def compact(self, with_segments: bool = True,
-                block_size: int = 4096) -> None:
+    def compact(self, with_segments: Optional[bool] = None,
+                block_size: Optional[int] = None) -> None:
         """Fold every generation (and its tombstones) back into a
         single-generation base — a full save() to the warehouse path.
         Restores exact term df/idf after tombstoned removals (delta
@@ -1219,6 +1283,7 @@ class InvertedIndex:
         # a replayed micro-batch whose generation was compacted away is
         # still recognized and skipped (streaming/ingest.py)
         extra: dict = {}
+        cur: dict = {}
         try:
             with open(os.path.join(self._path, "manifest.json")) as fh:
                 cur = json.load(fh)
@@ -1231,6 +1296,13 @@ class InvertedIndex:
                 extra["merged_tags"] = merged
         except FileNotFoundError:
             pass
+        # None -> inherit the warehouse's OWN layout from the committed
+        # manifest: a compaction must not silently rewrite the block
+        # size or re-enable segments the original save opted out of
+        if with_segments is None:
+            with_segments = bool(cur.get("segments", True))
+        if block_size is None:
+            block_size = int(cur.get("block_size", 4096))
         self.save(self._path, with_segments=with_segments,
                   block_size=block_size, manifest_extra=extra or None)
 

@@ -157,12 +157,11 @@ def stream_to_index(
             with open(manifest_path) as fh:
                 post_manifest = json.load(fh)
             if len(post_manifest.get("generations", [])) >= compact_every:
-                # forward the warehouse's own segments setting —
-                # compact()'s default True would silently re-enable
-                # segment builds on a with_segments=False sink and flip
-                # the manifest flag for every later generation
-                inv.compact(
-                    with_segments=post_manifest.get("segments", True))
+                # compact() inherits the warehouse's own segments flag
+                # and block size from the committed manifest — a
+                # with_segments=False sink stays segment-free across
+                # its inline compactions
+                inv.compact()
 
     writer = (
         stream_df.writeStream.foreachBatch(process)

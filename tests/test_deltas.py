@@ -398,3 +398,68 @@ def test_live_readers_survive_concurrent_maintenance(spark, corpus,
     final = Index.load(spark, base_path)
     assert final.documents_size() == 50
     assert [r["docid"] for r in final.search("zebra").collect()] == ["d0"]
+
+
+def test_analyzer_extra_survives_save_load(spark, base_path):
+    """extra callbacks and a distinct query_pipeline must round-trip
+    the warehouse (cloudpickled into the manifest): a loaded index that
+    silently dropped them would analyze queries differently than the
+    build that produced the postings."""
+    from ex_elasticlunr_spark.analysis.pipeline import Pipeline
+    from ex_elasticlunr_spark.analysis.synonyms import SynonymFilter
+    from ex_elasticlunr_spark.functions.udfs import AnalyzerConfig
+
+    def tag_cb(token):
+        return token.with_token("x" + token.token)
+
+    cfg = AnalyzerConfig(extra=[tag_cb])
+    base = Pipeline.default()
+    # query side: same tag callback, plus a synonym bridging the
+    # tagged vocabulary (xquick -> xfast)
+    cfg.query_pipeline = Pipeline(
+        list(base.callbacks)
+        + [tag_cb, SynonymFilter({"xquick": ["xfast"]})],
+        base.separator)
+    idx = Index(name="extra").add_field("text", analyzer=cfg)
+    idx.add_documents(
+        _docs(spark, [("a", "fast engine"), ("b", "quick engine")]),
+        docid_col="docid")
+    idx.save(base_path)
+    loaded = Index.load(spark, base_path)
+    lc = loaded.analyzers["text"]
+    assert lc.extra and lc.extra[0](
+        __import__("ex_elasticlunr_spark.analysis.token",
+                   fromlist=["Token"]).Token("quick")).token == "xquick"
+    # queries through the loaded index still apply the extra callback
+    # (index terms are x-prefixed) and the synonym query pipeline
+    got = {r["docid"] for r in loaded.search(
+        {"query": {"terms": {"text": "xfast"}}}).collect()}
+    assert got == {"a"}
+    syn = {r["docid"] for r in loaded.search(
+        {"query": {"match": {"text": "quick"}}}).collect()}
+    # query pipeline: quick -> xquick -> synonym adds xfast
+    assert syn == {"a", "b"}
+
+
+def test_maintenance_casts_numeric_docids(spark, base_path):
+    """Numeric docid columns must compare as STRINGS in the dedupe
+    anti-join and tombstone joins — double promotion would match 7
+    against '007' and drop genuinely-new docs."""
+    idx = Index(name="numid").add_field("text")
+    idx.add_documents(
+        _docs(spark, [("007", "first doc"), ("8", "second doc")]),
+        docid_col="docid")
+    from pyspark.sql import functions as F
+
+    nums = spark.range(7, 8).select(
+        F.col("id").alias("docid"),
+        F.lit("seventh doc").alias("text"))  # docid 7 (long) != "007"
+    idx2 = Index(name="numid2")
+    idx2.inverted = idx.inverted.add_documents(nums, docid_col="docid")
+    idx2.analyzers = idx2.inverted.analyzers
+    assert idx2.inverted.docs.count() == 3  # "7" added, not deduped
+
+    gone = spark.range(8, 9).select(F.col("id").alias("docid"))
+    idx2.inverted = idx2.inverted.remove_documents(gone)
+    left = {r["docid"] for r in idx2.inverted.docs.collect()}
+    assert left == {"007", "7"}  # long 8 removed exactly docid "8"
