@@ -36,13 +36,17 @@ point model re-expressed over parquet:
   summed (each live doc lives in exactly one generation), field stats
   from manifest integer arithmetic. Pushed term predicates prune each
   generation's scan exactly as on a single-generation index.
-* Stats under tombstones follow Lucene's deleted-docs semantics:
-  doc-level stats (n_docs, avg_doc_len, the match_all/not universe)
-  are exact; term df/idf over-count removed docs until ``compact()``
-  (an exact per-delta df decrement would need a by-docid scan of the
-  term-clustered postings — a full corpus pass per delta save).
-  ``compact()`` = a full ``save`` back to the base, which restores
-  exact df and re-clusters everything.
+* Stats under tombstones are EXACT, doc-level and term-level alike:
+  ``bind_generations`` subtracts each tombstoned doc's own postings
+  back out of the summed df partials (see the merged-statistics block
+  below, and the randomized maintenance referee that pins it). The
+  correction is lazy — a query's In(term) predicate pushes through the
+  join so its cost is bounded by the query terms' postings; only
+  full-vocabulary consumers (field_stats, compact) pay one
+  tombstone-semi-joined postings pass per bind. ``compact()`` = a full
+  ``save`` back to the base, which folds tombstones away physically
+  and re-clusters everything (its value is scan pruning and bounded
+  generation count, not stats correctness).
 
 Scale shape: a delta save touches ONLY the new rows (the usual map-only
 ingest + one clustering shuffle over the batch) plus a tombstone-sized

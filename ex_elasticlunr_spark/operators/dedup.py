@@ -113,12 +113,26 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     import hashlib
 
     # small single-file sources read as ONE partition — spread the
-    # (md5-heavy) signature work across cores before the UDF. Partition
-    # count comes from the JVM logical plan: touching df.rdd here would
-    # build the Python-RDD conversion plan just to read a number
+    # (md5-heavy) signature work across cores before the UDF. The
+    # parallelism probe reads catalyst plan STATISTICS (driver-side
+    # metadata only — no RDD conversion, no job): estimated input bytes
+    # over maxPartitionBytes bounds the scan's split count. Unknown
+    # stats (the Long.Max sentinel of non-file sources) are treated as
+    # already-parallel, leaving the input's partitioning alone — at
+    # corpus scale the scan has plenty of splits and an extra full
+    # shuffle here would be pure cost.
     sc = df.sparkSession.sparkContext
-    n_parts = df._jdf.rdd().getNumPartitions()
-    if n_parts < sc.defaultParallelism:
+    try:
+        size = int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        max_split = sc._jvm.org.apache.spark.network.util.JavaUtils \
+            .byteStringAsBytes(df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "128m"))
+        est_parts = (sc.defaultParallelism if size >= (1 << 62)
+                     else max(1, size // max(1, max_split)))
+    except Exception:  # stats API drift: fall back to no repartition
+        est_parts = sc.defaultParallelism
+    if est_parts < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
 
     n_seeds = (num_hashes + 3) // 4

@@ -209,6 +209,18 @@ def test_random_maintenance_with_persistence(spark, tmp_path, seed):
             idx.save_delta()
             idx = Index.load(spark, wh, name=f"maintp{seed}")
             commit_probes[_commit_seq()] = _oracle_probe_results()
+            # exact-df-under-tombstones referee (build/deltas.py module
+            # docstring, "Stats under tombstones are EXACT"):
+            # bind_generations subtracts each tombstoned doc's own
+            # postings from the summed df partials, so the
+            # multi-generation bind's vocabulary df must equal the
+            # oracle's WITHOUT a compact — checked directly here, not
+            # just through score identity.
+            got_df = {r["term"]: r["df"]
+                      for r in idx.tokens("content").collect()}
+            want_df = {t: len(d) for t, d in
+                       oidx.fields["content"].term_docs.items()}
+            assert got_df == want_df, (seed, step, "df-under-tombstones")
         elif cycle == "compact":
             # fold generations + tombstones into one base and reload
             idx.compact()
