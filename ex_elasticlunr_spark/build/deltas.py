@@ -223,6 +223,205 @@ def save_delta(inv, tag: Optional[str] = None) -> str:
     return last_dir
 
 
+def _gen_docs(entry: dict) -> int:
+    """Approximate live-doc size of a generation from its manifest
+    partials (max over fields: a doc indexed under several fields is
+    one doc)."""
+    fds = entry.get("field_doc_stats") or {}
+    return max((int(v[0]) for v in fds.values()), default=0)
+
+
+def compact_tiered(inv, tail: Optional[int] = None,
+                   tier_ratio: float = 4.0) -> str:
+    """Lucene-style TIERED merge: fold the newest contiguous run of
+    generations into ONE mid-tier generation, leaving the base (and any
+    older, larger generations) untouched. The full ``compact()`` is the
+    top-tier merge; this is the maintenance step between delta saves
+    and it, so a streaming ingest with ``compact_every=N`` pays a
+    merge bounded by the MERGED GENERATIONS' size per cycle instead of
+    a full-warehouse rewrite — at 10^12 turns the difference between a
+    micro-batch-sized job and a full corpus pass.
+
+    ``tail``: fold exactly the newest ``tail`` generations. ``None``
+    auto-selects a run of SIMILAR-sized generations (Lucene's tier
+    shape): walking from the newest generation backwards, a generation
+    joins the fold while its live-doc count is at most ``tier_ratio``
+    x the docs already accumulated in the fold — micro-batch runs all
+    qualify (each is comparable to the tail behind it); a
+    previously-merged mid-tier generation that dwarfs the new
+    micro-batches stays put and seeds the next tier.
+
+    Only a contiguous NEWEST suffix is ever merged: generation K's
+    tombstones kill docs of generations < K, so merging non-adjacent
+    generations would reorder removal visibility. Within the fold that
+    ordering is applied physically (bind of the suffix view); the
+    union of the folded generations' tombstones is carried forward as
+    the merged generation's tombstones, preserving their effect on
+    everything older. Docs both added and removed inside the fold
+    vanish physically; a carried tombstone whose doc was re-added
+    INSIDE the fold cannot re-kill it (merged-gen tombstones only see
+    older generations) — the same invariant delta binds rely on.
+
+    Reader-safe like every commit here: one atomic root-manifest
+    replace; the folded generation directories survive until the next
+    save's GC sweep, so a reader of the previous manifest keeps a
+    consistent view for one full commit cycle. Returns the merged
+    generation directory ("" when there was nothing to fold)."""
+    path = inv._path
+    if not path:
+        raise ValueError("compact_tiered() needs an index loaded from "
+                         "or saved to a warehouse path")
+    if inv._delta_adds or inv._delta_tombs is not None:
+        raise ValueError("compact_tiered(): commit pending operations "
+                         "with save_delta() first")
+    spark = inv.postings.sparkSession
+    manifest = _read_manifest(path)
+    if manifest.get("version", 0) < 5:
+        raise ValueError("tiered compaction needs a version-5 warehouse")
+    gens = list(manifest.get("generations", []))
+    if len(gens) < 2:
+        return ""  # nothing worth folding
+
+    from .indexer import (
+        InvertedIndex,
+        _gc_stale_artifacts,
+        _write_history,
+        tables_dir,
+    )
+
+    # ---- pick the fold: a contiguous newest suffix --------------------
+    if tail is not None:
+        cut = max(0, len(gens) - int(tail))
+    else:
+        # newest gen always seeds the fold; extend backwards while the
+        # next-older generation is size-comparable to the accumulated
+        # tail (tombstone-only generations count 0 and always fold)
+        acc = _gen_docs(gens[-1])
+        cut = len(gens) - 1
+        while cut > 0:
+            g = _gen_docs(gens[cut - 1])
+            if acc > 0 and g > tier_ratio * acc:
+                break
+            acc += g
+            cut -= 1
+    suffix, keep = gens[cut:], gens[:cut]
+    if len(suffix) < 2:
+        return ""
+
+    # GC what the CURRENT commit no longer references (start-of-save
+    # sweep: previous tiers' folded dirs go now, this fold's dirs get
+    # their grace until the next one) + heal a missing history twin
+    _gc_stale_artifacts(path, manifest)
+    _write_history(path, manifest)
+    block_size = int(manifest.get("block_size", 4096))
+
+    # ---- bind the suffix-only view ------------------------------------
+    add_entries = [e for e in suffix if e.get("has_adds")]
+    view = None
+    if add_entries:
+        first = add_entries[0]
+        view = InvertedIndex.load(
+            spark, os.path.join(path, DELTAS_DIR, first["name"]))
+        rel_base = int(first["ord_base"])
+        # only generations NEWER than the first adds generation join the
+        # in-view bind (manifest order preserved): an older
+        # tombstone-only generation's tombstones cannot kill docs of
+        # generations after it, so placing one after ``first`` in the
+        # view would wrongly remove survivors — it is carry-only.
+        # Ordinals re-base relative to ``first`` (both bases are
+        # block-aligned, so the shift stays pure block arithmetic)
+        rest = suffix[suffix.index(first) + 1:]
+        synth = {
+            "block_size": block_size,
+            "generations": [
+                {**e, "ord_base": int(e.get("ord_base", rel_base)) - rel_base}
+                for e in rest
+            ],
+        }
+        if synth["generations"]:
+            bind_generations(view, spark, path, synth)
+
+    # ---- carried tombstones (union over the fold) ---------------------
+    carried = None
+    for e in suffix:
+        if not e.get("tombstones"):
+            continue
+        t = spark.read.parquet(
+            os.path.join(path, DELTAS_DIR, e["name"], "tombstones"))
+        carried = t if carried is None else carried.unionByName(t)
+    if carried is not None:
+        carried = carried.distinct()
+
+    # ---- write the merged generation ----------------------------------
+    gen_seq = int(manifest.get("gen_seq", len(gens))) + 1
+    name = "gen-%05d" % gen_seq
+    gen_dir = os.path.join(path, DELTAS_DIR, name)
+    os.makedirs(gen_dir, exist_ok=True)
+    if keep:
+        prev_max = int(keep[-1]["ord_base"]) + int(keep[-1]["max_ord"])
+    else:
+        prev_max = manifest.get("max_ord")
+        if prev_max is None:  # legacy base manifest: one tiny agg
+            prev_max = (spark.read.parquet(
+                os.path.join(tables_dir(path, manifest), "ordinals"))
+                .agg(F.max("ord").alias("m")).first()["m"]) or 0
+        prev_max = int(prev_max)
+    entry = {
+        "name": name,
+        "ord_base": ((prev_max // block_size) + 1) * block_size,
+        "max_ord": 0,
+        "has_adds": view is not None,
+        "tombstones": False,
+    }
+    if view is not None:
+        view.save(gen_dir, with_segments=manifest.get("segments", True),
+                  block_size=block_size, _history=False)
+        gm = _read_manifest(gen_dir)
+        entry["max_ord"] = int(gm.get("max_ord") or 0)
+        entry["field_doc_stats"] = gm.get("field_doc_stats", {})
+        view.unpersist()
+    if carried is not None:
+        carried.write.mode("overwrite").parquet(
+            os.path.join(gen_dir, "tombstones"))
+        entry["tombstones"] = True
+        committed = spark.read.parquet(os.path.join(gen_dir, "tombstones"))
+        # decrements vs the PRE-FOLD state (base + kept generations,
+        # with THEIR tombstones applied): a doc a kept generation
+        # already killed must not be decremented twice — bind the
+        # pre-fold view lazily (metadata-only) and join against its
+        # doc_stats, a carried-tombstone-sized broadcast
+        pre = InvertedIndex(
+            postings=spark.createDataFrame([], "docid string"),
+            doc_stats=None, field_stats=None, term_stats=None, docs=None,
+            analyzers=inv.analyzers,
+            store_positions=inv.store_positions,
+        )
+        pre._rebind_from(path, {**manifest, "generations": keep},
+                         spark=spark)
+        dec = (pre.doc_stats
+               .join(F.broadcast(committed), "docid")
+               .groupBy("field")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("doc_len").alias("s"))
+               .collect())
+        entry["tomb_field_stats"] = {
+            r["field"]: [int(r["n"]), int(r["s"] or 0)] for r in dec}
+        pre.unpersist()
+
+    # ---- commit --------------------------------------------------------
+    merged_tags = list(manifest.get("merged_tags", []))
+    merged_tags += [e["tag"] for e in suffix if e.get("tag")]
+    if merged_tags:
+        manifest["merged_tags"] = merged_tags
+    manifest["generations"] = keep + [entry]
+    manifest["gen_seq"] = gen_seq
+    manifest["commit_seq"] = int(manifest.get("commit_seq", -1)) + 1
+    _write_manifest_atomic(path, manifest)  # the commit point
+    _write_history(path, manifest)
+    inv._rebind_from(path, manifest, spark=spark)
+    return gen_dir
+
+
 def _union_all(dfs):
     out = dfs[0]
     for d in dfs[1:]:

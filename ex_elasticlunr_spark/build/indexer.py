@@ -1259,14 +1259,29 @@ class InvertedIndex:
 
         return _save_delta(self, tag=tag)
 
+    def compact_tiered(self, tail: Optional[int] = None,
+                       tier_ratio: float = 4.0) -> str:
+        """Fold only the newest run of (small) generations into ONE
+        mid-tier generation, leaving the base untouched — the Lucene
+        TieredMergePolicy step between delta saves and the full
+        ``compact()``. Per-cycle cost is bounded by the folded
+        generations' size, not the warehouse's (build/deltas.py
+        compact_tiered). Returns the merged generation directory, or
+        "" when nothing qualified."""
+        from .deltas import compact_tiered as _compact_tiered
+
+        return _compact_tiered(self, tail=tail, tier_ratio=tier_ratio)
+
     def compact(self, with_segments: Optional[bool] = None,
                 block_size: Optional[int] = None) -> None:
         """Fold every generation (and its tombstones) back into a
-        single-generation base — a full save() to the warehouse path.
-        Restores exact term df/idf after tombstoned removals (delta
-        loads keep df stale-until-compact, Lucene's deleted-docs
-        semantics) and re-clusters all postings into one term-sorted
-        table.
+        single-generation base — a full save() to the warehouse path:
+        the top-tier merge (``compact_tiered`` handles the cheap
+        intermediate tiers). Stats are already exact on generational
+        binds (build/deltas.py bind_generations subtracts tombstoned
+        postings from the df partials); what compact buys is physical:
+        tombstones fold away, postings re-cluster into one term-sorted
+        table, and query-time per-generation scan unions collapse.
 
         Reader-safe, like ``save_delta``: the full save stages its
         tables into a fresh snapshot subdirectory and commits with one

@@ -90,8 +90,17 @@ class Index:
 
     def compact(self) -> "Index":
         """Fold all generations (and tombstones) back into a single
-        base; restores exact term df/idf after delta removals."""
+        base — the top-tier merge (physical: re-clusters postings and
+        folds tombstones away; stats are exact either way)."""
         self.inverted.compact()
+        return self
+
+    def compact_tiered(self, tail: Optional[int] = None,
+                       tier_ratio: float = 4.0) -> "Index":
+        """Tiered merge: fold only the newest run of small generations
+        into one mid-tier generation, base untouched — per-cycle cost
+        bounded by the folded generations' size (build/deltas.py)."""
+        self.inverted.compact_tiered(tail=tail, tier_ratio=tier_ratio)
         return self
 
     @classmethod

@@ -274,76 +274,58 @@ def terms_scores(
     return per_doc.select(*out_cols)
 
 
-def _phrase_per_doc_driver(index, field: str, post, key: str,
-                           terms: List[str], k: int):
-    """Driver-serve fast path for phrase hit detection: ONE row-capped
-    Arrow collect of the query terms' position rows, then the same
-    adjacency algebra as the distributed plan — distinct
-    (doc, tok_ord - qi, qi) triples, a base matches when all ``k`` query
-    indexes are present — vectorized in numpy over the Arrow buffers
-    (no per-row Python). Returns ``(per_doc_rows, pdf)`` where
-    per_doc_rows are ``(key, pf, doc_len)`` INTEGER hit statistics, or
-    ``None`` when a cap is exceeded (the caller falls back to the
-    distributed plan, so this is only ever a latency fast path, never a
-    semantics change).
+def _phrase_field_n(index, field: str) -> int:
+    """Cached per-field document count (field_stats currency) — the N
+    of the conjunction-size estimate. One 1-row metadata job per field
+    per index lifetime."""
+    cache = index.__dict__.setdefault("_phrase_fs_cache", {})
+    n = cache.get(field)
+    if n is None:
+        row = (index.field_stats.where(F.col("field") == field)
+               .select("n_docs").first())
+        n = int(row["n_docs"]) if row else 0
+        cache[field] = n
+    return n
 
-    Cost is GATED before anything heavy moves: the query terms'
-    document frequencies (one term-count-sized term_stats lookup, the
-    same vocabulary currency fuzzy/expand resolve against) bound the
-    positions-row count exactly, so an over-cap phrase pays one
-    metadata job — never a wasted bulk collect (measured: the ungated
-    version spent ~8s row-pickling 130k position rows only to fall
-    back). A term with no stats row cannot match anywhere — that is an
-    immediate empty result, saving the scan entirely.
 
-    The caller feeds the returned stats into the SAME Spark scoring
-    expressions the distributed plan uses, so scores stay bit-identical
-    between the two paths (pinned by tests/test_phrase_driver.py).
-    Serving latency is job-count-bound (see wand.py's driver-serve
-    rationale): this replaces the eager hit-set checkpoint job + the
-    pdf aggregation job + the per-doc aggregation's shuffle with one
-    Arrow transfer over the term-clustered positions scan."""
+def _phrase_conjunctive_cands(index, field: str, key: str,
+                              uniq_terms: List[str]):
+    """Docs containing ALL the phrase's distinct terms, as a
+    DataFrame of ``key`` values — the positional engine's classic
+    "rarest term drives the scan" prune generalized to an exact k-way
+    conjunction: a phrase hit needs every term in the SAME doc, so
+    this set is a superset of the phrase's doc set and restricting the
+    positions explode to it never changes results (pdf included).
+
+    Plan shape (100 TB rationale): the NARROW postings table (no
+    position arrays — fixed-width (field, term, key) rows) is scanned
+    with the pushed ``In(term)`` predicate, so the scan is bounded by
+    the query terms' document frequencies, and one aggregation keyed
+    by doc counts distinct terms — the same asymptotic as any
+    conjunctive candidate generation. Everything downstream (explode,
+    adjacency, Arrow collect) is then bounded by the CONJUNCTION size,
+    which for hot-term phrases is orders of magnitude below the sum of
+    the terms' posting lists."""
+    narrow = (index.postings
+              .where(F.col("field") == field)
+              .where(F.col("term").isin(uniq_terms))
+              .select(key, "term"))
+    return (narrow.groupBy(key)
+            .agg(F.count_distinct("term").alias("_nt"))
+            .where(F.col("_nt") == F.lit(len(uniq_terms)))
+            .select(key))
+
+
+def _phrase_adjacency_serve(tbl, terms: List[str], k: int):
+    """Shared driver-side adjacency algebra over an Arrow table of
+    (key, term, ords, doc_len) position rows: distinct
+    (doc, tok_ord - qi, qi) triples, a base matches when all ``k``
+    query indexes are present — vectorized in numpy over the Arrow
+    buffers (no per-row Python). Returns ``(per_doc_rows, pdf)`` with
+    per_doc_rows = [(key, pf, doc_len)], or ``None`` when the per-doc
+    cap is exceeded (caller falls back to the distributed plan)."""
     import numpy as np
 
-    from .wand import _arrow_limit_one_job
-
-    uniq_terms = sorted(set(terms))
-    cache = index.__dict__.setdefault("_phrase_df_cache", {})
-    # .get, not check-then-read: a concurrent serving thread's wholesale
-    # clear() between the two would KeyError; a racily-missed entry just
-    # re-looks-up (cache never stores None — df is a positive count)
-    dfs = {}
-    for t in uniq_terms:
-        v = cache.get((field, t))
-        if v is not None:
-            dfs[t] = v
-    missing = [t for t in uniq_terms if t not in dfs]
-    if missing:
-        looked = {
-            r["term"]: r["df"]
-            for r in index.term_stats
-            .where(F.col("field") == field)
-            .where(F.col("term").isin(missing))
-            .select("term", "df").collect()
-        }
-        if len(cache) > _PHRASE_DF_CACHE_MAX:
-            cache.clear()
-        for t, d in looked.items():  # present terms only (see cache note)
-            cache[(field, t)] = d
-        dfs.update(looked)
-    if any(t not in dfs for t in uniq_terms):
-        return [], 0  # a vocabulary-absent term: no doc can match
-    if sum(dfs.values()) > PHRASE_DRIVER_MAX_ROWS:
-        return None
-    tbl = _arrow_limit_one_job(
-        post.select(key, "term", "ords", "doc_len"),
-        PHRASE_DRIVER_MAX_ROWS + 1)
-    # num_rows <= cap proves the limit truncated nothing (belt over the
-    # stats gate: serving a TRUNCATED scan would change semantics)
-    if tbl is None or tbl.num_rows > PHRASE_DRIVER_MAX_ROWS:
-        return None
-    if tbl.num_rows == 0:
-        return [], 0
     tbl = tbl.combine_chunks()
     keyd = tbl.column(0).chunk(0).dictionary_encode()
     doc_code = keyd.indices.to_numpy()          # per input row
@@ -394,6 +376,122 @@ def _phrase_per_doc_driver(index, field: str, post, key: str,
     per_doc = [(doc_keys[int(c)], int(p), int(dl_by_code[int(c)]))
                for c, p in zip(uc, pf)]
     return per_doc, int(uc.size)
+
+
+def _phrase_per_doc_driver(index, field: str, post, key: str,
+                           terms: List[str], k: int):
+    """Driver-serve fast path for phrase hit detection: ONE row-capped
+    Arrow collect of the query terms' position rows, then the same
+    adjacency algebra as the distributed plan (see
+    ``_phrase_adjacency_serve``). Returns a tagged outcome:
+
+      ("served", per_doc_rows, pdf) — integer (key, pf, doc_len) hit
+          statistics the caller feeds into the SAME Spark scoring
+          expressions the distributed plan uses, so scores stay
+          bit-identical between the paths (tests/test_phrase_driver.py)
+      ("distributed", cand_df_or_None) — fall back to the distributed
+          plan; when ``cand_df`` is set, it is the conjunctive
+          candidate-doc relation (``_phrase_conjunctive_cands``) the
+          caller must semi-join the positions scan against — a pure
+          prune, never a semantics change.
+
+    Cost is GATED before anything heavy moves: the query terms'
+    document frequencies (one term-count-sized term_stats lookup, the
+    same vocabulary currency fuzzy/expand resolve against) bound the
+    positions-row count exactly, so nothing bulk ever moves
+    speculatively (measured: the ungated version spent ~8s
+    row-pickling 130k position rows only to fall back). A term with no
+    stats row cannot match anywhere — that is an immediate empty
+    result, saving the scan entirely.
+
+    HOT-TERM phrases (df sum over the driver cap — the q8 "hot phrase"
+    battery shape) get a second chance instead of going straight to
+    the distributed plan: the conjunctive candidate set bounds the
+    position rows that actually matter, so the Arrow collect is
+    re-gated on the CONJUNCTION (one row-capped job whose shuffle is
+    the narrow-postings candidate aggregation). Only when even the
+    conjunction is over-cap does the distributed plan run — and then
+    it inherits the candidate relation as a semi-join prune, so its
+    explode is conjunction-bounded too.
+
+    Serving latency is job-count-bound (see wand.py's driver-serve
+    rationale): this replaces the eager hit-set checkpoint job + the
+    pdf aggregation job + the per-doc aggregation's shuffle with one
+    Arrow transfer over the term-clustered positions scan."""
+    from .wand import _arrow_limit_one_job
+
+    uniq_terms = sorted(set(terms))
+    cache = index.__dict__.setdefault("_phrase_df_cache", {})
+    # .get, not check-then-read: a concurrent serving thread's wholesale
+    # clear() between the two would KeyError; a racily-missed entry just
+    # re-looks-up (cache never stores None — df is a positive count)
+    dfs = {}
+    for t in uniq_terms:
+        v = cache.get((field, t))
+        if v is not None:
+            dfs[t] = v
+    missing = [t for t in uniq_terms if t not in dfs]
+    if missing:
+        looked = {
+            r["term"]: r["df"]
+            for r in index.term_stats
+            .where(F.col("field") == field)
+            .where(F.col("term").isin(missing))
+            .select("term", "df").collect()
+        }
+        if len(cache) > _PHRASE_DF_CACHE_MAX:
+            cache.clear()
+        for t, d in looked.items():  # present terms only (see cache note)
+            cache[(field, t)] = d
+        dfs.update(looked)
+    if any(t not in dfs for t in uniq_terms):
+        return ("served", [], 0)  # vocabulary-absent term: no match
+    scan = post.select(key, "term", "ords", "doc_len")
+    cand_df = None
+    if sum(dfs.values()) > PHRASE_DRIVER_MAX_ROWS:
+        if len(uniq_terms) < 2:
+            # a single (repeated) hot term: the conjunction IS its
+            # posting list — nothing to prune with
+            return ("distributed", None)
+        # route on the conjunction's PREDICTED size — the independence
+        # estimate N * prod(df_i/N) tracks dense synthetic/text corpora
+        # well and costs no job (text co-occurrence is positively
+        # correlated, so it under-estimates: the 2x margin below plus
+        # the row-capped probe collect keep a wrong guess cheap).
+        # Dense conjunctions (est ~ sum of dfs — e.g. two terms each in
+        # 75% of docs) skip the prune entirely: measured at 100k turns,
+        # an unselective intersection shuffle only ADDS latency.
+        k_u = len(uniq_terms)
+        n_docs = _phrase_field_n(index, field)
+        est = float(n_docs or 0)
+        for t in uniq_terms:
+            est *= dfs[t] / max(n_docs, 1)
+        rows_cap = PHRASE_DRIVER_MAX_ROWS
+        fits = (k_u * min(dfs.values()) <= rows_cap  # guaranteed
+                or 2 * k_u * est <= rows_cap)        # predicted
+        if not fits:
+            if 2 * k_u * est <= sum(dfs.values()):
+                # selective but driver-oversized: the distributed plan
+                # inherits the candidate relation as a semi-join prune
+                return ("distributed", _phrase_conjunctive_cands(
+                    index, field, key, uniq_terms))
+            return ("distributed", None)
+        cand_df = _phrase_conjunctive_cands(index, field, key, uniq_terms)
+        # exactly one positions row per (term, candidate doc), so the
+        # collect below is conjunction-bounded; over-cap conjunctions
+        # hand the candidate relation to the distributed plan instead
+        scan = scan.join(cand_df, key, "left_semi")
+    tbl = _arrow_limit_one_job(scan, PHRASE_DRIVER_MAX_ROWS + 1)
+    # num_rows <= cap proves the limit truncated nothing (belt over the
+    # stats gate: serving a TRUNCATED scan would change semantics)
+    if tbl is None or tbl.num_rows > PHRASE_DRIVER_MAX_ROWS:
+        return ("distributed", cand_df)
+    if tbl.num_rows == 0:
+        return ("served", [], 0)
+    served = _phrase_adjacency_serve(tbl, terms, k)
+    if served is None:  # per-doc cap exceeded after the collect
+        return ("distributed", cand_df)
+    return ("served", served[0], served[1])
 
 
 def phrase_scores(
@@ -449,18 +547,24 @@ def phrase_scores(
               .where(F.col("term").isin(terms)) \
               .where(F.col("ords").isNotNull())
 
-    served = None
+    outcome, cand_prune = "distributed", None
     if (CHECKPOINT_PHRASE_HITS and not with_details
             and PHRASE_DRIVER_MAX_ROWS > 0):
         # CHECKPOINT_PHRASE_HITS=False doubles as the "keep the full
         # distributed lineage inspectable" switch (plan-shape tests) —
         # the driver path, like the checkpoint, would hide the scan
-        served = _phrase_per_doc_driver(index, field, post, key, terms, k)
-    if served is not None:
+        res = _phrase_per_doc_driver(index, field, post, key, terms, k)
+        outcome = res[0]
+        if outcome == "distributed":
+            # a hot-term phrase that overflowed even the conjunctive
+            # re-gate: the distributed plan inherits the candidate
+            # relation, bounding its explode by the conjunction size
+            cand_prune = res[1]
+    if outcome == "served":
         # integer hit stats computed on the driver; the SAME scoring
         # expressions below make the scores bit-identical to the
         # distributed plan's
-        per_rows, pdf = served
+        per_rows, pdf = res[1], res[2]
         dtypes = dict(post.select(key, "doc_len").dtypes)
         per_doc = inline_rows(
             spark, per_rows,
@@ -468,32 +572,49 @@ def phrase_scores(
         pdf_df = inline_rows(spark, [(pdf,)], "pdf bigint")
         if restrict is not None:
             per_doc = per_doc.join(restrict.select(key), key, "left_semi")
-    else:
-        qdf = inline_rows(spark, list(enumerate(terms)),
-                          "qi int, term string")
-        # NB: the doc key may itself be named "ord" (doc ordinal) while
-        # the exploded token ordinal is aliased "tok_ord" — disjoint
-        occ_cols = [F.col(key), F.col("term"), F.col("doc_len")]
-        if with_details:
-            occ_cols.append(F.col("positions"))
-        occ = post.select(*occ_cols,
-                          F.posexplode("ords").alias("occ_i", "tok_ord"))
-        occ = occ.join(F.broadcast(qdf), "term")
-
-        hit_key = (F.col("tok_ord") - F.col("qi")).alias("base")
-        aggs = [F.count_distinct(F.col("qi")).alias("nq"),
-                F.first("doc_len").alias("doc_len")]
-        if with_details:
-            aggs.append(F.collect_list(F.struct(
-                F.element_at("positions",
-                             F.col("occ_i") * 2 + 1).alias("s"),
-                F.element_at("positions",
-                             F.col("occ_i") * 2 + 2).alias("l"),
-            )).alias("occ_pos"))
-        hits = (occ.groupBy(key, hit_key).agg(*aggs)
-                .where(F.col("nq") == k))
-        # two consumers (pdf broadcast + per-doc agg): materialize the
-        # hit set once — it is at most phrase-doc-frequency sized.
+    elif not with_details:
+        # distributed adjacency in ONE shuffle: group the (term, doc)
+        # position rows by doc (narrow rows, small int arrays — far
+        # less shuffle volume than one row per OCCURRENCE), then solve
+        # the phrase inside the row with JVM array algebra: candidate
+        # bases = ords(term_0), folded through
+        # array_intersect(acc, ords(term_i) - qi) over the query
+        # positions. pf = |result|. Replaces the previous
+        # posexplode -> (doc, ord-qi, qi) distinct -> two-level
+        # aggregation pipeline (three shuffles) — measured ~2x faster
+        # on hot-term phrases where every occurrence used to explode.
+        if cand_prune is not None:
+            # conjunction prune: a pure restriction to docs containing
+            # ALL query terms (phrase docs are a subset, so pdf
+            # computed after the prune is still the global phrase df)
+            post = post.join(cand_prune, key, "left_semi")
+        grouped = (post.select(key, "term", "ords", "doc_len")
+                   .groupBy(key)
+                   .agg(F.first("doc_len").alias("doc_len"),
+                        F.map_from_entries(F.collect_list(
+                            F.struct("term", "ords"))).alias("m")))
+        bases = F.element_at(F.col("m"), F.lit(terms[0]))
+        if k > 1:
+            rest_qis = F.array(*[
+                F.struct(F.lit(qi).alias("qi"), F.lit(t).alias("term"))
+                for qi, t in list(enumerate(terms))[1:]
+            ])
+            bases = F.aggregate(
+                rest_qis, bases,
+                lambda acc, q: F.array_intersect(
+                    acc,
+                    F.transform(F.element_at(F.col("m"), q["term"]),
+                                lambda x: x - q["qi"])),
+            )
+        # a doc missing any term yields null (element_at miss
+        # propagates through intersect) -> coalesced to 0 and dropped
+        hits = (grouped
+                .withColumn("pf", F.coalesce(F.size(bases), F.lit(0))
+                            .cast("long"))
+                .where(F.col("pf") > 0)
+                .select(key, "pf", "doc_len"))
+        # two consumers (pdf broadcast + scoring): materialize the hit
+        # set once — it is exactly phrase-doc-frequency sized.
         # localCheckpoint (GC-cleaned by the ContextCleaner) instead of
         # persist, which would accumulate storage across queries in a
         # long-lived session. CHECKPOINT_PHRASE_HITS=False keeps the
@@ -502,17 +623,48 @@ def phrase_scores(
         # positions-table scan, which the checkpoint would hide).
         if CHECKPOINT_PHRASE_HITS:
             hits = hits.localCheckpoint(eager=True)
+        pdf_df = hits.agg(F.count(F.lit(1)).alias("pdf"))
+        if restrict is not None:
+            hits = hits.join(restrict.select(key), key, "left_semi")
+        per_doc = hits
+    else:
+        # with_details keeps the per-occurrence explode: it must carry
+        # each occurrence's (start, len) character offsets into the
+        # matched positions payload, which the array-algebra plan
+        # deliberately never materializes
+        qdf = inline_rows(spark, list(enumerate(terms)),
+                          "qi int, term string")
+        # NB: the doc key may itself be named "ord" (doc ordinal) while
+        # the exploded token ordinal is aliased "tok_ord" — disjoint
+        occ_cols = [F.col(key), F.col("term"), F.col("doc_len"),
+                    F.col("positions")]
+        occ = post.select(*occ_cols,
+                          F.posexplode("ords").alias("occ_i", "tok_ord"))
+        occ = occ.join(F.broadcast(qdf), "term")
+
+        hit_key = (F.col("tok_ord") - F.col("qi")).alias("base")
+        aggs = [F.count_distinct(F.col("qi")).alias("nq"),
+                F.first("doc_len").alias("doc_len"),
+                F.collect_list(F.struct(
+                    F.element_at("positions",
+                                 F.col("occ_i") * 2 + 1).alias("s"),
+                    F.element_at("positions",
+                                 F.col("occ_i") * 2 + 2).alias("l"),
+                )).alias("occ_pos")]
+        hits = (occ.groupBy(key, hit_key).agg(*aggs)
+                .where(F.col("nq") == k))
+        if CHECKPOINT_PHRASE_HITS:
+            hits = hits.localCheckpoint(eager=True)
         pdf_df = hits.agg(F.count_distinct(key).alias("pdf"))
 
         if restrict is not None:
             hits = hits.join(restrict.select(key), key, "left_semi")
         per_aggs = [F.count(F.lit(1)).alias("pf"),
-                    F.first("doc_len").alias("doc_len")]
-        if with_details:
-            per_aggs.append(F.flatten(F.transform(
-                F.array_sort(F.flatten(F.collect_list("occ_pos"))),
-                lambda s: F.array(s["s"], s["l"]),
-            )).alias("pos_arr"))
+                    F.first("doc_len").alias("doc_len"),
+                    F.flatten(F.transform(
+                        F.array_sort(F.flatten(F.collect_list("occ_pos"))),
+                        lambda s: F.array(s["s"], s["l"]),
+                    )).alias("pos_arr")]
         per_doc = hits.groupBy(key).agg(*per_aggs)
 
     fstats = F.broadcast(

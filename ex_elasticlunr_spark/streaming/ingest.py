@@ -93,6 +93,7 @@ def stream_to_index(
     with_segments: bool = True,
     dedupe: bool = False,
     compact_every: int = 0,
+    tiered: bool = True,
     trigger_available_now: bool = True,
 ):
     """Structured Streaming -> a continuously maintained DURABLE v5
@@ -106,9 +107,14 @@ def stream_to_index(
     micro-batch (crash between sink commit and checkpoint advance)
     finds its tag in the manifest and is skipped, and its docids are
     additionally guarded by add_documents' first-write-wins anti-join
-    (reference field.ex:85). ``compact_every=N`` folds the generations
-    back into one base whenever their count reaches N (Lucene's
-    background merge, here inline with the triggering batch).
+    (reference field.ex:85). ``compact_every=N`` merges whenever the
+    generation count reaches N (Lucene's background merge, here inline
+    with the triggering batch): TIERED by default — the newest run of
+    micro-batch generations folds into one mid-tier generation
+    (build/deltas.py compact_tiered), so the merge cost is bounded by
+    the folded batches' size, never the warehouse's; at 10^12 turns a
+    full-base rewrite per N batches would be a corpus pass. Pass
+    ``tiered=False`` for the old always-full compact.
 
     Returns the StreamingQuery (caller awaits it)."""
     import json
@@ -157,11 +163,16 @@ def stream_to_index(
             with open(manifest_path) as fh:
                 post_manifest = json.load(fh)
             if len(post_manifest.get("generations", [])) >= compact_every:
-                # compact() inherits the warehouse's own segments flag
+                # both merges inherit the warehouse's own segments flag
                 # and block size from the committed manifest — a
                 # with_segments=False sink stays segment-free across
-                # its inline compactions
-                inv.compact()
+                # its inline compactions. Tiered folds the micro-batch
+                # run into a mid-tier generation (batch-bounded cost);
+                # full compact rewrites the base (corpus-bounded).
+                if tiered:
+                    inv.compact_tiered()
+                else:
+                    inv.compact()
 
     writer = (
         stream_df.writeStream.foreachBatch(process)

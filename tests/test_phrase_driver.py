@@ -169,7 +169,7 @@ def test_random_phrases_identity(rand_idx):
 
     def spy(*a, **kw):
         out = orig(*a, **kw)
-        if out is not None:
+        if out[0] == "served":
             served_calls["n"] += 1
         return out
 
@@ -185,3 +185,47 @@ def test_random_phrases_identity(rand_idx):
     # the referee is vacuous if every query fell back to the
     # distributed plan — the small corpus must serve driver-side
     assert served_calls["n"] > 20
+
+
+def test_random_phrases_hot_term_paths(rand_idx):
+    """HOT-TERM routing referee: with the row cap squeezed so every
+    multi-term phrase's df sum overflows it, the driver path must
+    re-gate on the CONJUNCTIVE candidate set (docs containing all
+    terms) and still serve — or hand the candidate relation to the
+    distributed plan as a semi-join prune. Either way results must be
+    bit-identical to the unpruned distributed reference, across real
+    n-grams, shuffled misses, duplicate-term phrases, and
+    vocabulary-absent terms."""
+    ix, texts = rand_idx
+    outcomes = {"served": 0, "distributed": 0}
+    orig = scorer._phrase_per_doc_driver
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        outcomes[out[0]] += 1
+        return out
+
+    scorer._phrase_per_doc_driver = spy
+    old = scorer.PHRASE_DRIVER_MAX_ROWS
+    # small enough that hot (frequent) terms overflow the df-sum gate
+    # and exercise the conjunctive re-gate; large enough that genuine
+    # conjunctions still fit and serve driver-side
+    scorer.PHRASE_DRIVER_MAX_ROWS = 8
+    try:
+        for p in _rand_phrases(texts):
+            q = {"query": {"match_phrase": {"text": p}}}
+            served = _rows(ix.search(q))
+            scorer.PHRASE_DRIVER_MAX_ROWS = 0
+            try:
+                dist = _rows(ix.search(q))
+            finally:
+                scorer.PHRASE_DRIVER_MAX_ROWS = 8
+            assert served == dist, p
+    finally:
+        scorer.PHRASE_DRIVER_MAX_ROWS = old
+        scorer._phrase_per_doc_driver = orig
+    # the referee must have exercised BOTH hot outcomes: conjunctive
+    # re-gate serves, and over-cap hand-off to the pruned distributed
+    # plan (cap=8 with one-row-per-(term,doc) guarantees both occur on
+    # this corpus)
+    assert outcomes["served"] > 0 and outcomes["distributed"] > 0

@@ -201,8 +201,30 @@ def test_random_maintenance_with_persistence(spark, tmp_path, seed):
             oidx.remove_documents(targets)
             live = [d for d in live if d not in targets]
 
-        cycle = rng.choice(["none", "delta", "compact"])
-        if cycle == "delta":
+        cycle = rng.choice(["none", "delta", "compact", "tiered"])
+        if cycle == "tiered" and (idx.inverted._delta_adds
+                                  or idx.inverted._delta_tombs is not None):
+            # tiered folds COMMITTED generations only: commit pending
+            # ops first (the streaming sink's natural call order)
+            idx.save_delta()
+        if cycle == "tiered":
+            # fold the newest run of small generations into one
+            # mid-tier generation (build/deltas.py compact_tiered);
+            # tail=None exercises the auto ratio policy. May be a
+            # no-op (<2 generations) — that path is part of the
+            # contract too.
+            idx.inverted.compact_tiered()
+            idx = Index.load(spark, wh, name=f"maintp{seed}")
+            commit_probes[_commit_seq()] = _oracle_probe_results()
+            # exact-df referee across the fold: carried tombstones +
+            # physically-folded in-suffix removals must leave the
+            # vocabulary identical to the oracle's
+            got_df = {r["term"]: r["df"]
+                      for r in idx.tokens("content").collect()}
+            want_df = {t: len(d) for t, d in
+                       oidx.fields["content"].term_docs.items()}
+            assert got_df == want_df, (seed, step, "df-after-tiered")
+        elif cycle == "delta":
             # commit the pending ops as a new generation, reload: probes
             # now run over the multi-generation bind (tombstone
             # anti-joins + merged stats)

@@ -103,12 +103,17 @@ def test_stream_to_index_durable_generations(spark, tmp_path):
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
 
-    # third batch with compact_every=2 folds generations into the base
+    # third batch with compact_every=2 triggers the TIERED merge (the
+    # sink default): the micro-batch generations fold into ONE
+    # mid-tier generation, the base is untouched, and the folded tags
+    # live on as merged_tags (replay guard)
     part3.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(src_dir, "f3.parquet"))
     run(compact_every=2)
     manifest = json.load(open(os.path.join(wh, "manifest.json")))
-    assert not manifest.get("generations")
+    gens = manifest.get("generations", [])
+    assert len(gens) == 1 and not gens[0].get("tag")
+    assert set(manifest.get("merged_tags", [])) >= {"batch-1", "batch-2"}
     # folded generations linger until the next save's GC sweep (reader
     # grace) but the committed manifest no longer references them
     assert InvertedIndex.load(spark, wh).docs.count() == full.count()
@@ -234,10 +239,13 @@ def test_stream_replay_after_checkpoint_loss_commits_nothing(
 
     run()
     manifest = json.load(open(os.path.join(wh, "manifest.json")))
-    # 3 batches, compact_every=2: base + 2 gens -> compacted on the
-    # third batch; the folded tags must live on as merged_tags
+    # 3 batches, compact_every=2: base + 2 gens -> tiered-merged on the
+    # third batch into one mid-tier generation; the folded tags must
+    # live on as merged_tags
     assert manifest.get("base_tag") == "batch-0"
     assert set(manifest.get("merged_tags", [])) >= {"batch-1", "batch-2"}
+    gens_before = manifest.get("generations", [])
+    assert len(gens_before) == 1 and not gens_before[0].get("tag")
     before = Index.load(spark, wh)
     want = sorted((r["docid"], round(r["score"], 9)) for r in
                   before.search_bm25("elixir", top_k=50).collect())
@@ -248,7 +256,7 @@ def test_stream_replay_after_checkpoint_loss_commits_nothing(
     run()
     manifest2 = json.load(open(os.path.join(wh, "manifest.json")))
     assert manifest2.get("base_tag") == "batch-0"
-    assert manifest2.get("generations", []) == []  # no drift
+    assert manifest2.get("generations", []) == gens_before  # no drift
     after = Index.load(spark, wh)
     got = sorted((r["docid"], round(r["score"], 9)) for r in
                  after.search_bm25("elixir", top_k=50).collect())
@@ -286,9 +294,17 @@ def test_compaction_preserves_with_segments_off(spark, tmp_path):
     await_terminated(q, 240)
 
     manifest = json.load(open(os.path.join(wh, "manifest.json")))
-    assert manifest.get("generations", []) == []  # compaction ran
+    gens = manifest.get("generations", [])
+    assert len(gens) == 1 and not gens[0].get("tag")  # tiered merge ran
     assert manifest.get("segments") is False  # flag not flipped
     from ex_elasticlunr_spark.build.indexer import tables_dir
 
     assert not os.path.exists(
         os.path.join(tables_dir(wh, manifest), "segments"))
+    # the merged mid-tier generation must follow the sink's
+    # with_segments=False too (compact_tiered inherits the manifest
+    # flag exactly like the full compact does)
+    gdir = os.path.join(wh, "deltas", gens[0]["name"])
+    gm = json.load(open(os.path.join(gdir, "manifest.json")))
+    assert not os.path.exists(os.path.join(tables_dir(gdir, gm),
+                                           "segments"))
