@@ -491,16 +491,32 @@ class Index:
     def _route_wand(self, query, top_k, options, mode: str,
                     include_details: bool, kw: dict):
         """Opportunistic block-max WAND routing for ``search()``: a
-        finite top-k string search or single-field terms/match DSL
-        query on an index whose segments are ALREADY bound (a loaded
-        v5 warehouse, or after any explicit search_wand call) serves
-        through the fast path — rank-identical by the
-        tests/test_segments_wand.py identity suites, and pinned
-        routed==unrouted by test_spark_engine.TestWandRouting. Returns
-        None (caller falls through to the exhaustive executor) when the
-        query shape, options, or index state don't qualify; never
-        triggers a segment build on its own (a one-off query on a
-        fresh in-memory index must not pay the encode)."""
+        finite top-k MULTI-CLAUSE query — the string-search sugar
+        (every field in one segments pass) or a bool of two or more
+        terms/match leaves — on an index whose segments are ALREADY
+        bound (a loaded v5 warehouse, or after any explicit
+        search_wand call) serves through the fast path —
+        rank-identical by the tests/test_segments_wand.py identity
+        suites, and pinned routed==unrouted by
+        tests/test_wand_routing.py. Returns None (caller falls through
+        to the exhaustive executor) when the query shape, options, or
+        index state don't qualify; never triggers a segment build on
+        its own (a one-off query on a fresh in-memory index must not
+        pay the encode).
+
+        SINGLE-clause queries deliberately stay on the exhaustive
+        plan: an interleaved routed-vs-exhaustive A/B at bench scale
+        (BENCH/r05_wand_modes.json, quiet window, both scoring modes)
+        measured the one-scan one-aggregation exhaustive plan 1.2-1.7x
+        faster — this corpus's query terms sit in 40-80% of documents,
+        so block-max pruning cannot skip anything and WAND pays its
+        metadata/bound overhead for nothing; cold first-query cost is
+        parity. WAND earns its keep exactly where it replaces
+        multi-clause plan composition (bool shapes measured 1.1-1.9x
+        faster routed; the multi-field sugar at parity with one
+        segments pass instead of per-field scans). Explicit
+        search_wand/search_wand_text remain for callers whose corpora
+        have the idf skew block pruning feeds on."""
         import os as _os
 
         if (include_details or not isinstance(top_k, int) or top_k <= 0
@@ -515,6 +531,12 @@ class Index:
                 boosts = {f: v.get("boost", 0)
                           for f, v in options["fields"].items()}
             elif options:
+                return None
+            served = [f for f in self.analyzers
+                      if boosts is None or boosts.get(f, 0) > 0]
+            if len(served) < 2:
+                # one served field degenerates to a single clause —
+                # exhaustive plan (docstring)
                 return None
             return self.search_wand_text(query, top_k=top_k,
                                          field_boosts=boosts, mode=mode,
@@ -586,7 +608,9 @@ class Index:
                 if s is None:
                     return None
                 leaves.append((s, "optional"))
-            if not leaves:
+            if len(leaves) < 2:
+                # a single-leaf bool degenerates to a single-clause
+                # query — exhaustive wins there (docstring)
                 return None
             from .search.wand import resolve_clause, wand_topk_multi
 
@@ -603,16 +627,10 @@ class Index:
                                    mode=mode, msm=node.effective_msm(),
                                    **kw)
 
-        node = _leaf(node)
-        if node is None:
-            return None
-        from .search.wand import wand_topk
-
-        return wand_topk(self.inverted, node.field, list(node.terms),
-                         k=top_k, mode=mode, boost=node.boost,
-                         expand=node.expand, fuzziness=node.fuzziness,
-                         regex=node.regex,
-                         msm=max(node.minimum_should_match, 1), **kw)
+        # single-clause terms/match: exhaustive plan (docstring — the
+        # interleaved A/B measured it 1.2-1.7x faster than routed in
+        # both modes at bench scale)
+        return None
 
     def facet(self, query, field: str, top_n: int = 10,
               min_count: int = 1) -> DataFrame:
