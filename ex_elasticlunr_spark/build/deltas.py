@@ -147,17 +147,7 @@ def save_delta(inv, tag: Optional[str] = None) -> str:
     gens = list(manifest.get("generations", []))
 
     # global ordinal high-water mark across base + prior generations
-    if gens:
-        prev_max = int(gens[-1]["ord_base"]) + int(gens[-1]["max_ord"])
-    else:
-        prev_max = manifest.get("max_ord")
-        if prev_max is None:  # legacy base manifest: one tiny agg
-            from .indexer import tables_dir
-
-            prev_max = (spark.read.parquet(
-                os.path.join(tables_dir(path, manifest), "ordinals"))
-                .agg(F.max("ord").alias("m")).first()["m"]) or 0
-        prev_max = int(prev_max)
+    prev_max = _ord_high_water(spark, path, manifest, gens)
 
     batches = adds or [None]  # tombstone-only delta: one table-less gen
     last_dir = ""
@@ -191,14 +181,8 @@ def save_delta(inv, tag: Optional[str] = None) -> str:
             # state (tombstone-sized output; broadcast hash join)
             committed = spark.read.parquet(
                 os.path.join(gen_dir, "tombstones"))
-            dec = (inv._delta_base.doc_stats
-                   .join(F.broadcast(committed), "docid")
-                   .groupBy("field")
-                   .agg(F.count(F.lit(1)).alias("n"),
-                        F.sum("doc_len").alias("s"))
-                   .collect())
-            entry["tomb_field_stats"] = {
-                r["field"]: [int(r["n"]), int(r["s"] or 0)] for r in dec}
+            entry["tomb_field_stats"] = _tomb_field_stats(
+                inv._delta_base.doc_stats, committed)
         if sub is not None:
             # _history=False: a generation dir is an internal artifact,
             # not a warehouse — only ROOT commits are time-travelable
@@ -223,12 +207,50 @@ def save_delta(inv, tag: Optional[str] = None) -> str:
     return last_dir
 
 
-def _gen_docs(entry: dict) -> int:
+def _gen_docs(entry: dict) -> Optional[int]:
     """Approximate live-doc size of a generation from its manifest
     partials (max over fields: a doc indexed under several fields is
-    one doc)."""
-    fds = entry.get("field_doc_stats") or {}
+    one doc). ``None`` for an ADDS generation written without the
+    partials (legacy writer) — size UNKNOWN, which the auto tier
+    policy must treat as unfoldable, not free; tombstone-only
+    generations genuinely carry 0 docs."""
+    fds = entry.get("field_doc_stats")
+    if not fds:
+        return 0 if not entry.get("has_adds") else None
     return max((int(v[0]) for v in fds.values()), default=0)
+
+
+def _ord_high_water(spark, path: str, manifest: dict, gens: list) -> int:
+    """Global ordinal high-water mark across base + ``gens`` — the
+    shared generation-placement rule of ``save_delta`` and
+    ``compact_tiered`` (a divergence here would collide ordinal
+    ranges between the two commit paths)."""
+    if gens:
+        return int(gens[-1]["ord_base"]) + int(gens[-1]["max_ord"])
+    prev_max = manifest.get("max_ord")
+    if prev_max is None:  # legacy base manifest: one tiny agg
+        from .indexer import tables_dir
+
+        prev_max = (spark.read.parquet(
+            os.path.join(tables_dir(path, manifest), "ordinals"))
+            .agg(F.max("ord").alias("m")).first()["m"]) or 0
+    return int(prev_max)
+
+
+def _tomb_field_stats(pre_doc_stats: DataFrame,
+                      committed: DataFrame) -> dict:
+    """Per-field ``[n_docs, sum_doc_len]`` of the committed tombstones'
+    docs in the PRE-commit state (tombstone-sized broadcast join) —
+    the decrement entries ``_merged_field_counts`` consumes; shared by
+    ``save_delta`` and ``compact_tiered`` so the manifest arithmetic
+    can never desynchronize between the two."""
+    dec = (pre_doc_stats
+           .join(F.broadcast(committed), "docid")
+           .groupBy("field")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("doc_len").alias("s"))
+           .collect())
+    return {r["field"]: [int(r["n"]), int(r["s"] or 0)] for r in dec}
 
 
 def compact_tiered(inv, tail: Optional[int] = None,
@@ -282,12 +304,7 @@ def compact_tiered(inv, tail: Optional[int] = None,
     if len(gens) < 2:
         return ""  # nothing worth folding
 
-    from .indexer import (
-        InvertedIndex,
-        _gc_stale_artifacts,
-        _write_history,
-        tables_dir,
-    )
+    from .indexer import InvertedIndex, _gc_stale_artifacts, _write_history
 
     # ---- pick the fold: a contiguous newest suffix --------------------
     if tail is not None:
@@ -295,12 +312,20 @@ def compact_tiered(inv, tail: Optional[int] = None,
     else:
         # newest gen always seeds the fold; extend backwards while the
         # next-older generation is size-comparable to the accumulated
-        # tail (tombstone-only generations count 0 and always fold)
-        acc = _gen_docs(gens[-1])
+        # tail (tombstone-only generations count 0 and always fold;
+        # an UNKNOWN-size adds generation — legacy writer without the
+        # field_doc_stats partials — never auto-folds: treating it as
+        # free would bind the merge cost to its full size, breaking
+        # the bounded-by-the-run contract; explicit ``tail`` remains
+        # the override)
+        sizes = [_gen_docs(e) for e in gens]
+        if sizes[-1] is None:
+            return ""
+        acc = sizes[-1]
         cut = len(gens) - 1
         while cut > 0:
-            g = _gen_docs(gens[cut - 1])
-            if acc > 0 and g > tier_ratio * acc:
+            g = sizes[cut - 1]
+            if g is None or (acc > 0 and g > tier_ratio * acc):
                 break
             acc += g
             cut -= 1
@@ -357,15 +382,7 @@ def compact_tiered(inv, tail: Optional[int] = None,
     name = "gen-%05d" % gen_seq
     gen_dir = os.path.join(path, DELTAS_DIR, name)
     os.makedirs(gen_dir, exist_ok=True)
-    if keep:
-        prev_max = int(keep[-1]["ord_base"]) + int(keep[-1]["max_ord"])
-    else:
-        prev_max = manifest.get("max_ord")
-        if prev_max is None:  # legacy base manifest: one tiny agg
-            prev_max = (spark.read.parquet(
-                os.path.join(tables_dir(path, manifest), "ordinals"))
-                .agg(F.max("ord").alias("m")).first()["m"]) or 0
-        prev_max = int(prev_max)
+    prev_max = _ord_high_water(spark, path, manifest, keep)
     entry = {
         "name": name,
         "ord_base": ((prev_max // block_size) + 1) * block_size,
@@ -398,14 +415,8 @@ def compact_tiered(inv, tail: Optional[int] = None,
         )
         pre._rebind_from(path, {**manifest, "generations": keep},
                          spark=spark)
-        dec = (pre.doc_stats
-               .join(F.broadcast(committed), "docid")
-               .groupBy("field")
-               .agg(F.count(F.lit(1)).alias("n"),
-                    F.sum("doc_len").alias("s"))
-               .collect())
-        entry["tomb_field_stats"] = {
-            r["field"]: [int(r["n"]), int(r["s"] or 0)] for r in dec}
+        entry["tomb_field_stats"] = _tomb_field_stats(
+            pre.doc_stats, committed)
         pre.unpersist()
 
     # ---- commit --------------------------------------------------------

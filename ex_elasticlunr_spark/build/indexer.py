@@ -1018,6 +1018,12 @@ class InvertedIndex:
             self._tomb_ords.unpersist()
         self._tomb_ords = None
         self._tomb_local_cache = None
+        # phrase serving caches (search/scorer.py): term-df and field
+        # n_docs currencies must follow the binding — today every
+        # content-changing op returns a NEW object, but a rebind is the
+        # one in-place transition, so clear them here for robustness
+        self.__dict__.pop("_phrase_df_cache", None)
+        self.__dict__.pop("_phrase_fs_cache", None)
         # the previous binding's persisted ordinal-assignment internals:
         # every lazy plan that depended on them is discarded right here,
         # so the cache blocks can go too (the contract at __init__)

@@ -117,10 +117,11 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     # parallelism probe reads catalyst plan STATISTICS (driver-side
     # metadata only — no RDD conversion, no job): estimated input bytes
     # over maxPartitionBytes bounds the scan's split count. Unknown
-    # stats (the Long.Max sentinel of non-file sources) are treated as
-    # already-parallel, leaving the input's partitioning alone — at
-    # corpus scale the scan has plenty of splits and an extra full
-    # shuffle here would be pure cost.
+    # stats (the Long.Max sentinel of non-file sources — local
+    # relations, JDBC reads) default to SPREADING: those sources are
+    # single-or-few-partition far more often than wide, a redundant
+    # repartition costs one bounded shuffle, and a missed one costs a
+    # single-core md5 pass over the corpus.
     sc = df.sparkSession.sparkContext
     try:
         size = int(str(
@@ -128,7 +129,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
         max_split = sc._jvm.org.apache.spark.network.util.JavaUtils \
             .byteStringAsBytes(df.sparkSession.conf.get(
                 "spark.sql.files.maxPartitionBytes", "128m"))
-        est_parts = (sc.defaultParallelism if size >= (1 << 62)
+        est_parts = (1 if size >= (1 << 62)
                      else max(1, size // max(1, max_split)))
     except Exception:  # stats API drift: fall back to no repartition
         est_parts = sc.defaultParallelism
