@@ -238,8 +238,14 @@ def main() -> None:
         # one-time build+materialize as ITS OWN line so the first sf
         # query measures the query, not the cache fill
         timed("sf_index_build", lambda: entry_mod._index(spark, sf_dir))
+        # match_phrase on the documents corpus exercises the
+        # conjunctive phrase route (docs-with-all-terms driver serve /
+        # pruned distributed) that the transcripts corpus' dense
+        # vocabulary keeps off — the twin of q8 the router chooses on
+        # selective conjunctions
         for name in ("match_or", "bm25_topk", "search_many",
-                     "dedup_minhash_lsh", "ann_brute_topk", "text_quality"):
+                     "match_phrase", "dedup_minhash_lsh",
+                     "ann_brute_topk", "text_quality"):
             timed(f"sf_{name}", lambda n=name: q[n](spark, sf_dir).collect())
 
     # ---- top-10 rank-identity rates over the reference query set on a
