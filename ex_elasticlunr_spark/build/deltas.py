@@ -81,6 +81,25 @@ from ..functions.literals import inline_rows
 
 DELTAS_DIR = "deltas"
 
+# Replay-guard retention: merged_tags only needs to recognize a
+# REPLAYED micro-batch, and structured streaming replays at most the
+# last uncommitted batch — once a later batch starts processing, the
+# earlier batch's checkpoint has durably advanced and its tag can
+# never be asked about again. Retaining the newest MERGED_TAGS_KEEP
+# tags (append order == fold chronology, so the tags a crash could
+# still replay are always at the tail) therefore preserves the guard
+# while bounding the root manifest: without the cap the list grew
+# O(total batches) and the atomically-rewritten manifest with it,
+# eroding the batch-bounded-merge contract at 10^12-turn stream
+# lifetimes. Replayed batches older than the cap are additionally
+# backstopped by add_documents' first-write-wins docid anti-join.
+MERGED_TAGS_KEEP = 256
+
+
+def cap_merged_tags(tags: list) -> list:
+    """Newest ``MERGED_TAGS_KEEP`` replay-guard tags (see above)."""
+    return tags[-MERGED_TAGS_KEEP:]
+
 _FS_SCHEMA = ("field string, n_docs long, n_unique_terms long, "
               "flnorm double, avg_doc_len double")
 
@@ -423,7 +442,7 @@ def compact_tiered(inv, tail: Optional[int] = None,
     merged_tags = list(manifest.get("merged_tags", []))
     merged_tags += [e["tag"] for e in suffix if e.get("tag")]
     if merged_tags:
-        manifest["merged_tags"] = merged_tags
+        manifest["merged_tags"] = cap_merged_tags(merged_tags)
     manifest["generations"] = keep + [entry]
     manifest["gen_seq"] = gen_seq
     manifest["commit_seq"] = int(manifest.get("commit_seq", -1)) + 1

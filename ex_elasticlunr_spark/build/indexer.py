@@ -442,12 +442,35 @@ class InvertedIndex:
         return self
 
     def materialize(self) -> "InvertedIndex":
+        from concurrent.futures import ThreadPoolExecutor
+
         self.cache()
-        self.postings.count()
-        self.term_stats.count()
-        self.field_stats.count()
-        self.doc_stats.count()
-        self.docs.count()
+        # pin the shared analyzer output while the caches fill: postings
+        # and doc_stats both derive from _flat, and without this pin the
+        # (Python-heavy) analyzer pass ran TWICE — once for the postings
+        # cache, once when the doc_stats/field_stats lineage was first
+        # touched. Transient: released as soon as the caches are warm.
+        flat = self._flat
+        if flat is not None:
+            flat.persist()
+        try:
+            # postings first (fills the flat cache), then the four
+            # derived tables overlap — each is a small job over the
+            # cached postings/flat, and running them serially just
+            # strings four scheduling tails end to end (guide §2.6 —
+            # overlap independent jobs; concurrent first-touch of the
+            # same cached block dedupes via the block manager's
+            # per-block compute lock)
+            self.postings.count()
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                futs = [pool.submit(df.count)
+                        for df in (self.term_stats, self.field_stats,
+                                   self.doc_stats, self.docs)]
+                for f in futs:
+                    f.result()
+        finally:
+            if flat is not None:
+                flat.unpersist()
         return self
 
     def unpersist(self) -> None:
@@ -785,19 +808,52 @@ class InvertedIndex:
             _cluster_write(["positions", "ords"], "positions",
                            "positions_write_sec")
 
-        pos_thunks = [_w_positions] if self.store_positions else []
+        # ONE clustering shuffle, not two: when positions are stored,
+        # their table is a superset of the narrow postings columns under
+        # the SAME keys and sort — so only the positional table rides
+        # the (only) corpus-wide shuffle, and the narrow hot-path
+        # postings table is derived below as a MAP-ONLY column
+        # projection of the written positions parquet (guide §2.4
+        # "remove shuffles outright" / §8 "move heavy bytes once,
+        # derive the rest"). Before this, the same posting rows were
+        # shuffled and sorted twice (once narrow, once with arrays).
+        cluster_thunks = ([_w_positions] if self.store_positions
+                          else [_w_cluster])
         if has_ingest_ord:
-            # no join dependency: the big shuffles overlap the two
+            # no join dependency: the big shuffle overlaps the two
             # docid-sized table builds
-            _overlap(_w_cluster, *pos_thunks, _w_doc_stats, _w_ordinals)
+            _overlap(*cluster_thunks, _w_doc_stats, _w_ordinals)
         else:
             _overlap(_w_doc_stats, _w_ordinals)
-            _overlap(_w_cluster, *pos_thunks)
+            _overlap(*cluster_thunks)
         t2 = _time.perf_counter()
         _cpu2 = _busy_jiffies()
         ordinals = ordinals_box[0]
         doc_stats = spark.read.parquet(_sp("doc_stats"))
-        postings = spark.read.parquet(_sp("postings"))
+        narrow_cols = ["field", "term", "ord", "tf_raw", "doc_len"]
+        if self.store_positions:
+            # stats + segments read the positions parquet's NARROW
+            # columns directly (columnar scan — array columns never
+            # leave disk), so they do not serialize behind the
+            # projection write; the durable postings table itself is
+            # written in the phase-4 overlap group below. The read
+            # bin-packs several salt-partition files per task, so a
+            # WITHIN-PARTITION re-sort (local, no shuffle) restores
+            # tight per-row-group term ranges for the pushed In(term)
+            # pruning the query path relies on.
+            postings = spark.read.parquet(_sp("positions")) \
+                .select(*narrow_cols)
+
+            def _w_postings_proj():
+                s0 = _time.perf_counter()
+                (postings.sortWithinPartitions("term", "field", "ord")
+                 .write.mode("overwrite").parquet(_sp("postings")))
+                stage_secs["cluster_write_sec"] = _time.perf_counter() - s0
+
+            proj_thunks = [_w_postings_proj]
+        else:
+            postings = spark.read.parquet(_sp("postings"))
+            proj_thunks = []
 
         # ---- phase 4 (overlapped): stats ∥ segments — both read the
         # clustered parquet and are otherwise independent. Stats are
@@ -899,9 +955,9 @@ class InvertedIndex:
         fds_box: dict = {}
         if with_segments:
             tables += ["segments", "seg_lens"]
-            _overlap(_write_stats, _w_segments)
+            _overlap(_write_stats, _w_segments, *proj_thunks)
         else:
-            _write_stats()
+            _overlap(_write_stats, *proj_thunks)
         # global ordinal high-water mark: generational delta saves place
         # the next generation's ordinal space above it (block-aligned);
         # computed inside _w_ordinals, overlapped with the clustering
@@ -1310,11 +1366,13 @@ class InvertedIndex:
                 cur = json.load(fh)
             if cur.get("base_tag"):
                 extra["base_tag"] = cur["base_tag"]
+            from .deltas import cap_merged_tags
+
             merged = list(cur.get("merged_tags", []))
             merged += [e["tag"] for e in cur.get("generations", [])
                        if e.get("tag")]
             if merged:
-                extra["merged_tags"] = merged
+                extra["merged_tags"] = cap_merged_tags(merged)
         except FileNotFoundError:
             pass
         # None -> inherit the warehouse's OWN layout from the committed

@@ -113,28 +113,11 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     import hashlib
 
     # small single-file sources read as ONE partition — spread the
-    # (md5-heavy) signature work across cores before the UDF. The
-    # parallelism probe reads catalyst plan STATISTICS (driver-side
-    # metadata only — no RDD conversion, no job): estimated input bytes
-    # over maxPartitionBytes bounds the scan's split count. Unknown
-    # stats (the Long.Max sentinel of non-file sources — local
-    # relations, JDBC reads) default to SPREADING: those sources are
-    # single-or-few-partition far more often than wide, a redundant
-    # repartition costs one bounded shuffle, and a missed one costs a
-    # single-core md5 pass over the corpus.
-    sc = df.sparkSession.sparkContext
-    try:
-        size = int(str(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-        max_split = sc._jvm.org.apache.spark.network.util.JavaUtils \
-            .byteStringAsBytes(df.sparkSession.conf.get(
-                "spark.sql.files.maxPartitionBytes", "128m"))
-        est_parts = (1 if size >= (1 << 62)
-                     else max(1, size // max(1, max_split)))
-    except Exception:  # stats API drift: fall back to no repartition
-        est_parts = sc.defaultParallelism
-    if est_parts < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    # (md5-heavy) signature work across cores before the UDF
+    # (functions/partitioning.py: catalyst-stats probe, no RDD node).
+    from ..functions.partitioning import spread_small_scan
+
+    df = spread_small_scan(df)
 
     n_seeds = (num_hashes + 3) // 4
 
@@ -142,26 +125,53 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     def _minhash(norms: pd.Series) -> pd.Series:
         # identical values to the SQL formulation (md5 hex slices), but
         # one Python pass per Arrow batch instead of interpreted
-        # higher-order-function expressions (~50x faster measured)
-        out = []
+        # higher-order-function expressions (~50x faster measured).
+        # Digests are computed ONCE per distinct (seed, shingle) across
+        # the whole batch — corpora repeat shingles heavily, so this
+        # collapses the md5 count from sum(per-doc shingles) to the
+        # batch's shingle vocabulary — and the per-doc component-wise
+        # min runs as one vectorized numpy reduction over fixed-width
+        # byte rows (lexicographic min on ascii hex == str min).
+        import numpy as np
+
+        doc_sets = []
+        uniq: dict = {}
         for norm in norms:
             if norm is None:
                 norm = ""
             n = max(len(norm) - (k - 1), 1)
-            shingles = {norm[i:i + k] for i in range(n)}
-            sig = [None] * num_hashes
-            for seed in range(n_seeds):
-                prefix = f"{seed}:".encode()
-                for s in shingles:
-                    d = hashlib.md5(prefix + s.encode()).hexdigest()
-                    for slot in range(4):
-                        h = seed * 4 + slot
-                        if h >= num_hashes:
-                            break
-                        piece = d[8 * slot:8 * slot + 8]
-                        if sig[h] is None or piece < sig[h]:
-                            sig[h] = piece
-            out.append(sig)
+            s = {norm[i:i + k] for i in range(n)}
+            doc_sets.append(s)
+            for sh in s:
+                if sh not in uniq:
+                    uniq[sh] = len(uniq)
+        # one concatenated hex buffer per unique shingle: the seed
+        # digests in order ARE the component slices (component h =
+        # chars [8h, 8h+8) of digest(h // 4)), so a single frombuffer
+        # reshape builds the whole table with no per-element assignment
+        width = num_hashes * 8
+        md5 = hashlib.md5
+        prefixes = [b"%d:" % s for s in range(n_seeds)]
+        bufs = []
+        for sh in uniq:
+            enc = sh.encode()
+            bufs.append("".join(
+                md5(p + enc).hexdigest() for p in prefixes)[:width])
+        # big-endian-uint64 view: integer order == lexicographic byte
+        # order for the all-ascii hex slices (numpy has no min loop for
+        # byte-string dtypes); the memory layout is untouched, so the
+        # view back to S8 restores the exact hex characters
+        tab_u = np.frombuffer(
+            "".join(bufs).encode(), dtype="S8").reshape(
+            len(uniq), num_hashes).view(">u8") if uniq else \
+            np.empty((0, num_hashes), dtype=">u8")
+        out = []
+        for s in doc_sets:
+            mins = tab_u[[uniq[sh] for sh in s]].min(axis=0)
+            # the reduce may return native-endian — force big-endian
+            # before reinterpreting the memory as the 8 ascii hex chars
+            out.append([x.decode()
+                        for x in mins.astype(">u8", copy=False).view("S8")])
         return pd.Series(out)
 
     return df.withColumn("minhash", _minhash(normalized(F.col(text_col))))

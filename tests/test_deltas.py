@@ -463,3 +463,46 @@ def test_maintenance_casts_numeric_docids(spark, base_path):
     idx2.inverted = idx2.inverted.remove_documents(gone)
     left = {r["docid"] for r in idx2.inverted.docs.collect()}
     assert left == {"007", "7"}  # long 8 removed exactly docid "8"
+
+
+def test_merged_tags_capped_but_recent_replays_guarded(
+        spark, corpus, base_path, monkeypatch):
+    """The replay-guard tag list must stay BOUNDED across compaction
+    cycles (the root manifest is rewritten atomically on every commit,
+    so an O(total batches) list erodes the batch-bounded-merge
+    contract) while the tags a crash could still replay — the newest
+    fold — remain recognized."""
+    from ex_elasticlunr_spark.build import deltas
+
+    monkeypatch.setattr(deltas, "MERGED_TAGS_KEEP", 4)
+    df1, df2 = corpus
+    Index(name="cap").add_field("text") \
+        .add_documents(df1, docid_col="docid").save(base_path)
+
+    rows = df2.collect()
+    for i in range(6):
+        loaded = Index.load(spark, base_path)
+        loaded.add_documents(
+            _docs(spark, [tuple(rows[i])]), docid_col="docid")
+        loaded.inverted.save_delta(tag=f"batch-{i}")
+        loaded.inverted.compact_tiered(tail=10)  # fold every generation
+
+    with open(os.path.join(base_path, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    tags = manifest.get("merged_tags", [])
+    assert len(tags) <= 4
+    # the newest fold's tag (the only one a replay can still ask about)
+    # survives at the tail
+    assert tags[-1] == "batch-5"
+
+    # full compact applies the same cap
+    loaded = Index.load(spark, base_path)
+    loaded.add_documents(_docs(spark, [tuple(rows[10])]),
+                         docid_col="docid")
+    loaded.inverted.save_delta(tag="batch-6")
+    loaded.inverted.compact()
+    with open(os.path.join(base_path, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    tags = manifest.get("merged_tags", [])
+    assert len(tags) <= 4
+    assert tags[-1] == "batch-6"
