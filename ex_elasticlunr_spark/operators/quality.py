@@ -24,9 +24,16 @@ def token_counts(df: DataFrame, text_col: str = "text",
     bpe_est:   ceil(chars/4) heuristic subword count (common rule of
                thumb for byte-pair encodings)
     """
-    norm = normalized(F.col(text_col))
-    return df.select(
-        F.col(id_col).cast("string").alias("docid"),
+    # normalized() once through an intermediate Project: the lambda-free
+    # outputs still can't share subexpressions with the others in one
+    # interpreted Project, and CollapseProject keeps the split because
+    # the regexp chain is non-cheap (guide §4 — the same value was
+    # being recomputed 3x per row)
+    norm_df = df.select(F.col(id_col).cast("string").alias("docid"),
+                        normalized(F.col(text_col)).alias("_norm"))
+    norm = F.col("_norm")
+    return norm_df.select(
+        "docid",
         F.when(norm == "", F.lit(0))
         .otherwise(F.size(F.split(norm, " ")))
         .cast("long").alias("ws_tokens"),
@@ -201,24 +208,37 @@ def quality_scores(df: DataFrame, text_col: str = "text",
       mean_word_len  = chars-in-words / words
       quality        = 0.4*len + 0.3*(1-punct) + 0.3*least(2*stop, 1)
     """
+    # Two-stage Project with exact INTEGER intermediates: the single
+    # interpreted Project (HOF lambdas block codegen and its
+    # subexpression elimination) recomputed normalized() ~8x, split ~4x
+    # and the stopword InSet filter 2x per row. All intermediates are
+    # ints, so the final arithmetic below is literally the same
+    # double-expression tree as before — results bit-identical
+    # (CollapseProject keeps the stages split: the shared expressions
+    # are non-cheap).
     norm = normalized(F.col(text_col))
     words = F.split(norm, " ")
-    nwords = F.greatest(F.size(words), F.lit(1))
-    # count stopword OCCURRENCES (array_intersect would dedup)
-    stop_occ = F.size(F.filter(words, lambda w: w.isin(_STOP_ARR)))
-    chars = F.greatest(F.length(norm), F.lit(1))
-    punct = F.length(F.regexp_replace(norm, r"[a-z0-9 ]", ""))
-    word_chars = F.length(F.regexp_replace(norm, r" ", ""))
-    return df.select(
+    ints = df.select(
         F.col(id_col).cast("string").alias("docid"),
-        F.round(F.least(F.length(norm) / F.lit(500.0), F.lit(1.0)), 6).alias("len_score"),
-        F.round(punct / chars, 6).alias("punct_ratio"),
-        F.round(stop_occ / nwords, 6).alias("stop_ratio"),
-        F.round(word_chars / nwords, 6).alias("mean_word_len"),
+        F.length(norm).alias("_len"),
+        F.greatest(F.size(words), F.lit(1)).alias("_nw"),
+        # count stopword OCCURRENCES (array_intersect would dedup)
+        F.size(F.filter(words, lambda w: w.isin(_STOP_ARR))).alias("_stop"),
+        F.length(F.regexp_replace(norm, r"[a-z0-9 ]", "")).alias("_punct"),
+        F.length(F.regexp_replace(norm, r" ", "")).alias("_wchars"),
+    )
+    chars = F.greatest(F.col("_len"), F.lit(1))
+    return ints.select(
+        "docid",
+        F.round(F.least(F.col("_len") / F.lit(500.0), F.lit(1.0)), 6).alias("len_score"),
+        F.round(F.col("_punct") / chars, 6).alias("punct_ratio"),
+        F.round(F.col("_stop") / F.col("_nw"), 6).alias("stop_ratio"),
+        F.round(F.col("_wchars") / F.col("_nw"), 6).alias("mean_word_len"),
         F.round(
-            F.lit(0.4) * F.least(F.length(norm) / F.lit(500.0), F.lit(1.0))
-            + F.lit(0.3) * (F.lit(1.0) - punct / chars)
-            + F.lit(0.3) * F.least(F.lit(2.0) * stop_occ / nwords, F.lit(1.0)),
+            F.lit(0.4) * F.least(F.col("_len") / F.lit(500.0), F.lit(1.0))
+            + F.lit(0.3) * (F.lit(1.0) - F.col("_punct") / chars)
+            + F.lit(0.3) * F.least(
+                F.lit(2.0) * F.col("_stop") / F.col("_nw"), F.lit(1.0)),
             6,
         ).alias("quality"),
     )
@@ -239,8 +259,14 @@ def lang_id(df: DataFrame, text_col: str = "text",
     """Marker-word language heuristic: score(lang) = matched marker
     occurrences / tokens; prediction = argmax (ties -> lexicographic
     lang); 'und' (undetermined) when no marker matches."""
-    norm = normalized(F.col(text_col))
-    words = F.split(norm, " ")
+    # split once through an intermediate Project (the per-language
+    # marker filters each recomputed normalize+split in the single
+    # interpreted Project — see quality_scores); counts and nwords are
+    # ints, so the rounded ratios below are bit-identical
+    base = df.select(F.col(id_col).cast("string").alias("docid"),
+                     F.split(normalized(F.col(text_col)), " ")
+                     .alias("_words"))
+    words = F.col("_words")
     nwords = F.greatest(F.size(words), F.lit(1))
     scores = [
         F.round(
@@ -248,7 +274,7 @@ def lang_id(df: DataFrame, text_col: str = "text",
         ).alias(f"score_{lang}")
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    out = df.select(F.col(id_col).cast("string").alias("docid"), *scores)
+    out = base.select("docid", *scores)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pred = F.when(best == 0, F.lit("und"))
@@ -298,15 +324,18 @@ def winnow_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
     per-document window (partitioned by docid — skew-free and
     document-bounded) and the distinct.
     """
+    # materialize the normalized text ONCE per row before the k-gram
+    # transform: an expression inside a higher-order-function lambda is
+    # re-evaluated PER ELEMENT, so inlining the normalize chain into
+    # the substring lambda cost O(len^2) regex work per document
+    base = df.select(F.col(id_col).cast("string").alias("docid"),
+                     normalized(F.col(text_col)).alias("_norm"))
     grams = F.expr(
-        "transform(sequence(1, greatest(length(trim(regexp_replace("
-        f"lower({text_col}), '\\\\s+', ' '))) - {k - 1}, 1)), "
-        "i -> substring(trim(regexp_replace("
-        f"lower({text_col}), '\\\\s+', ' ')), i, {k}))"
+        f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)), "
+        f"i -> substring(_norm, i, {k}))"
     )
     g = (
-        df.select(F.col(id_col).cast("string").alias("docid"),
-                  F.posexplode(grams).alias("pos", "gram"))
+        base.select("docid", F.posexplode(grams).alias("pos", "gram"))
         .withColumn(
             "h",
             F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"))
@@ -366,40 +395,51 @@ def repetition_ratios(df: DataFrame, text_col: str = "text",
     transform/filter counting of the most frequent gram is O(len^2) and
     would die on 10k-token documents).
     """
-    norm = normalized(F.col(text_col))
-    toks = F.split(norm, " ")
-    base = df.select(
+    # ONE pass: tokens materialized before the n-gram lambdas
+    # (expressions inside HOF lambdas re-evaluate per element — the
+    # inline split made each n-gram re-split the whole document), then
+    # BOTH gram sizes ride one tagged explode and one two-level
+    # conditional aggregation. The previous shape consumed `base` three
+    # times (two explode→agg pipelines + the n_tokens join), paying the
+    # tokenize+transform work 3x and two extra joins; explode_outer
+    # keeps gram-less docs alive (their t2/t5 aggregate to NULL —
+    # exactly the old left-join NULLs, so the final expressions are
+    # unchanged).
+    pre = df.select(
         F.col(id_col).cast("string").alias("docid"),
-        F.when(norm == "", F.lit(0)).otherwise(F.size(toks))
+        normalized(F.col(text_col)).alias("_norm"),
+    ).select("docid", "_norm", F.split("_norm", " ").alias("_toks"))
+    toks = F.col("_toks")
+    base = pre.select(
+        "docid",
+        F.when(F.col("_norm") == "", F.lit(0)).otherwise(F.size(toks))
         .cast("long").alias("n_tokens"),
         _token_ngrams(toks, 2).alias("g2"),
         _token_ngrams(toks, 5).alias("g5"),
     )
-
-    def gram_stats(col, with_top: bool):
-        per_gram = (
-            base.select("docid", F.explode(col).alias("gram"))
-            .groupBy("docid", "gram")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        aggs = [F.sum("cnt").alias("total"),
-                F.count(F.lit(1)).alias("distinct_")]
-        if with_top:
-            aggs.append(F.max("cnt").alias("top"))
-        return per_gram.groupBy("docid").agg(*aggs)
-
-    s2 = gram_stats(F.col("g2"), with_top=True)
-    s5 = gram_stats(F.col("g5"), with_top=False)
-    out = (
-        base.select("docid", "n_tokens")
-        .join(s2.select(
-            "docid",
-            F.col("total").alias("t2"), F.col("distinct_").alias("d2"),
-            "top"), "docid", "left")
-        .join(s5.select(
-            "docid",
-            F.col("total").alias("t5"), F.col("distinct_").alias("d5")),
-            "docid", "left")
+    tagged = base.select(
+        "docid", "n_tokens",
+        F.explode_outer(F.concat(
+            F.transform("g2", lambda x: F.struct(
+                F.lit(2).alias("n"), x.alias("gram"))),
+            F.transform("g5", lambda x: F.struct(
+                F.lit(5).alias("n"), x.alias("gram"))),
+        )).alias("g"),
+    )
+    per_gram = (
+        tagged.groupBy("docid", "n_tokens",
+                       F.col("g.n").alias("n"),
+                       F.col("g.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n2 = F.col("n") == 2
+    n5 = F.col("n") == 5
+    out = per_gram.groupBy("docid", "n_tokens").agg(
+        F.sum(F.when(n2, F.col("cnt"))).alias("t2"),
+        F.count(F.when(n2, F.lit(1))).alias("d2"),
+        F.max(F.when(n2, F.col("cnt"))).alias("top"),
+        F.sum(F.when(n5, F.col("cnt"))).alias("t5"),
+        F.count(F.when(n5, F.lit(1))).alias("d5"),
     )
     dup2 = F.when(F.col("t2") > 0,
                   F.round(F.lit(1.0) - F.col("d2") / F.col("t2"), 6)) \
@@ -438,12 +478,17 @@ def boilerplate_ngrams(df: DataFrame, n: int = 4, min_docs: int = 50,
     ``min_docs`` is an absolute threshold so the operator composes with
     incremental corpora without re-reading the world.
     """
-    norm = normalized(F.col(text_col))
-    toks = F.split(norm, " ")
-    per_doc = df.select(
+    # tokens materialized once before the n-gram lambda (see
+    # repetition_ratios — per-element re-evaluation inside HOF lambdas)
+    pre = df.select(
         F.col(id_col).cast("string").alias("docid"),
+        F.split(normalized(F.col(text_col)), " ").alias("_toks"),
+    )
+    per_doc = pre.select(
+        "docid",
         F.explode_outer(
-            F.array_distinct(_token_ngrams(toks, n))).alias("gram"),
+            F.array_distinct(_token_ngrams(F.col("_toks"), n)))
+        .alias("gram"),
     )
     doc_counts = (
         per_doc.where(F.col("gram").isNotNull())
@@ -504,10 +549,10 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     )
 
 
-def word_ngrams(col, n: int):
-    """Distinct word n-grams of a normalized text column (array<string>;
-    empty when the doc has fewer than n words). Pure Column expression."""
-    words = F.split(normalized(col), " ")
+def _word_ngrams_arr(words, n: int):
+    """Distinct word n-grams over an ALREADY-materialized words column
+    (pass a bound column, not a split(...) expression — expressions
+    inside the slice lambda re-evaluate per element)."""
     k = F.size(words) - F.lit(n - 1)
     grams = F.when(
         k > 0,
@@ -516,6 +561,14 @@ def word_ngrams(col, n: int):
             lambda i: F.array_join(F.slice(words, i, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def word_ngrams(col, n: int):
+    """Distinct word n-grams of a normalized text column (array<string>;
+    empty when the doc has fewer than n words). Pure Column expression.
+    Prefer materializing the split through a Project and calling
+    ``_word_ngrams_arr`` (see contamination) on hot paths."""
+    return _word_ngrams_arr(F.split(normalized(col), " "), n)
 
 
 def contamination(df: DataFrame, eval_df: DataFrame, n: int = 8,
@@ -541,12 +594,13 @@ def contamination(df: DataFrame, eval_df: DataFrame, n: int = 8,
     same plan becomes a standard large-large hash join.
     """
     ev = (eval_df.select(
-            F.explode(word_ngrams(F.col(eval_text_col), n)).alias("g"))
+            F.split(normalized(F.col(eval_text_col)), " ").alias("_w"))
+          .select(F.explode(_word_ngrams_arr(F.col("_w"), n)).alias("g"))
           .distinct())
     grams = df.select(
         F.col(id_col).cast("string").alias("docid"),
-        word_ngrams(F.col(text_col), n).alias("gs"),
-    )
+        F.split(normalized(F.col(text_col)), " ").alias("_w"),
+    ).select("docid", _word_ngrams_arr(F.col("_w"), n).alias("gs"))
     exploded = grams.select(
         "docid", F.explode_outer("gs").alias("g"),
         F.size("gs").alias("n_grams"))
