@@ -793,7 +793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- similarity search ----------------------------------------------
     def _qvec(s, d):
-        row = _embeddings(s, d).where(F.col("vec_id") == 0).first()
+        # point lookup: read the file directly (no spread — the
+        # repartition would shuffle the whole table ahead of a
+        # pushed-predicate single-row fetch)
+        row = (s.read.parquet(f"{d}/embeddings.parquet")
+               .where(F.col("vec_id") == 0).first())
         return [float(x) for x in row["embedding"]]
 
     q["ann_brute_topk"] = lambda s, d: ann.brute_force_topk(
