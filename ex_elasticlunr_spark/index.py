@@ -26,6 +26,17 @@ from .build.indexer import InvertedIndex, build_index
 from .dsl.executor import QueryExecutor
 from .functions.udfs import AnalyzerConfig
 
+# Selectivity gate for routing SINGLE-clause terms/match queries to the
+# block-max WAND path (see Index._route_wand): route only when every
+# query term's cached document frequency is below this fraction of the
+# field's doc count. The round-5 interleaved A/B measured the
+# exhaustive plan 1.2-1.7x faster at df/N ~ 0.4-0.8 (nothing for
+# block-max to skip); selective terms are where WAND's pruning pays.
+# 5% is conservative — well inside the routed-wins regime — and the
+# gate consults only driver-cached stats (zero jobs), so cold queries
+# keep the measured exhaustive default.
+WAND_SINGLE_CLAUSE_MAX_DF_FRAC = 0.05
+
 
 class Index:
     def __init__(self, name: str = "index", ref: str = "id",
@@ -627,10 +638,43 @@ class Index:
                                    mode=mode, msm=node.effective_msm(),
                                    **kw)
 
-        # single-clause terms/match: exhaustive plan (docstring — the
+        # single-clause terms/match: exhaustive plan BY DEFAULT (the
         # interleaved A/B measured it 1.2-1.7x faster than routed in
-        # both modes at bench scale)
-        return None
+        # both modes at bench scale — but that measurement is
+        # corpus-dependent: its query terms sat in 40-80% of documents,
+        # where block-max pruning cannot skip). On idf-SKEWED corpora
+        # selective single-term top-k is exactly where WAND wins, so
+        # gate the fallthrough on a ZERO-JOB selectivity signal: when
+        # every query term's df is already driver-cached (WAND and
+        # phrase lookups share _phrase_df_cache, _clause_stats caches
+        # field_stats) and the densest term is provably selective,
+        # route through the same wand_topk the pinned search_wand
+        # identity suites cover. Cold caches or dense terms keep the
+        # measured exhaustive default, and the gate itself never runs
+        # a job.
+        leaf = _leaf(node)
+        if (leaf is None or leaf.expand or leaf.fuzziness or leaf.regex
+                or leaf.boost != 1.0):
+            return None
+        inv = self.inverted
+        fcache = getattr(inv, "_fstats_local_cache", None)
+        n_docs = None
+        if fcache is not None and fcache[0] is inv.field_stats:
+            fr = fcache[1].get(leaf.field)
+            n_docs = int(fr["n_docs"]) if fr else None
+        if not n_docs:
+            n_docs = (inv.__dict__.get("_phrase_fs_cache") or {}) \
+                .get(leaf.field)
+        pcache = inv.__dict__.get("_phrase_df_cache") or {}
+        dfs = [pcache.get((leaf.field, t)) for t in set(leaf.terms)]
+        if (not n_docs or not dfs or any(d is None for d in dfs)
+                or max(dfs) > WAND_SINGLE_CLAUSE_MAX_DF_FRAC * n_docs):
+            return None
+        from .search.wand import wand_topk
+
+        return wand_topk(inv, leaf.field, list(leaf.terms), k=top_k,
+                         mode=mode,
+                         msm=max(leaf.minimum_should_match, 1), **kw)
 
     def facet(self, query, field: str, top_n: int = 10,
               min_count: int = 1) -> DataFrame:

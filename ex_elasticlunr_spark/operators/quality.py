@@ -216,10 +216,12 @@ def quality_scores(df: DataFrame, text_col: str = "text",
     # double-expression tree as before — results bit-identical
     # (CollapseProject keeps the stages split: the shared expressions
     # are non-cheap).
-    norm = normalized(F.col(text_col))
+    norm_df = df.select(F.col(id_col).cast("string").alias("docid"),
+                        normalized(F.col(text_col)).alias("_norm"))
+    norm = F.col("_norm")
     words = F.split(norm, " ")
-    ints = df.select(
-        F.col(id_col).cast("string").alias("docid"),
+    ints = norm_df.select(
+        "docid",
         F.length(norm).alias("_len"),
         F.greatest(F.size(words), F.lit(1)).alias("_nw"),
         # count stopword OCCURRENCES (array_intersect would dedup)

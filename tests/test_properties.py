@@ -63,10 +63,20 @@ def test_pipeline_invariants(text):
     toks = Pipeline.default().run_terms(text)
     for t in toks:
         # stages can emit empty strings (reference parity) but never
-        # None, never uppercase, never a surviving stopword, and never
-        # leading/trailing non-word chars (the trimmer ran)
+        # None, never uppercase, and never leading/trailing non-word
+        # chars (the trimmer ran). NOTE: a token may legitimately BE a
+        # stopword here — the stop filter runs BEFORE the stemmer in
+        # the reference's default pipeline order, so e.g. "a's"
+        # survives the filter and stems to "a" (latent in this test
+        # until hypothesis found the example; the reference behaves
+        # identically). The no-stopword invariant holds at the
+        # PRE-STEM stage, asserted below.
         assert t is not None
         assert t == t.lower()
-        assert t not in STOP_WORDS
         if t:
             assert not __import__("re").match(r"^\W|\W$", t, __import__("re").ASCII) or t.strip() == ""
+    from ex_elasticlunr_spark.analysis.pipeline import stemmer
+
+    pre_stem = Pipeline.default().remove(stemmer).run_terms(text)
+    for t in pre_stem:
+        assert t not in STOP_WORDS

@@ -32,8 +32,14 @@ def hot_index(spark, tmp_path_factory):
 
 
 def test_hot_term_spreads_over_salted_partitions(hot_index):
+    # The salted clustering shuffle is what bounds reducer skew, and
+    # since the single-shuffle save the table that RIDES that shuffle
+    # is the positional table (the narrow postings are derived from it
+    # as a MAP-ONLY projection — no reducer exists for them to skew).
+    # Assert the physical spread on the shuffled table; the projection
+    # may legitimately bin-pack the small salt files at test scale.
     files = (
-        hot_index.inverted.postings
+        hot_index.inverted.postings_full
         .where(F.col("term") == "hotword")
         .select(F.input_file_name().alias("f"))
         .groupBy("f").count()
@@ -46,6 +52,10 @@ def test_hot_term_spreads_over_salted_partitions(hot_index):
     # (up to term_salt = 8); no single partition may hold it all
     assert n_files >= 4, f"hot term landed in only {n_files} file(s)"
     assert max(r["count"] for r in files) <= total * 0.6
+    # the derived narrow postings keep every row (projection, not a
+    # re-aggregation)
+    assert hot_index.inverted.postings \
+        .where(F.col("term") == "hotword").count() == 2000
 
 
 def test_salted_blocks_stay_complete(hot_index):
