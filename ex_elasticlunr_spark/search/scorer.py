@@ -70,8 +70,23 @@ PHRASE_DRIVER_MAX_DOCS = 4096
 # semantics), so present entries are safe to reuse across maintenance.
 # ABSENT terms are never cached — absence is semantics-bearing (it
 # short-circuits to an empty result) and a later add_documents could
-# introduce the term. Cleared wholesale past this many entries.
+# introduce the term. Evicted OLDEST-FIRST past this many entries
+# (insertion-ordered dict) — a hot workload cycling slightly over the
+# cap keeps its recent entries instead of re-looking-up everything
+# after a wholesale clear.
 _PHRASE_DF_CACHE_MAX = 1 << 16
+
+
+def _evict_df_cache(cache: dict) -> None:
+    """Drop oldest entries until the cache is back under the cap.
+    Concurrency: same contract as the old wholesale clear — a reader
+    that loses an entry mid-lookup just re-looks-up (the cache never
+    stores None, so .get miss handling covers the race)."""
+    while len(cache) > _PHRASE_DF_CACHE_MAX:
+        try:
+            cache.pop(next(iter(cache)), None)
+        except (StopIteration, RuntimeError):
+            return  # concurrent mutation: the other writer will evict
 
 
 def entry_score_expr(mode: str, k1: float = 1.2, b: float = 0.75,
@@ -439,8 +454,7 @@ def _phrase_per_doc_driver(index, field: str, post, key: str,
             .where(F.col("term").isin(missing))
             .select("term", "df").collect()
         }
-        if len(cache) > _PHRASE_DF_CACHE_MAX:
-            cache.clear()
+        _evict_df_cache(cache)
         for t, d in looked.items():  # present terms only (see cache note)
             cache[(field, t)] = d
         dfs.update(looked)

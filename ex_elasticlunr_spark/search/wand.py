@@ -322,11 +322,10 @@ def _clause_stats(index, clauses: List[WandClause], mode: str) -> list:
     # gate (scorer._phrase_per_doc_driver): same term_stats currency,
     # present terms only (the cache's semantics rule) — a phrase over
     # terms a WAND query already resolved skips its gate lookup job
-    from .scorer import _PHRASE_DF_CACHE_MAX
+    from .scorer import _evict_df_cache
 
     pcache = index.__dict__.setdefault("_phrase_df_cache", {})
-    if len(pcache) > _PHRASE_DF_CACHE_MAX:
-        pcache.clear()
+    _evict_df_cache(pcache)
     for (f, t), r in trows.items():
         pcache[(f, t)] = r["df"]
     out = []

@@ -229,3 +229,17 @@ def test_random_phrases_hot_term_paths(rand_idx):
     # plan (cap=8 with one-row-per-(term,doc) guarantees both occur on
     # this corpus)
     assert outcomes["served"] > 0 and outcomes["distributed"] > 0
+
+
+def test_phrase_df_cache_evicts_oldest_not_wholesale(monkeypatch):
+    """VERDICT r5 ask #4: a workload cycling slightly over the cache
+    cap must retain the cap MOST-RECENT entries (ordered eviction), not
+    re-look-up everything after a wholesale clear."""
+    from ex_elasticlunr_spark.search import scorer
+
+    monkeypatch.setattr(scorer, "_PHRASE_DF_CACHE_MAX", 4)
+    cache = {("text", f"t{i}"): i + 1 for i in range(5)}  # cap + 1
+    scorer._evict_df_cache(cache)
+    assert len(cache) == 4
+    assert ("text", "t0") not in cache  # oldest evicted first
+    assert all(("text", f"t{i}") in cache for i in (1, 2, 3, 4))
