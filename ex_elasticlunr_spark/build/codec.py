@@ -124,12 +124,22 @@ def encode_block(ords: List[int], vals: List[int],
     return _encode_varints(inter).tobytes()
 
 
-def decode_block(buf: bytes, base_ord: int = 0):
-    """-> (ords, vals) as plain int lists."""
+def decode_block_arrays(buf: bytes, base_ord: int = 0):
+    """-> (ords, vals) as int64 numpy arrays — the allocation-light
+    decode for vectorized consumers (the per-element .tolist()
+    round-trip of ``decode_block`` is pure overhead when the caller
+    immediately re-wraps the lists in arrays)."""
     vals = _decode_varints(buf)
     n = int(vals[0]) if len(vals) else 0
     if n == 0:
-        return [], []
+        e = np.empty(0, dtype=np.int64)
+        return e, e
     body = vals[1:1 + 2 * n]
     ords = np.cumsum(body[0::2].astype(np.int64)) + base_ord
-    return ords.tolist(), body[1::2].astype(np.int64).tolist()
+    return ords, body[1::2].astype(np.int64)
+
+
+def decode_block(buf: bytes, base_ord: int = 0):
+    """-> (ords, vals) as plain int lists."""
+    ords, vals = decode_block_arrays(buf, base_ord)
+    return ords.tolist(), vals.tolist()

@@ -397,7 +397,7 @@ def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
     to the distributed plan the cap exists for."""
     import numpy as np
 
-    from ..build.codec import decode_block
+    from ..build.codec import decode_block_arrays
 
     if k <= 0 or not DRIVER_SERVE_BYTES:
         return None
@@ -464,11 +464,10 @@ def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
     posts = []
     for r in rows:
         if r["term"] is None:
-            lo, lv = decode_block(bytes(r["payload"]),
-                                  int(r["block_id"]) * block_size)
+            lo, lv = decode_block_arrays(bytes(r["payload"]),
+                                         int(r["block_id"]) * block_size)
             lens_map[(r["field"], r["block_id"])] = (
-                np.asarray(lo, dtype=np.int64),
-                np.asarray(lv, dtype=np.float64))
+                lo, lv.astype(np.float64))
         else:
             posts.append(r)
 
@@ -480,12 +479,11 @@ def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
         key = (r["field"], r["term"])
         if key not in tmap:  # candidate block of a term no clause kept
             continue
-        o, tf = decode_block(bytes(r["payload"]),
-                             int(r["block_id"]) * block_size)
-        if not o:
+        oa, tf = decode_block_arrays(bytes(r["payload"]),
+                                     int(r["block_id"]) * block_size)
+        if not oa.size:
             continue
-        oa = np.asarray(o, dtype=np.int64)
-        tfa = np.asarray(tf, dtype=np.float64)
+        tfa = tf.astype(np.float64)
         if tomb_arr is not None:
             keep = ~np.isin(oa, tomb_arr)
             if not keep.all():
