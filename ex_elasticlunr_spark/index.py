@@ -152,11 +152,11 @@ class Index:
         """
         from pyspark.sql import functions as F
 
-        from .functions.literals import inline_rows
+        from .functions.literals import empty_df, in_expr, inline_rows
 
         pipe = self.analyzers[field].to_query_pipeline()
         spark = self.inverted.postings.sparkSession
-        empty = spark.createDataFrame([], "docid string, score double")
+        empty = empty_df(spark, "docid string, score double")
         toks = pipe.run_terms(str(text))
         if not toks:
             return empty
@@ -169,7 +169,7 @@ class Index:
             for r in (
                 self.inverted.term_stats
                 .where((F.col("field") == field)
-                       & F.col("term").isin(list(tf)))
+                       & in_expr("term", list(tf)))
                 .join(F.broadcast(seed), "term")
                 .orderBy(F.desc(F.col("tf") * F.col("idf")), F.asc("term"))
                 .limit(max_query_terms)

@@ -23,6 +23,8 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.literals import array_lit, in_expr
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -52,7 +54,7 @@ def brute_force_topk(df: DataFrame, query_vec: List[float], k: int = 10,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k against a literal query vector."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = array_lit([float(v) for v in query_vec], "double")
     vec = F.col(vec_col).cast("array<double>")
     return (
         df.select(
@@ -82,7 +84,7 @@ def bucket_of(vec_col, dim: int, n_planes: int, plane_offset: int = 0):
     vec = vec_col.cast("array<double>")
     acc = F.lit(0)
     for p in range(n_planes):
-        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_offset + p)])
+        hp = array_lit(_hyperplane(dim, plane_offset + p), "double")
         bit = F.when(_dot(vec, hp) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         acc = acc + bit
     return acc
@@ -106,8 +108,8 @@ def lsh_topk(df: DataFrame, query_vec: List[float], k: int = 10,
     if multiprobe:
         probes += [qbits ^ (1 << p) for p in range(n_planes)]
 
-    cand = bucketed.where(F.col("bucket").isin(probes))
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cand = bucketed.where(in_expr("bucket", probes))
+    q = array_lit([float(v) for v in query_vec], "double")
     vec = F.col(vec_col).cast("array<double>")
     return (
         cand.select(
@@ -245,7 +247,7 @@ def quantized_topk(df: DataFrame, query_vec: List[float], k: int = 10,
     m = max(abs(float(x)) for x in query_vec)
     s = (m / 127.0) if m != 0.0 else 1.0
     dq_query = [math.floor(float(x) / s + 0.5) * s for x in query_vec]
-    q = F.array(*[F.lit(v) for v in dq_query])
+    q = array_lit(dq_query, "double")
     vec = F.col(vec_col).cast("array<double>")
     deq = (
         df.select(F.col(id_col).cast("string").alias("vec_id"),
@@ -386,9 +388,9 @@ def ivf_topk(df: DataFrame, query_vec: List[float], k: int = 10,
         cent_rows, key=lambda r: (-cos_py(query_vec, r["cv"]), r["cell"])
     )
     probe_cells = [r["cell"] for r in ranked[:n_probe]]
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = array_lit([float(v) for v in query_vec], "double")
     return (
-        assigned.where(F.col("cell").isin(probe_cells))
+        assigned.where(in_expr("cell", probe_cells))
         .select(
             "vec_id", F.round(cosine(F.col("v"), q), 6).alias("cos_sim")
         )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, StringType
 from pyspark.sql.window import Window
 
-from ..functions.literals import inline_rows
+from ..functions.literals import array_lit, inline_rows
 
 
 def normalized(col):
@@ -290,7 +290,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "docid",
     bit = hashed.select(
         "docid",
         F.explode(
-            F.array(*[F.lit(b) for b in range(bits)])
+            array_lit(list(range(bits)), "int")
         ).alias("b"),
         "th",
     ).withColumn(

@@ -35,7 +35,7 @@ from typing import Dict, Optional, Union
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.literals import inline_rows
+from ..functions.literals import in_expr, inline_rows
 
 
 def related_documents(
@@ -76,11 +76,11 @@ def related_documents(
         ids = [str(d) for d in docids]
         if key == "ord":
             seed_keys = index.ordinals_df().where(
-                F.col("docid").isin(ids))  # (docid, ord) — seed-sized
+                in_expr("docid", ids))  # (docid, ord) — seed-sized
             seed_post = post.join(
                 F.broadcast(seed_keys.select("ord")), "ord")
         else:
-            seed_post = post.where(F.col("docid").isin(ids))
+            seed_post = post.where(in_expr("docid", ids))
 
     w_seed = Window.partitionBy(key).orderBy(
         F.desc(F.col("tf_raw") * F.col("term_idf")), F.asc("term"))
@@ -111,7 +111,7 @@ def related_documents(
         if not terms_list:
             return index.postings.sparkSession.createDataFrame(
                 [], "qid string, docid string, score double, rank long")
-        cand_post = post.where(F.col("term").isin(terms_list))
+        cand_post = post.where(in_expr("term", terms_list))
 
     entries = (
         seeds.join(cand_post, "term")
@@ -233,7 +233,7 @@ def search_many(
         # the pushdown that makes a bulk batch ~one query's scan: the
         # union of all query terms prunes row groups of the
         # term-clustered postings before any join
-        post = post.where(F.col("term").isin(literal_terms))
+        post = post.where(in_expr("term", literal_terms))
 
     entries = post.join(F.broadcast(matched) if literal_terms is not None
                         else matched, "term")

@@ -25,6 +25,8 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.literals import in_expr
+
 
 def snippet_ords(index, field: str, terms: List[str], window: int = 8,
                  restrict: Optional[DataFrame] = None) -> DataFrame:
@@ -61,7 +63,7 @@ def snippet_ords(index, field: str, terms: List[str], window: int = 8,
     # the doc key may itself be named "ord" (doc ordinal); the exploded
     # per-occurrence TOKEN ordinal is aliased tok_ord throughout
     matched = (
-        post.where(F.col("term").isin(terms))
+        post.where(in_expr("term", terms))
         .select(key, F.explode("ords").alias("tok_ord"))
         .groupBy(key)
         .agg(F.min("tok_ord").alias("first_ord"),
@@ -139,7 +141,7 @@ def highlight_spans(index, field: str, terms: List[str],
     if restrict is not None:
         post = post.join(restrict.select(key), key, "left_semi")
     occ = (
-        post.where(F.col("term").isin(terms))
+        post.where(in_expr("term", terms))
         # guard: a null/empty positions array would send F.sequence a
         # negative upper bound (descending range -> null spans)
         .where(F.size("positions") >= 2)

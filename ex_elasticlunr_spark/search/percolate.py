@@ -34,6 +34,8 @@ from typing import Optional, Union
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.literals import array_lit
+
 from ..functions.udfs import AnalyzerConfig, analyze_postings
 
 
@@ -89,7 +91,7 @@ def percolate(
                 continue  # zero-term rules match nothing
             required = len(terms) if msm is None else int(msm)
             inter = F.size(F.array_intersect(
-                F.col("_dterms"), F.array(*[F.lit(t) for t in terms])))
+                F.col("_dterms"), array_lit(terms, "string")))
             tests.append(F.when(inter >= F.lit(required), F.struct(
                 F.lit(str(qid)).alias("query_id"),
                 inter.cast("long").alias("n_matched"),

@@ -41,7 +41,7 @@ from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.literals import inline_rows
+from ..functions.literals import empty_df, in_expr, inline_rows
 
 
 CHECKPOINT_PHRASE_HITS = True  # see phrase_scores
@@ -197,7 +197,7 @@ def terms_scores(
     empty_schema = _empty_schema(key, with_details)
     if not terms:
         spark = index.postings.sparkSession
-        return spark.createDataFrame([], empty_schema)
+        return empty_df(spark, empty_schema)
 
     matched_terms = _query_terms_df(index, field, terms, expand, fuzziness,
                                     regex=regex)
@@ -219,7 +219,7 @@ def terms_scores(
                 cond = c if cond is None else (cond | c)
             post = post.where(cond)
         else:
-            post = post.where(F.col("term").isin(terms))
+            post = post.where(in_expr("term", terms))
     else:
         # fuzzy/regex: the matched vocab set is tiny (edit-distance ball
         # / regex hits) — resolve it against term_stats (vocabulary-
@@ -232,8 +232,8 @@ def terms_scores(
         ]
         if not fuzzy_terms:
             spark = index.postings.sparkSession
-            return spark.createDataFrame([], empty_schema)
-        post = post.where(F.col("term").isin(fuzzy_terms))
+            return empty_df(spark, empty_schema)
+        post = post.where(in_expr("term", fuzzy_terms))
     if restrict is not None:
         # no broadcast hint: the restriction can be nearly all docs
         # (e.g. a not-filter base) — AQE picks broadcast when it IS small
@@ -323,7 +323,7 @@ def _phrase_conjunctive_cands(index, field: str, key: str,
     the terms' posting lists."""
     narrow = (index.postings
               .where(F.col("field") == field)
-              .where(F.col("term").isin(uniq_terms))
+              .where(in_expr("term", uniq_terms))
               .select(key, "term"))
     return (narrow.groupBy(key)
             .agg(F.count_distinct("term").alias("_nt"))
@@ -451,7 +451,7 @@ def _phrase_per_doc_driver(index, field: str, post, key: str,
             r["term"]: r["df"]
             for r in index.term_stats
             .where(F.col("field") == field)
-            .where(F.col("term").isin(missing))
+            .where(in_expr("term", missing))
             .select("term", "df").collect()
         }
         _evict_df_cache(cache)
@@ -558,7 +558,7 @@ def phrase_scores(
             "pre-ordinal version — rebuild to enable match_phrase")
     k = len(terms)
     post = src.where(F.col("field") == field) \
-              .where(F.col("term").isin(terms)) \
+              .where(in_expr("term", terms)) \
               .where(F.col("ords").isNotNull())
 
     outcome, cand_prune = "distributed", None
@@ -745,7 +745,7 @@ def proximity_scores(
             "without positions (store_positions=False)")
     t1, t2 = terms
     post = src.where(F.col("field") == field) \
-              .where(F.col("term").isin([t1, t2])) \
+              .where(in_expr("term", [t1, t2])) \
               .where(F.col("ords").isNotNull())
     a = post.where(F.col("term") == t1).select(F.col(key), F.col("ords").alias("o1"))
     b = post.where(F.col("term") == t2).select(F.col(key), F.col("ords").alias("o2"))

@@ -101,7 +101,13 @@ from ..build.segments import (
     decode_segments,
     decode_segments_with_lens,
 )
-from ..functions.literals import inline_rows
+from ..functions.literals import (
+    empty_df,
+    in_expr,
+    inline_rows,
+    sql_eq,
+    sql_in,
+)
 
 # above this many per-(block, clause) metadata rows the driver-side
 # coverage/seed bookkeeping would stop being "metadata-sized" — skip
@@ -308,11 +314,12 @@ def _clause_stats(index, clauses: List[WandClause], mode: str) -> list:
         })
         index._fstats_local_cache = cache
     frows = cache[1]
-    cond = None
-    for f in fields:
-        terms = sorted({t for c in clauses if c.field == f for t in c.terms})
-        branch = (F.col("field") == f) & F.col("term").isin(terms)
-        cond = branch if cond is None else (cond | branch)
+    # one F.expr parse instead of per-element isin py4j chatter (the
+    # parsed In/And/Or tree is identical — literals.py module docstring)
+    cond = F.expr(" OR ".join(
+        "(" + sql_eq("field", f) + " AND " + sql_in("term", sorted(
+            {t for c in clauses if c.field == f for t in c.terms})) + ")"
+        for f in fields))
     trows = {
         (r["field"], r["term"]): r
         for r in index.term_stats.where(cond)
@@ -366,13 +373,11 @@ def _restrict_triples(cand: DataFrame, triples) -> DataFrame:
         e = byc.setdefault(cid, (set(), set()))
         e[0].add(t)
         e[1].add(bid)
-    cond = None
-    for cid in sorted(byc):
-        ts, bids = byc[cid]
-        branch = ((F.col("cid") == cid)
-                  & F.col("term").isin(sorted(ts))
-                  & F.col("block_id").isin(sorted(bids)))
-        cond = branch if cond is None else (cond | branch)
+    cond = F.expr(" OR ".join(
+        "(" + sql_eq("cid", cid)
+        + " AND " + sql_in("term", sorted(byc[cid][0]))
+        + " AND " + sql_in("block_id", sorted(byc[cid][1])) + ")"
+        for cid in sorted(byc)))
     return cand.where(cond)
 
 
@@ -428,21 +433,18 @@ def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
     if fetch_bytes > DRIVER_SERVE_BYTES:
         return None
 
-    cond = None
-    for cid, bids in gbids.items():
-        info = by_cid[cid]
-        branch = ((F.col("field") == info["field"])
-                  & F.col("term").isin(info["terms"])
-                  & F.col("block_id").isin(sorted(bids)))
-        cond = branch if cond is None else (cond | branch)
+    cond = F.expr(" OR ".join(
+        "(" + sql_eq("field", by_cid[cid]["field"])
+        + " AND " + sql_in("term", by_cid[cid]["terms"])
+        + " AND " + sql_in("block_id", sorted(bids)) + ")"
+        for cid, bids in gbids.items()))
     fetch = segments.where(cond).select(
         "field", "term", "block_id", "payload")
     if mode != "elasticlunr":
-        lcond = None
-        for f in sorted({p[0] for p in fetch_pairs}):
-            bids = sorted({p[1] for p in fetch_pairs if p[0] == f})
-            branch = (F.col("field") == f) & F.col("block_id").isin(bids)
-            lcond = branch if lcond is None else (lcond | branch)
+        lcond = F.expr(" OR ".join(
+            "(" + sql_eq("field", f) + " AND " + sql_in("block_id", sorted(
+                {p[1] for p in fetch_pairs if p[0] == f})) + ")"
+            for f in sorted({p[0] for p in fetch_pairs})))
         fetch = fetch.unionByName(
             index.seg_len_blocks(block_size).where(lcond).select(
                 "field", F.lit(None).cast("string").alias("term"),
@@ -524,7 +526,7 @@ def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
         np.add.at(cnt, inv, ml)
         per_cid[cid] = (uo, rawv, cnt)
 
-    empty = spark.createDataFrame([], "docid string, score double")
+    empty = empty_df(spark, "docid string, score double")
     if not per_cid:
         return empty
     # any required clause with no decoded postings -> nothing qualifies
@@ -569,7 +571,7 @@ def _serve_from_driver(index, segments, stats, by_cid, good, meta_rows,
     omap = {
         r["ord"]: r["docid"]
         for r in ordinals.where(
-            F.col("ord").isin(bound_ords)).collect()  # ONE job
+            in_expr("ord", bound_ords)).collect()  # ONE job
     }
     top = sorted(((omap[oo], result[oo]) for oo in bound_ords),
                  key=lambda p: (-p[1], p[0]))[:k]
@@ -600,7 +602,7 @@ def wand_topk_multi(
     with required clauses present ``msm`` may be 0 — the executor's
     must-without-should shape (BoolNode.effective_msm)."""
     spark = index.postings.sparkSession
-    empty = spark.createDataFrame([], "docid string, score double")
+    empty = empty_df(spark, "docid string, score double")
     neg_cids = {i for i, c in enumerate(clauses)
                 if getattr(c, "negative", False)}
     req_cids = {i for i, c in enumerate(clauses)
@@ -635,11 +637,10 @@ def wand_topk_multi(
     terms_by_field: Dict[str, set] = {}
     for info in by_cid.values():
         terms_by_field.setdefault(info["field"], set()).update(info["terms"])
-    cond = None
-    for f in sorted(terms_by_field):
-        branch = ((F.col("field") == f)
-                  & F.col("term").isin(sorted(terms_by_field[f])))
-        cond = branch if cond is None else (cond | branch)
+    cond = F.expr(" OR ".join(
+        "(" + sql_eq("field", f)
+        + " AND " + sql_in("term", sorted(terms_by_field[f])) + ")"
+        for f in sorted(terms_by_field)))
     # ONE scan, each (field, term, block) row exactly once; the meta
     # join assigns cids (one output row per clause referencing the term)
     cand = segments.where(cond).join(meta, ["field", "term"])
@@ -761,11 +762,10 @@ def wand_topk_multi(
             "field", "block_id", F.col("payload").alias("len_payload"))
         base = blocks.select("field", "term", "block_id", "payload")
         if pairs is not None:
-            cond = None
-            for f in sorted({p[0] for p in pairs}):
-                bids = [p[1] for p in pairs if p[0] == f]
-                branch = (F.col("field") == f) & F.col("block_id").isin(bids)
-                cond = branch if cond is None else (cond | branch)
+            cond = F.expr(" OR ".join(
+                "(" + sql_eq("field", f) + " AND " + sql_in(
+                    "block_id", [p[1] for p in pairs if p[0] == f]) + ")"
+                for f in sorted({p[0] for p in pairs})))
             return base.join(F.broadcast(lens.where(cond)),
                              ["field", "block_id"], "left")
         return base.join(lens, ["field", "block_id"], "left")
@@ -858,7 +858,7 @@ def wand_topk_multi(
                              for bid in seed_ids
                              for info in by_cid.values()})
         seed = (
-            exact_scores(cand.where(F.col("block_id").isin(seed_ids)),
+            exact_scores(cand.where(in_expr("block_id", seed_ids)),
                          seed_pairs)
             .select("score").orderBy(F.desc("score")).limit(k).collect()
         )
@@ -1006,6 +1006,6 @@ def wand_topk(
                             expand=expand, fuzziness=fuzziness, regex=regex)
     if not clause.terms:
         spark = index.postings.sparkSession
-        return spark.createDataFrame([], "docid string, score double")
+        return empty_df(spark, "docid string, score double")
     return wand_topk_multi(index, [clause], k=k, mode=mode, k1=k1, b=b,
                            msm=1, block_size=block_size)
