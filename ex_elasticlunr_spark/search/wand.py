@@ -619,7 +619,28 @@ def wand_topk_multi(
     # with (segments() may reuse an earlier build)
     block_size = index._segments[0]
 
-    stats = _clause_stats(index, clauses, mode)
+    # ---- candidate block metadata (one pushed scan, deduped terms) ----
+    # the scan condition needs only the RESOLVED clause terms (absent
+    # vocabulary terms match no segment rows), so the capped metadata
+    # collect is INDEPENDENT of the _clause_stats vocabulary lookup —
+    # run the two concurrently from a worker thread (the serving floor
+    # is sequential driver round trips, guide §2.6 overlap): two
+    # planning+collect rounds become one round of wall time.
+    terms_by_field: Dict[str, set] = {}
+    for c in clauses:
+        terms_by_field.setdefault(c.field, set()).update(c.terms)
+    cond = F.expr(" OR ".join(
+        "(" + sql_eq("field", f)
+        + " AND " + sql_in("term", sorted(terms_by_field[f])) + ")"
+        for f in sorted(terms_by_field)))
+    phys_df = segments.where(cond).select(
+        "field", "term", "block_id", "max_tf_raw", "n_docs", "block_bytes")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as _pool:
+        phys_fut = _pool.submit(
+            _collect_limit_one_job, phys_df, METADATA_CAP + 1)
+        stats = _clause_stats(index, clauses, mode)
     if not stats:
         return empty
     # a required clause none of whose terms exist in the vocabulary can
@@ -627,47 +648,76 @@ def wand_topk_multi(
     # qualification algebra (no stats rows -> no cid anywhere)
     if req_cids - {row[0] for row in stats}:
         return empty
-    meta = F.broadcast(inline_rows(spark, stats, _META_SCHEMA))
+    # lazy: the meta broadcast relation and the distributed candidate
+    # plan are only needed on the DISTRIBUTED paths — the driver-serve
+    # fast path (the common warm-query case) never builds them
+    cand_box: list = []
+    meta_box: list = []
 
-    # ---- candidate block metadata (one pushed scan, deduped terms) ----
+    def _meta() -> DataFrame:
+        if not meta_box:
+            meta_box.append(
+                F.broadcast(inline_rows(spark, stats, _META_SCHEMA)))
+        return meta_box[0]
+
+    def _cand() -> DataFrame:
+        if not cand_box:
+            # ONE scan, each (field, term, block) row exactly once; the
+            # meta join assigns cids (one output row per clause
+            # referencing the term)
+            c = segments.where(cond).join(_meta(), ["field", "term"])
+            if mode == "elasticlunr":
+                ub = (F.sqrt(F.col("max_tf_raw"))
+                      * F.col("w") * F.col("boost"))
+            else:
+                ub = (F.col("w") * F.col("boost")
+                      * (F.col("max_tf_raw") * (k1 + 1.0))
+                      / (F.col("max_tf_raw") + k1 * (1.0 - b)))
+            cand_box.append(c.withColumn("ub", ub))
+        return cand_box[0]
+
     by_cid: Dict[int, dict] = {}
     for row in stats:
         by_cid.setdefault(row[0], {"field": row[1], "terms": []})
         by_cid[row[0]]["terms"].append(row[2])
-    terms_by_field: Dict[str, set] = {}
-    for info in by_cid.values():
-        terms_by_field.setdefault(info["field"], set()).update(info["terms"])
-    cond = F.expr(" OR ".join(
-        "(" + sql_eq("field", f)
-        + " AND " + sql_in("term", sorted(terms_by_field[f])) + ")"
-        for f in sorted(terms_by_field)))
-    # ONE scan, each (field, term, block) row exactly once; the meta
-    # join assigns cids (one output row per clause referencing the term)
-    cand = segments.where(cond).join(meta, ["field", "term"])
-    if mode == "elasticlunr":
-        ub = F.sqrt(F.col("max_tf_raw")) * F.col("w") * F.col("boost")
-    else:
-        ub = (F.col("w") * F.col("boost")
-              * (F.col("max_tf_raw") * (k1 + 1.0))
-              / (F.col("max_tf_raw") + k1 * (1.0 - b)))
-    cand = cand.withColumn("ub", ub)
 
     # ---- driver-side block bookkeeping ---------------------------------
-    # ONE metadata collect per query — per-(clause, term, block) rows,
-    # capped — feeds the coverage prune, the seed choice, AND the
-    # phase-2 block-max pruning entirely driver-side (each would
-    # otherwise be its own Spark job; at serving latency the job count
-    # is the overhead that matters). Beyond the cap every prune decision
-    # moves back into distributed jobs — never wrong, just more jobs.
-    meta_rows = _collect_limit_one_job(
-        cand.select("cid", "term", "block_id", "ub", "mult", "cmsm",
-                    "n_docs", "block_bytes"),
-        METADATA_CAP + 1,
-    )
+    # ONE capped metadata collect per query — the RAW (field, term,
+    # block) rows of the candidate scan (pushed In(term) filters; no
+    # meta join: the per-clause fan-out and the ub upper bounds are
+    # computed here in Python from `stats`, bit-identically — same IEEE
+    # doubles, same operation order as the JVM expressions in _cand()).
+    # The rows feed the coverage prune, the seed choice, AND the phase-2
+    # block-max pruning entirely driver-side (each would otherwise be
+    # its own Spark job; at serving latency the job count is the
+    # overhead that matters). Beyond the cap every prune decision moves
+    # back into distributed jobs — never wrong, just more jobs. This
+    # collect was launched above, overlapped with the _clause_stats
+    # vocabulary lookup.
+    phys_rows = phys_fut.result()
+    stats_by_ft: Dict[Tuple[str, str], list] = {}
+    for row in stats:
+        stats_by_ft.setdefault((row[1], row[2]), []).append(row)
+    if mode == "elasticlunr":
+        def _ub_py(mtf, w_, boost_):
+            return math.sqrt(mtf) * w_ * boost_
+    else:
+        def _ub_py(mtf, w_, boost_):
+            return (w_ * boost_ * (mtf * (k1 + 1.0))
+                    / (mtf + k1 * (1.0 - b)))
+    meta_rows = [
+        {"cid": srow[0], "term": r["term"], "block_id": r["block_id"],
+         "ub": _ub_py(r["max_tf_raw"], srow[3], srow[5]),
+         "mult": srow[4], "cmsm": srow[6],
+         "n_docs": r["n_docs"], "block_bytes": r["block_bytes"]}
+        for r in phys_rows
+        for srow in stats_by_ft.get((r["field"], r["term"]), ())
+    ]
     lens_pairs: Optional[List[Tuple[str, int]]] = None
     good: Optional[Dict[int, dict]] = None
     single_phase = False
-    driver_meta = len(meta_rows) <= METADATA_CAP
+    driver_meta = (len(phys_rows) <= METADATA_CAP
+                   and len(meta_rows) <= METADATA_CAP)
     if driver_meta:
         # coverage prune: per-(block, clause) multiplicity coverage;
         # matchable-clause count per block must reach the query msm
@@ -731,10 +781,11 @@ def wand_topk_multi(
                                     msm, block_size)
         if served is not None:
             return served
-        cand = _restrict_triples(cand, good_triples)
+        cand = _restrict_triples(_cand(), good_triples)
     else:
         # sum-of-ubs is a seed-choice heuristic only (exactness of the
         # seed scores never depends on which block_ids are picked)
+        cand = _cand()
         pot_b = cand.groupBy("block_id").agg(F.sum("ub").alias("p"))
         seed_ids = [r["block_id"] for r in
                     pot_b.orderBy(F.desc("p")).limit(SEED_BLOCK_IDS).collect()]
@@ -800,7 +851,7 @@ def wand_topk_multi(
         # a removed doc's score and wrongly prune live blocks
         if tomb_ords is not None:
             decoded = decoded.join(F.broadcast(tomb_ords), "ord", "left_anti")
-        decoded = decoded.join(meta, ["field", "term"])
+        decoded = decoded.join(_meta(), ["field", "term"])
         # ONE groupBy(ord) — the per-clause raw scores and matched-entry
         # counts are conditional aggregates (clause list is query-sized),
         # then the clause msm/boost/query-msm algebra is a flat select:
