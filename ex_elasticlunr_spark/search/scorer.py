@@ -128,6 +128,79 @@ def _empty_schema(key: str, with_details: bool) -> str:
     return s
 
 
+def _fstats_local(index) -> dict:
+    """field -> field_stats Row, collected ONCE per binding (memoized by
+    the field_stats DataFrame's object identity — every maintenance op
+    returns a new object and ``_rebind_from`` reassigns the attribute,
+    so a stale cache cannot survive a mutation). Shared by the WAND
+    clause resolver and the exhaustive scorer's inline fstats relation:
+    one Spark job per binding instead of one broadcast-build per query."""
+    src = index.field_stats
+    cache = getattr(index, "_fstats_local_cache", None)
+    if cache is None or cache[0] is not src:
+        cache = (src, {
+            r["field"]: r
+            for r in src.select("field", "flnorm", "n_docs",
+                                "avg_doc_len").collect()
+        })
+        index._fstats_local_cache = cache
+    return cache[1]
+
+
+# cap for the per-binding (field, term) -> (df, idf) vocabulary memo
+# below; oldest-first eviction like the phrase df cache
+_VOCAB_CACHE_MAX = 1 << 16
+
+
+def _vocab_resolve_inline(index, field: str, terms: List[str]) -> DataFrame:
+    """EXACT-terms vocabulary resolve as a driver-held lookup + inline
+    literal relation — the zero-shuffle twin of :func:`_query_terms_df`
+    for the no-expansion path. Returns the identical (qt_idx, qt, term,
+    df, idf) rows the vocab equi-join produces (df/idf round-trip
+    bit-exact through the VALUES literal), so scores are unchanged; the
+    broadcast build over the vocabulary scan becomes a zero-task local
+    relation, and a warm term costs no Spark job at all.
+
+    The memo is keyed by the ``term_stats`` DataFrame's object identity
+    (same contract as ``_fstats_local``): content-changing ops return
+    new objects and ``_rebind_from`` reassigns the attribute, so both
+    PRESENT entries and ABSENT markers are safe within a binding."""
+    spark = index.postings.sparkSession
+    src = index.term_stats
+    cache = getattr(index, "_vocab_local_cache", None)
+    if cache is None or cache[0] is not src:
+        cache = (src, {})
+        index._vocab_local_cache = cache
+    vc = cache[1]
+    missing = sorted({t for t in terms if (field, t) not in vc})
+    if missing:
+        for r in (src.where(F.col("field") == field)
+                  .where(in_expr("term", missing))
+                  .select("term", "df", "idf").collect()):
+            vc[(field, r["term"])] = (int(r["df"]), float(r["idf"]))
+        for t in missing:
+            vc.setdefault((field, t), None)  # absent from the vocabulary
+        while len(vc) > _VOCAB_CACHE_MAX:
+            try:
+                vc.pop(next(iter(vc)), None)
+            except (StopIteration, RuntimeError):
+                break
+        # share the df currency with the phrase driver-serve gate
+        # (present terms only — the phrase cache's semantics rule)
+        pcache = index.__dict__.setdefault("_phrase_df_cache", {})
+        _evict_df_cache(pcache)
+        for t in missing:
+            hit = vc.get((field, t))
+            if hit is not None:
+                pcache[(field, t)] = hit[0]
+    rows = [
+        (i, t, t, vc[(field, t)][0], vc[(field, t)][1])
+        for i, t in enumerate(terms) if vc[(field, t)] is not None
+    ]
+    return inline_rows(
+        spark, rows, "qt_idx int, qt string, term string, df long, idf double")
+
+
 def _query_terms_df(index, field: str, terms: List[str],
                     expand: bool, fuzziness: int,
                     regex: bool = False) -> DataFrame:
@@ -199,8 +272,14 @@ def terms_scores(
         spark = index.postings.sparkSession
         return empty_df(spark, empty_schema)
 
-    matched_terms = _query_terms_df(index, field, terms, expand, fuzziness,
-                                    regex=regex)
+    if not expand and fuzziness <= 0 and not regex:
+        # exact terms: driver-held vocabulary resolve -> inline literal
+        # relation (identical rows, zero-task broadcast; warm terms cost
+        # no Spark job) — the expansion paths keep the vocab pattern join
+        matched_terms = _vocab_resolve_inline(index, field, terms)
+    else:
+        matched_terms = _query_terms_df(index, field, terms, expand,
+                                        fuzziness, regex=regex)
 
     # hot path scans the narrow clustered postings; the details path
     # needs the positions column, which lives in the flat ingest table
@@ -245,10 +324,17 @@ def terms_scores(
         "term",
     )
 
-    fstats = F.broadcast(
-        index.field_stats.where(F.col("field") == field)
-        .select("field", "flnorm", "n_docs", "avg_doc_len")
-    )
+    # per-binding memoized field_stats row -> inline literal relation
+    # (zero-task broadcast; values round-trip bit-exact) instead of a
+    # per-query broadcast build over the field_stats table
+    fr = _fstats_local(index).get(field)
+    # raw Row values (None -> NULL literal): bit-faithful to the old
+    # broadcast join even for degenerate NULL stats
+    fs_rows = ([(field, fr["flnorm"], fr["n_docs"], fr["avg_doc_len"])]
+               if fr is not None else [])
+    fstats = F.broadcast(inline_rows(
+        index.postings.sparkSession, fs_rows,
+        "field string, flnorm double, n_docs long, avg_doc_len double"))
     entries = entries.join(fstats, "field")
 
     entry_score = entry_score_expr(mode, k1, b)

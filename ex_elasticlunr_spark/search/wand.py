@@ -299,21 +299,12 @@ def _clause_stats(index, clauses: List[WandClause], mode: str) -> list:
     if not pairs:
         return []
     fields = sorted({c.field for c in clauses})
-    # field_stats rows are per-index constants (#fields rows) — memoize
-    # the collect per BINDING (object identity: every maintenance op /
-    # save / generation rebind assigns a fresh field_stats DataFrame,
-    # so a stale cache cannot survive a mutation). One Spark job per
-    # binding instead of one per query.
-    src = index.field_stats
-    cache = getattr(index, "_fstats_local_cache", None)
-    if cache is None or cache[0] is not src:
-        cache = (src, {
-            r["field"]: r
-            for r in src.select("field", "flnorm", "n_docs",
-                                "avg_doc_len").collect()
-        })
-        index._fstats_local_cache = cache
-    frows = cache[1]
+    # field_stats rows are per-index constants (#fields rows), collected
+    # once per binding — shared identity-keyed memo with the exhaustive
+    # scorer (scorer._fstats_local)
+    from .scorer import _fstats_local
+
+    frows = _fstats_local(index)
     # one F.expr parse instead of per-element isin py4j chatter (the
     # parsed In/And/Or tree is identical — literals.py module docstring)
     cond = F.expr(" OR ".join(
