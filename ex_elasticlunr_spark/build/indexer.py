@@ -719,6 +719,7 @@ class InvertedIndex:
         max_ord_box: list = []
 
         def _w_doc_stats():
+            s0 = _time.perf_counter()
             cols = ["field", "docid", "doc_len"]
             if has_ingest_ord:
                 # keep the ingest ordinal: cached docid<->ord translation
@@ -727,8 +728,10 @@ class InvertedIndex:
             raw.where(F.col("term").isNull()) \
                 .select(*cols) \
                 .write.mode("overwrite").parquet(_sp("doc_stats"))
+            stage_secs["doc_stats_wall_sec"] = _time.perf_counter() - s0
 
         def _w_ordinals():
+            s0 = _time.perf_counter()
             if has_ingest_ord:
                 o = (raw.where(F.col("term").isNull())
                      .groupBy("docid").agg(F.first("ord").alias("ord"))
@@ -736,36 +739,53 @@ class InvertedIndex:
             else:
                 docs = spark.read.parquet(_sp("docs"))
                 o = assign_doc_ordinals(docs).persist()
-            # range-clustered on ord: the query path's final
-            # ord->docid translate pushes In(ord, <top candidates>) —
-            # ord-ranged files prune that lookup to ~1 task at any
-            # corpus size (AQE sizes the partition count)
-            (o.repartitionByRange(F.col("ord"))
-             .sortWithinPartitions("ord")
-             .write.mode("overwrite").parquet(_sp("ordinals")))
-            # zero-content docs (no non-null field -> no sentinel row)
-            # get their synthetic NEGATIVE ordinals assigned ONCE here,
-            # so a loaded index serves the match_all/not universe
-            # (ordinals_df full=True) from a pure parquet union instead
-            # of re-running this anti-join + range-partitioned
-            # assignment inside every universe query plan
-            extras = spark.read.parquet(_sp("docs")) \
-                .join(o, "docid", "left_anti")
-            ex_raw = assign_doc_ordinals(extras)
-            ex_raw.select(
-                "docid",
-                (-F.col("ord") - F.lit(2)).cast("long").alias("ord"),
-            ).write.mode("overwrite").parquet(_sp("ordinals_extra"))
-            # output durable -> the internal range-partitioned cache
-            # can go now (no lazy consumer left to drift)
-            for dep in getattr(ex_raw, "_persisted_deps", []):
-                dep.unpersist()
-            # global ordinal high-water mark for the manifest — computed
-            # HERE (overlapped with the big clustering shuffles, o is
-            # cached) instead of as a serial job in the save tail
-            max_ord_box.append(
-                o.agg(F.max("ord").alias("m")).first())
+            # three independent consumers of the persisted ``o`` — the
+            # range-clustered write, the zero-content-extras chain, and
+            # the high-water agg — run CONCURRENTLY (this thunk was the
+            # cluster phase's straggler: ~6 serial docid-sized jobs;
+            # concurrent first-touch of o's cache blocks dedupes via
+            # the block manager's per-block compute lock, the same
+            # contract materialize() relies on)
+            def _w_o_range():
+                # range-clustered on ord: the query path's final
+                # ord->docid translate pushes In(ord, <top candidates>)
+                # — ord-ranged files prune that lookup to ~1 task at
+                # any corpus size (AQE sizes the partition count)
+                (o.repartitionByRange(F.col("ord"))
+                 .sortWithinPartitions("ord")
+                 .write.mode("overwrite").parquet(_sp("ordinals")))
+
+            def _w_o_extras():
+                # zero-content docs (no non-null field -> no sentinel
+                # row) get their synthetic NEGATIVE ordinals assigned
+                # ONCE here, so a loaded index serves the match_all/not
+                # universe (ordinals_df full=True) from a pure parquet
+                # union instead of re-running this anti-join +
+                # range-partitioned assignment inside every universe
+                # query plan
+                extras = spark.read.parquet(_sp("docs")) \
+                    .join(o, "docid", "left_anti")
+                ex_raw = assign_doc_ordinals(extras)
+                ex_raw.select(
+                    "docid",
+                    (-F.col("ord") - F.lit(2)).cast("long").alias("ord"),
+                ).write.mode("overwrite").parquet(_sp("ordinals_extra"))
+                # output durable -> the internal range-partitioned
+                # cache can go now (no lazy consumer left to drift)
+                for dep in getattr(ex_raw, "_persisted_deps", []):
+                    dep.unpersist()
+
+            def _w_o_max():
+                # global ordinal high-water mark for the manifest —
+                # computed HERE (overlapped with the big clustering
+                # shuffles, o is cached) instead of as a serial job in
+                # the save tail
+                max_ord_box.append(
+                    o.agg(F.max("ord").alias("m")).first())
+
+            _overlap(_w_o_range, _w_o_extras, _w_o_max)
             ordinals_box.append(o)
+            stage_secs["ordinals_wall_sec"] = _time.perf_counter() - s0
 
         # ---- phase 3: TERM-CLUSTERED narrow postings --------------------
         # ONE clustering shuffle (plus, only for merged indexes, the

@@ -118,10 +118,12 @@ def related_documents(
         .where(F.col(key) != F.col("qid_key"))
         .join(vocab, "term")
     )
-    from .scorer import entry_score_expr
+    from .scorer import _fstats_local, entry_score_expr
 
-    fstats = F.broadcast(
-        index.field_stats.where(F.col("field") == field).select("flnorm"))
+    fr0 = _fstats_local(index).get(field)
+    fstats = F.broadcast(inline_rows(
+        index.postings.sparkSession,
+        [(fr0["flnorm"],)] if fr0 is not None else [], "flnorm double"))
     entry_score = entry_score_expr("elasticlunr")
     per_doc = (
         entries.crossJoin(fstats)
@@ -237,9 +239,14 @@ def search_many(
 
     entries = post.join(F.broadcast(matched) if literal_terms is not None
                         else matched, "term")
-    fstats = F.broadcast(
-        index.field_stats.where(F.col("field") == field)
-        .select("field", "flnorm", "n_docs", "avg_doc_len"))
+    from .scorer import _fstats_local
+
+    fr0 = _fstats_local(index).get(field)
+    fstats = F.broadcast(inline_rows(
+        index.postings.sparkSession,
+        [(field, fr0["flnorm"], fr0["n_docs"], fr0["avg_doc_len"])]
+        if fr0 is not None else [],
+        "field string, flnorm double, n_docs long, avg_doc_len double"))
     entries = entries.join(fstats, "field")
 
     # shared formula source (search/scorer.py): bm25 sums qw-weighted

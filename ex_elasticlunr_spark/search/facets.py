@@ -125,8 +125,13 @@ def significant_terms(inv, matches: DataFrame, field: str,
     )
     bg = inv.term_stats.where(F.col("field") == field) \
         .select("term", F.col("df").alias("bg_count"))
-    n_docs = inv.field_stats.where(F.col("field") == field) \
-        .select("n_docs")
+    from .scorer import _fstats_local
+    from ..functions.literals import inline_rows
+
+    fr0 = _fstats_local(inv).get(field)
+    n_docs = inline_rows(
+        inv.postings.sparkSession,
+        [(fr0["n_docs"],)] if fr0 is not None else [], "n_docs long")
     fg_pct = F.col("fg_count") / F.col("fg_total")
     bg_pct = F.col("bg_count") / F.col("n_docs")
     scored = (

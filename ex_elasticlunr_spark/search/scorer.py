@@ -382,8 +382,7 @@ def _phrase_field_n(index, field: str) -> int:
     cache = index.__dict__.setdefault("_phrase_fs_cache", {})
     n = cache.get(field)
     if n is None:
-        row = (index.field_stats.where(F.col("field") == field)
-               .select("n_docs").first())
+        row = _fstats_local(index).get(field)
         n = int(row["n_docs"]) if row else 0
         cache[field] = n
     return n
@@ -767,10 +766,14 @@ def phrase_scores(
                     )).alias("pos_arr")]
         per_doc = hits.groupBy(key).agg(*per_aggs)
 
-    fstats = F.broadcast(
-        index.field_stats.where(F.col("field") == field)
-        .select("flnorm", "n_docs", "avg_doc_len")
-    )
+    # per-binding memoized field_stats row -> inline literal relation
+    # (zero-task broadcast) instead of a per-query broadcast build; raw
+    # Row values keep NULL fidelity with the old join
+    fr = _fstats_local(index).get(field)
+    fs_rows = ([(fr["flnorm"], fr["n_docs"], fr["avg_doc_len"])]
+               if fr is not None else [])
+    fstats = F.broadcast(inline_rows(
+        spark, fs_rows, "flnorm double, n_docs long, avg_doc_len double"))
     scored = per_doc.crossJoin(F.broadcast(pdf_df)).crossJoin(fstats)
 
     if mode == "elasticlunr":
