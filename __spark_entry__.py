@@ -47,16 +47,31 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # core; the stats probe round-robins small scans to core count and
     # is a no-op at real corpus scale (results are partitioning-
     # independent: every consumer keys on docid, top-k paths tie-break
-    # deterministically)
-    return spread_small_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .withColumn("docid", F.col("doc_id").cast("string"))
-    )
+    # deterministically).
+    # The DataFrame OBJECT is memoized per (session, sf_dir): plan
+    # reuse only — DataFrames are immutable and lazy, so every query
+    # still computes from the parquet input; this just stops each entry
+    # from re-running parquet schema inference (a 1-task driver job
+    # per read.parquet call).
+    key = (spark.sparkContext.applicationId, sf_dir, "documents_df")
+    df = _CACHE.get(key)
+    if df is None:
+        df = spread_small_scan(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("docid", F.col("doc_id").cast("string"))
+        )
+        _CACHE[key] = df
+    return df
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread_small_scan(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    key = (spark.sparkContext.applicationId, sf_dir, "embeddings_df")
+    df = _CACHE.get(key)
+    if df is None:
+        df = spread_small_scan(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+        _CACHE[key] = df
+    return df
 
 
 def _index(spark: SparkSession, sf_dir: str) -> Index:

@@ -198,8 +198,6 @@ def search_many(
         if not rows:
             return spark.createDataFrame(
                 [], "query_id string, docid string, score double, rank long")
-        qterms = inline_rows(
-            spark, rows, "query_id string, qt string, qw long")
         literal_terms = sorted({t for _, t, _ in rows})
     else:
         from ..functions.udfs import analyze_postings
@@ -225,10 +223,27 @@ def search_many(
             F.col("tf_raw").cast("long").alias("qw"),
         )
 
-    vocab = index.term_stats.where(F.col("field") == field).select(
-        "term", F.col("df").alias("term_df"), F.col("idf").alias("term_idf"))
-    matched = vocab.join(
-        qterms.withColumnRenamed("qt", "term"), "term")
+    if literal_terms is not None:
+        # driver-resident term set: resolve (df, idf) through the
+        # per-binding vocabulary memo (scorer._vocab_lookup) and inline
+        # the matched relation — identical rows to the vocab equi-join
+        # (bit-exact VALUES round-trip), zero-task broadcast, and warm
+        # terms cost no vocabulary job at all
+        from .scorer import _vocab_lookup
+
+        looked = _vocab_lookup(index, field, literal_terms)
+        matched = inline_rows(
+            spark,
+            [(t, looked[t][0], looked[t][1], qid, qw)
+             for qid, t, qw in rows if looked[t] is not None],
+            "term string, term_df long, term_idf double, "
+            "query_id string, qw long")
+    else:
+        vocab = index.term_stats.where(F.col("field") == field).select(
+            "term", F.col("df").alias("term_df"),
+            F.col("idf").alias("term_idf"))
+        matched = vocab.join(
+            qterms.withColumnRenamed("qt", "term"), "term")
 
     post = index.postings.where(F.col("field") == field)
     if literal_terms is not None:

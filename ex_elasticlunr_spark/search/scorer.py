@@ -152,20 +152,15 @@ def _fstats_local(index) -> dict:
 _VOCAB_CACHE_MAX = 1 << 16
 
 
-def _vocab_resolve_inline(index, field: str, terms: List[str]) -> DataFrame:
-    """EXACT-terms vocabulary resolve as a driver-held lookup + inline
-    literal relation — the zero-shuffle twin of :func:`_query_terms_df`
-    for the no-expansion path. Returns the identical (qt_idx, qt, term,
-    df, idf) rows the vocab equi-join produces (df/idf round-trip
-    bit-exact through the VALUES literal), so scores are unchanged; the
-    broadcast build over the vocabulary scan becomes a zero-task local
-    relation, and a warm term costs no Spark job at all.
+def _vocab_lookup(index, field: str, terms) -> dict:
+    """(field, term) -> (df, idf) for the given terms, via the
+    per-binding driver memo; terms ABSENT from the vocabulary map to
+    ``None``. One capped In(term) collect fills the misses.
 
     The memo is keyed by the ``term_stats`` DataFrame's object identity
     (same contract as ``_fstats_local``): content-changing ops return
     new objects and ``_rebind_from`` reassigns the attribute, so both
     PRESENT entries and ABSENT markers are safe within a binding."""
-    spark = index.postings.sparkSession
     src = index.term_stats
     cache = getattr(index, "_vocab_local_cache", None)
     if cache is None or cache[0] is not src:
@@ -193,12 +188,25 @@ def _vocab_resolve_inline(index, field: str, terms: List[str]) -> DataFrame:
             hit = vc.get((field, t))
             if hit is not None:
                 pcache[(field, t)] = hit[0]
+    return {t: vc[(field, t)] for t in terms}
+
+
+def _vocab_resolve_inline(index, field: str, terms: List[str]) -> DataFrame:
+    """EXACT-terms vocabulary resolve as a driver-held lookup + inline
+    literal relation — the zero-shuffle twin of :func:`_query_terms_df`
+    for the no-expansion path. Returns the identical (qt_idx, qt, term,
+    df, idf) rows the vocab equi-join produces (df/idf round-trip
+    bit-exact through the VALUES literal), so scores are unchanged; the
+    broadcast build over the vocabulary scan becomes a zero-task local
+    relation, and a warm term costs no Spark job at all."""
+    looked = _vocab_lookup(index, field, terms)
     rows = [
-        (i, t, t, vc[(field, t)][0], vc[(field, t)][1])
-        for i, t in enumerate(terms) if vc[(field, t)] is not None
+        (i, t, t, looked[t][0], looked[t][1])
+        for i, t in enumerate(terms) if looked[t] is not None
     ]
     return inline_rows(
-        spark, rows, "qt_idx int, qt string, term string, df long, idf double")
+        index.postings.sparkSession, rows,
+        "qt_idx int, qt string, term string, df long, idf double")
 
 
 def _query_terms_df(index, field: str, terms: List[str],
@@ -304,14 +312,30 @@ def terms_scores(
         # / regex hits) — resolve it against term_stats (vocabulary-
         # sized, cheap) and push the literal In(term, ...) into the
         # postings scan; without it the fuzzy path is a full postings
-        # scan that anti-scales with data size
-        fuzzy_terms = [
-            r["term"]
-            for r in matched_terms.select("term").distinct().collect()
-        ]
-        if not fuzzy_terms:
-            spark = index.postings.sparkSession
+        # scan that anti-scales with data size. Collect the FULL matched
+        # rows once (the vocab pattern join used to run twice: once for
+        # this pushdown collect, once as the broadcast build below) and
+        # inline them as the matched relation — one vocab job instead of
+        # two; a pathological expansion beyond the cap falls back to the
+        # old two-pass plan unchanged.
+        from .wand import RESOLVE_INLINE_CAP, _collect_limit_one_job
+
+        spark = index.postings.sparkSession
+        mrows = _collect_limit_one_job(matched_terms, RESOLVE_INLINE_CAP + 1)
+        if not mrows:
             return empty_df(spark, empty_schema)
+        if len(mrows) <= RESOLVE_INLINE_CAP:
+            fuzzy_terms = sorted({r["term"] for r in mrows})
+            matched_terms = inline_rows(
+                spark,
+                [(r["qt_idx"], r["qt"], r["term"], r["df"], r["idf"])
+                 for r in mrows],
+                "qt_idx int, qt string, term string, df long, idf double")
+        else:
+            fuzzy_terms = [
+                r["term"]
+                for r in matched_terms.select("term").distinct().collect()
+            ]
         post = post.where(in_expr("term", fuzzy_terms))
     if restrict is not None:
         # no broadcast hint: the restriction can be nearly all docs
