@@ -91,14 +91,19 @@ def _in_literal(v) -> str:
     the analyzer coerce the COLUMN to string, breaking pushdown."""
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, int):
-        return str(int(v))
     if isinstance(v, float):
         raise TypeError("float IN-lists are ambiguous (decimal literal "
                         "typing); filter floats with explicit casts")
     if isinstance(v, str):
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    raise TypeError(f"unsupported IN-list value type: {type(v)!r}")
+    try:
+        # any integral type, incl. numpy scalars (a quoted int would
+        # coerce the column to string and break pushdown)
+        import operator
+
+        return str(operator.index(v))
+    except TypeError:
+        raise TypeError(f"unsupported IN-list value type: {type(v)!r}")
 
 
 def sql_in(col: str, values: Iterable) -> str:

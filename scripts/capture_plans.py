@@ -42,6 +42,10 @@ def main() -> None:
         "match_or", "bm25_topk", "search_many", "match_phrase",
         "dedup_minhash_lsh", "ann_brute_topk", "text_quality",
         "match_and", "terms_fuzzy", "doc_stats",
+        # session-2 additions: WAND serve route (returns the driver-
+        # computed literal relation — the work is in the serve jobs),
+        # regex/expand resolve, facets
+        "wand_bm25_topk", "terms_regex", "terms_expand", "facet_terms",
     ]
     import contextlib
     import io

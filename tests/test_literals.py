@@ -93,6 +93,10 @@ def test_in_expr_matches_isin(spark):
         assert a == b and len(a) >= 2
     # empty list: never-true, like isin([])
     assert df.where(in_expr("i", [])).count() == 0
+    # integral-typed values (numpy scalars) render as numeric literals
+    import numpy as np
+    got = df.where(in_expr("i", [np.int64(3), np.int32(7)])).count()
+    assert got == 2
 
 
 def test_sql_fragments_compose(spark):
