@@ -154,7 +154,7 @@ def inline_rows(spark: SparkSession, rows: Iterable[Sequence],
     """
     rows = list(rows)
     if not rows:
-        return spark.createDataFrame([], schema_ddl)
+        return empty_df(spark, schema_ddl)
     # split on top-level commas only: array<...> / struct<...> element
     # types carry commas inside their angle brackets
     fields = []

@@ -175,6 +175,12 @@ def _vocab_lookup(index, field: str, terms) -> dict:
             vc[(field, r["term"])] = (int(r["df"]), float(r["idf"]))
         for t in missing:
             vc.setdefault((field, t), None)  # absent from the vocabulary
+    # snapshot THIS call's results BEFORE evicting: oldest-first
+    # eviction may pop a warm entry this very call needs (a query mixing
+    # one old term with enough new ones to cross the cap), and reading
+    # vc after eviction would KeyError
+    out = {t: vc[(field, t)] for t in terms}
+    if missing:
         while len(vc) > _VOCAB_CACHE_MAX:
             try:
                 vc.pop(next(iter(vc)), None)
@@ -185,10 +191,10 @@ def _vocab_lookup(index, field: str, terms) -> dict:
         pcache = index.__dict__.setdefault("_phrase_df_cache", {})
         _evict_df_cache(pcache)
         for t in missing:
-            hit = vc.get((field, t))
+            hit = out.get(t)
             if hit is not None:
                 pcache[(field, t)] = hit[0]
-    return {t: vc[(field, t)] for t in terms}
+    return out
 
 
 def _vocab_resolve_inline(index, field: str, terms: List[str]) -> DataFrame:

@@ -620,6 +620,11 @@ def wand_topk_multi(
     terms_by_field: Dict[str, set] = {}
     for c in clauses:
         terms_by_field.setdefault(c.field, set()).update(c.terms)
+    if not terms_by_field:
+        # no clauses (or none with terms): F.expr("") would raise a
+        # ParseException; the pre-overlap code returned empty here via
+        # the empty _clause_stats guard
+        return empty
     cond = F.expr(" OR ".join(
         "(" + sql_eq("field", f)
         + " AND " + sql_in("term", sorted(terms_by_field[f])) + ")"

@@ -71,6 +71,30 @@ def test_identity_rebind_resets_cache(idx):
         idx.__dict__.pop("_vocab_local_cache", None)
 
 
+def test_eviction_cannot_starve_current_call(idx, monkeypatch):
+    # a query mixing an OLD warm entry with enough new terms to cross
+    # the cap must still return every term (snapshot before eviction)
+    import ex_elasticlunr_spark.search.scorer as sc
+
+    idx.__dict__.pop("_vocab_local_cache", None)
+    monkeypatch.setattr(sc, "_VOCAB_CACHE_MAX", 3)
+    from ex_elasticlunr_spark.search.scorer import _vocab_lookup
+
+    _vocab_lookup(idx, "text", ["alpha"])  # oldest entry
+    got = _vocab_lookup(
+        idx, "text", ["alpha", "beta", "gamma", "delta", "nope"])
+    assert got["alpha"][0] == 3 and got["delta"][0] == 1
+    assert got["nope"] is None
+    assert len(idx._vocab_local_cache[1]) <= 3  # cap enforced
+    idx.__dict__.pop("_vocab_local_cache", None)
+
+
+def test_wand_empty_clauses_returns_empty(idx):
+    from ex_elasticlunr_spark.search.wand import wand_topk_multi
+
+    assert wand_topk_multi(idx, [], k=5).collect() == []
+
+
 def test_fstats_local_identity_memo(idx):
     rows = _fstats_local(idx)
     assert rows["text"]["n_docs"] == 3
