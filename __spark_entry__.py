@@ -421,18 +421,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # real scale. Shares match_phrase's oracle: the prune must be
     # invisible in results.
     def wand_phrase(s, d):
-        from ex_elasticlunr_spark.search import scorer as _sc
-
+        # the serve cap rides the query options (VERDICT r5 ask #2) —
+        # no module-global write, so a concurrent phrase query can
+        # never observe the squeezed cap; routing stays eager inside
+        # search() and the returned plan (inline stats or
+        # pruned-distributed) is cap-independent
         ix = _index(s, d)
-        old = _sc.PHRASE_DRIVER_MAX_ROWS
-        _sc.PHRASE_DRIVER_MAX_ROWS = 8
-        try:
-            # eager routing happens inside search(); the returned plan
-            # (inline stats or pruned-distributed) is cap-independent
-            return _rounded(ix.search(
-                {"query": {"match_phrase": {"text": "fast join"}}}))
-        finally:
-            _sc.PHRASE_DRIVER_MAX_ROWS = old
+        return _rounded(ix.search(
+            {"query": {"match_phrase": {
+                "text": {"query": "fast join", "driver_max_rows": 8}}}}))
 
     q["wand_phrase"] = wand_phrase
     q["bool_must_should"] = lambda s, d: _search(

@@ -187,6 +187,7 @@ class QueryExecutor:
                 self.index, node.field, node.terms, boost=node.boost,
                 restrict=restrict, mode=self.mode, k1=self.k1, b=self.b,
                 with_details=details,
+                driver_max_rows=getattr(node, "driver_max_rows", None),
             )
         if isinstance(node, TermsNode):
             return scorer.terms_scores(

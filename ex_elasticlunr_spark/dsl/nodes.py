@@ -60,6 +60,10 @@ class MatchPhraseNode:
     field: str
     query: Union[str, int, float]
     boost: float = 1.0
+    # optional per-query override of the phrase driver-serve row cap
+    # (plan choice only — results are cap-independent); None = the
+    # module default (scorer.PHRASE_DRIVER_MAX_ROWS)
+    driver_max_rows: Optional[int] = None
 
 
 @dataclass
@@ -67,6 +71,7 @@ class PhraseNode:
     field: str
     terms: List[str]
     boost: float = 1.0
+    driver_max_rows: Optional[int] = None
 
 
 @dataclass
@@ -346,6 +351,7 @@ def _parse_match_phrase(options):
         field=fname,
         query=params.get("query"),
         boost=params.get("boost", 1),
+        driver_max_rows=params.get("driver_max_rows"),
     )
 
 
@@ -405,4 +411,5 @@ def rewrite_match_phrase(node: MatchPhraseNode, analyzer_pipeline):
         return TermsNode(field=node.field, terms=[tokens[0].token],
                          boost=node.boost)
     return PhraseNode(field=node.field, terms=[t.token for t in tokens],
-                      boost=node.boost)
+                      boost=node.boost,
+                      driver_max_rows=node.driver_max_rows)

@@ -509,7 +509,8 @@ def _phrase_adjacency_serve(tbl, terms: List[str], k: int):
 
 
 def _phrase_per_doc_driver(index, field: str, post, key: str,
-                           terms: List[str], k: int):
+                           terms: List[str], k: int,
+                           rows_cap: Optional[int] = None):
     """Driver-serve fast path for phrase hit detection: ONE row-capped
     Arrow collect of the query terms' position rows, then the same
     adjacency algebra as the distributed plan (see
@@ -577,7 +578,9 @@ def _phrase_per_doc_driver(index, field: str, post, key: str,
         return ("served", [], 0)  # vocabulary-absent term: no match
     scan = post.select(key, "term", "ords", "doc_len")
     cand_df = None
-    if sum(dfs.values()) > PHRASE_DRIVER_MAX_ROWS:
+    if rows_cap is None:
+        rows_cap = PHRASE_DRIVER_MAX_ROWS
+    if sum(dfs.values()) > rows_cap:
         if len(uniq_terms) < 2:
             # a single (repeated) hot term: the conjunction IS its
             # posting list — nothing to prune with
@@ -595,7 +598,6 @@ def _phrase_per_doc_driver(index, field: str, post, key: str,
         est = float(n_docs or 0)
         for t in uniq_terms:
             est *= dfs[t] / max(n_docs, 1)
-        rows_cap = PHRASE_DRIVER_MAX_ROWS
         fits = (k_u * min(dfs.values()) <= rows_cap  # guaranteed
                 or 2 * k_u * est <= rows_cap)        # predicted
         if not fits:
@@ -610,10 +612,10 @@ def _phrase_per_doc_driver(index, field: str, post, key: str,
         # collect below is conjunction-bounded; over-cap conjunctions
         # hand the candidate relation to the distributed plan instead
         scan = scan.join(cand_df, key, "left_semi")
-    tbl = _arrow_limit_one_job(scan, PHRASE_DRIVER_MAX_ROWS + 1)
+    tbl = _arrow_limit_one_job(scan, rows_cap + 1)
     # num_rows <= cap proves the limit truncated nothing (belt over the
     # stats gate: serving a TRUNCATED scan would change semantics)
-    if tbl is None or tbl.num_rows > PHRASE_DRIVER_MAX_ROWS:
+    if tbl is None or tbl.num_rows > rows_cap:
         return ("distributed", cand_df)
     if tbl.num_rows == 0:
         return ("served", [], 0)
@@ -633,6 +635,7 @@ def phrase_scores(
     k1: float = 1.2,
     b: float = 0.75,
     with_details: bool = False,
+    driver_max_rows: Optional[int] = None,
 ) -> DataFrame:
     """Exact-phrase scoring over stored token ordinals.
 
@@ -676,13 +679,19 @@ def phrase_scores(
               .where(in_expr("term", terms)) \
               .where(F.col("ords").isNotNull())
 
+    # per-query serve-cap override (VERDICT r5 ask #2: a keyword
+    # threaded from the query options instead of a module-global write;
+    # the cap only ever picks the PLAN, never the results)
+    rows_cap = (PHRASE_DRIVER_MAX_ROWS if driver_max_rows is None
+                else int(driver_max_rows))
     outcome, cand_prune = "distributed", None
     if (CHECKPOINT_PHRASE_HITS and not with_details
-            and PHRASE_DRIVER_MAX_ROWS > 0):
+            and rows_cap > 0):
         # CHECKPOINT_PHRASE_HITS=False doubles as the "keep the full
         # distributed lineage inspectable" switch (plan-shape tests) —
         # the driver path, like the checkpoint, would hide the scan
-        res = _phrase_per_doc_driver(index, field, post, key, terms, k)
+        res = _phrase_per_doc_driver(index, field, post, key, terms, k,
+                                      rows_cap=rows_cap)
         outcome = res[0]
         if outcome == "distributed":
             # a hot-term phrase that overflowed even the conjunctive

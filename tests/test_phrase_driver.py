@@ -243,3 +243,22 @@ def test_phrase_df_cache_evicts_oldest_not_wholesale(monkeypatch):
     assert len(cache) == 4
     assert ("text", "t0") not in cache  # oldest evicted first
     assert all(("text", f"t{i}") in cache for i in (1, 2, 3, 4))
+
+
+def test_driver_max_rows_option_no_global_write(loaded):
+    """VERDICT r5 ask #2: the serve cap rides the query options; the
+    squeezed cap forces the non-driver route without mutating
+    scorer.PHRASE_DRIVER_MAX_ROWS, and results are cap-independent."""
+    import ex_elasticlunr_spark.search.scorer as sc
+
+    idx = loaded
+    before = sc.PHRASE_DRIVER_MAX_ROWS
+    q_default = {"query": {"match_phrase": {"content": "quick fox"}}}
+    q_capped = {"query": {"match_phrase": {
+        "content": {"query": "quick fox", "driver_max_rows": 1}}}}
+    a = sorted((r["docid"], round(r["score"], 9))
+               for r in idx.search(q_default, top_k=50).collect())
+    b = sorted((r["docid"], round(r["score"], 9))
+               for r in idx.search(q_capped, top_k=50).collect())
+    assert a == b and a
+    assert sc.PHRASE_DRIVER_MAX_ROWS == before  # no global mutation

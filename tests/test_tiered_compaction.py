@@ -274,3 +274,50 @@ def test_tiered_rejects_pending_ops(spark, tmp_path):
         docid_col="id")
     with pytest.raises(ValueError, match="pending"):
         ix.inverted.compact_tiered()
+
+
+def test_reader_bound_across_mixed_compaction_interleavings(spark, tmp_path):
+    """Referee arm (VERDICT r5 ask #5): a reader BOUND on snapshot N
+    must see unchanged results while the warehouse tiered- or
+    full-compacts to N+1 — the one-commit grace contract (deltas.py
+    concurrency docstring). Seeded-random interleaving of
+    delta-append / compact_tiered / full compact; after EVERY commit
+    the pre-commit bound reader re-runs its query and must match its
+    pre-commit results exactly, and a fresh reload must equal a
+    from-scratch rebuild of the same docs."""
+    import random
+
+    rng = random.Random(77)
+    wh = str(tmp_path / "wh")
+    docs = [("b0", "base spark window")]
+    ix = Index(name="t").add_field("content")
+    ix.add_documents(spark.createDataFrame(
+        docs, "id string, content string"), docid_col="id")
+    ix.save(wh)
+
+    n_added = 0
+    for step in range(6):
+        reader = Index.load(spark, wh, name="t")
+        want = _hits(reader, "spark window delta")
+
+        op = rng.choice(["delta", "delta", "tiered", "full"])
+        mut = Index.load(spark, wh, name="t")
+        if op == "delta":
+            n_added += 1
+            doc = (f"a{n_added}", f"delta window {n_added}")
+            docs.append(doc)
+            mut.add_documents(spark.createDataFrame(
+                [doc], "id string, content string"), docid_col="id")
+            mut.save_delta()
+        elif op == "tiered":
+            mut.inverted.compact_tiered()  # auto policy; may be a no-op
+        else:
+            mut.compact()
+
+        # the held reader's binding survives the commit unchanged
+        assert _hits(reader, "spark window delta") == want, (step, op)
+
+        # a fresh binding equals the from-scratch rebuild
+        ref = _rebuild(spark, docs)
+        got = _hits(Index.load(spark, wh, name="t"), "spark window delta")
+        assert got == _hits(ref, "spark window delta"), (step, op)
